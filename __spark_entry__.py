@@ -1,10 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship query at sf0.001;
+``queries()``/``oracle_sql()`` expose every implemented operator from
+SURVEY.md §2 with its DuckDB oracle (CORRECTNESS gate at sf0.01).
 """
 
 from __future__ import annotations
@@ -13,26 +11,35 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+import hbase_tools_spark.operators  # noqa: F401 — registers queries
+import hbase_tools_spark.llm  # noqa: F401
+import hbase_tools_spark.streaming  # noqa: F401
+from hbase_tools_spark.catalog import load_model
+from hbase_tools_spark.registry import QUERIES
+
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    model = load_model(spark, SF0001)
+    return QUERIES["pricing_summary"].fn(model)
+
+
+def _make(name: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return QUERIES[name].fn(load_model(spark, sf_dir))
+
+    run.__name__ = name
+    run.__doc__ = QUERIES[name].doc
+    return run
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return {name: _make(name) for name in QUERIES}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL per query (omitted => rows-only check)."""
+    return {name: q.oracle for name, q in QUERIES.items() if q.oracle is not None}

@@ -1,0 +1,172 @@
+"""Table analyzer (M1): the reference's ``table_analyzer`` tool
+(analyze/TableAnalyzer.java) as five declarative aggregation queries over
+``region_metrics`` — SURVEY.md §2 IDs A1-A5, W8.
+
+The reference walks ClusterMetrics region-by-region in client code; here
+each analysis is one groupBy whose partial aggregation happens map-side,
+so at 100 TB the shuffle carries only (group-key, partial-agg) pairs —
+a few thousand rows per table regardless of input size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..catalog import Model
+from ..registry import query
+
+
+@query(
+    "analyzer_table_size",
+    oracle="""
+SELECT table_name,
+       CAST(sum(CAST(size_mb AS DECIMAL(18,6))) AS DOUBLE) AS total_size_mb,
+       count(*) AS regions
+FROM region_metrics
+GROUP BY table_name
+""",
+    views=["region_metrics"],
+)
+def analyzer_table_size(m: Model) -> DataFrame:
+    """A1 — total storefile size per table (TableAnalyzer.java:72-83)."""
+    return (
+        m.region_metrics.groupBy("table_name")
+        .agg(
+            F.sum(F.col("size_mb").cast("decimal(18,6)")).cast("double").alias("total_size_mb"),
+            F.count(F.lit(1)).alias("regions"),
+        )
+        .orderBy("table_name")
+    )
+
+
+@query(
+    "analyzer_size_hist",
+    oracle="""
+SELECT table_name,
+       CAST(floor(size_mb / 1024) AS BIGINT) AS size_bucket_gb,
+       count(*) AS regions
+FROM region_metrics
+GROUP BY 1, 2
+""",
+    views=["region_metrics"],
+)
+def analyzer_size_hist(m: Model) -> DataFrame:
+    """A2 — region-size histogram, 1 GB buckets (TableAnalyzer.java:85-103)."""
+    return (
+        m.region_metrics.groupBy(
+            "table_name",
+            F.floor(F.col("size_mb") / 1024).cast("bigint").alias("size_bucket_gb"),
+        )
+        .agg(F.count(F.lit(1)).alias("regions"))
+        .orderBy("table_name", "size_bucket_gb")
+    )
+
+
+@query(
+    "analyzer_locality_hist",
+    oracle="""
+SELECT table_name,
+       CAST(floor(locality * 10) * 10 AS BIGINT) AS locality_bucket_pct,
+       count(*) AS regions
+FROM region_metrics
+GROUP BY 1, 2
+""",
+    views=["region_metrics"],
+)
+def analyzer_locality_hist(m: Model) -> DataFrame:
+    """A3 — locality histogram, 10% buckets (TableAnalyzer.java:130-153)."""
+    return (
+        m.region_metrics.groupBy(
+            "table_name",
+            (F.floor(F.col("locality") * 10) * 10).cast("bigint").alias("locality_bucket_pct"),
+        )
+        .agg(F.count(F.lit(1)).alias("regions"))
+        .orderBy("table_name", "locality_bucket_pct")
+    )
+
+
+@query(
+    "analyzer_filecount_hist",
+    oracle="""
+SELECT table_name, file_count, count(*) AS regions
+FROM region_metrics
+GROUP BY 1, 2
+""",
+    views=["region_metrics"],
+)
+def analyzer_filecount_hist(m: Model) -> DataFrame:
+    """A4 — regions per distinct storefile count (TableAnalyzer.java:155-172)."""
+    return (
+        m.region_metrics.groupBy("table_name", "file_count")
+        .agg(F.count(F.lit(1)).alias("regions"))
+        .orderBy("table_name", "file_count")
+    )
+
+
+@query(
+    "analyzer_distribution_hist",
+    oracle="""
+SELECT table_name, regions_on_server, count(*) AS servers
+FROM (
+  SELECT table_name, server, count(*) AS regions_on_server
+  FROM region_metrics
+  GROUP BY 1, 2
+) per_server
+GROUP BY 1, 2
+""",
+    views=["region_metrics"],
+)
+def analyzer_distribution_hist(m: Model) -> DataFrame:
+    """A5 — two-level histogram: servers per region-count
+    (TableAnalyzer.java:105-128)."""
+    per_server = m.region_metrics.groupBy("table_name", "server").agg(
+        F.count(F.lit(1)).alias("regions_on_server")
+    )
+    return (
+        per_server.groupBy("table_name", "regions_on_server")
+        .agg(F.count(F.lit(1)).alias("servers"))
+        .orderBy("table_name", "regions_on_server")
+    )
+
+
+@query(
+    "analyzer_weight_stats",
+    oracle="""
+SELECT server,
+       round(max(w), 6)  AS max_weight,
+       round(avg(w), 6)  AS avg_weight,
+       round(median(w), 6) AS median_weight
+FROM (
+  SELECT server,
+         CASE WHEN size_mb < 10 THEN 0.0
+              ELSE (1 - locality) * 115
+                   + ((size_mb - max_file_mb) / 1024.0) * (file_count * 1.33)
+         END AS w
+  FROM region_metrics
+) t
+GROUP BY server
+""",
+    views=["region_metrics"],
+)
+def analyzer_weight_stats(m: Model) -> DataFrame:
+    """A9 — per-server max/avg/exact-median of compaction weights
+    (CompactorServer.java:298-315; weight formula
+    compactor/CompactionWeight.java:39-44).  Exact percentile matches the
+    reference's mid-element median; at 100 TB switch callers to
+    ``percentile_approx`` (documented parity trade)."""
+    w = F.when(F.col("size_mb") < 10, F.lit(0.0)).otherwise(
+        (1 - F.col("locality")) * 115
+        + ((F.col("size_mb") - F.col("max_file_mb")) / 1024.0)
+        * (F.col("file_count") * 1.33)
+    )
+    return (
+        m.region_metrics.select("server", w.alias("w"))
+        .groupBy("server")
+        .agg(
+            F.round(F.max("w"), 6).alias("max_weight"),
+            F.round(F.avg("w"), 6).alias("avg_weight"),
+            F.round(F.expr("percentile(w, 0.5)"), 6).alias("median_weight"),
+        )
+        .orderBy("server")
+    )

@@ -1,0 +1,35 @@
+"""Universal differential gate: every registered query must match its
+DuckDB oracle exactly (the local mirror of the driver's t2 check)."""
+
+from __future__ import annotations
+
+import pytest
+
+import hbase_tools_spark.operators  # noqa: F401
+import hbase_tools_spark.llm  # noqa: F401
+import hbase_tools_spark.streaming  # noqa: F401
+from hbase_tools_spark.registry import QUERIES
+
+from conftest import assert_query_matches_oracle
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(spark, ducksql, name):
+    assert_query_matches_oracle(spark, ducksql, name)
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert df.columns[0] == "l_returnflag"
+
+
+def test_contract_shapes():
+    import __spark_entry__ as e
+
+    qs, os_ = e.queries(), e.oracle_sql()
+    assert set(os_) <= set(qs)
+    assert len(qs) > 0
