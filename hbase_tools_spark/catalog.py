@@ -59,15 +59,22 @@ def load_model(spark: SparkSession, sf_dir: str) -> Model:
     only, nothing is scanned until an action runs.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Pin UTC so NTZ<->instant conversions and unix_timestamp are
+    # deterministic regardless of the host session's timezone (DuckDB
+    # treats parquet timestamps as naive-UTC; we must agree).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     for name in BASE_TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
         df = spark.read.parquet(path)
         for ts_col in _TS_COLUMNS.get(name, []):
-            if dict(df.dtypes).get(ts_col) == "bigint":
+            dtype = dict(df.dtypes).get(ts_col)
+            if dtype == "bigint":  # ns-encoded (sf0.001/sf0.01 fixtures)
                 df = df.withColumn(
                     ts_col,
                     F.timestamp_micros(F.expr(f"`{ts_col}` DIV 1000")),
                 )
+            elif dtype == "timestamp_ntz":  # µs NTZ (sf0.1 fixtures)
+                df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
         df.createOrReplaceTempView(name)
     for name in DERIVED_VIEWS:
         spark.sql(

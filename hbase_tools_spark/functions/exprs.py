@@ -1,0 +1,85 @@
+"""Cross-engine-safe column expressions shared by the operators.
+
+Each helper has a fixed DuckDB-SQL counterpart documented here; queries
+must use these pairs so Spark results and DuckDB oracles match bit-for-
+bit (see model.py float-safety rules).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def epoch_bigint(col: Column) -> Column:
+    """Epoch seconds as BIGINT (floored).
+
+    DuckDB counterpart: ``CAST(floor(epoch(col)) AS BIGINT)``.
+    Requires the session timezone pinned to UTC (done by load_model).
+    """
+    return F.unix_timestamp(col)
+
+
+def dsum(col: Column, precision: int = 18, scale: int = 4, out_round: int = 4) -> Column:
+    """Order-independent exact sum of a double column.
+
+    Per-row cast to DECIMAL makes the aggregation exact in both engines;
+    round before the final double cast keeps the unscaled value < 2^53 so
+    decimal->double conversion is bit-identical.
+
+    DuckDB counterpart:
+    ``CAST(round(sum(CAST(col AS DECIMAL(p,s))), r) AS DOUBLE)``.
+    """
+    return F.round(F.sum(col.cast(f"decimal({precision},{scale})")), out_round).cast(
+        "double"
+    )
+
+
+def fround(col: Column, n: int) -> Column:
+    """Cross-engine-identical rounding of an *arbitrary* double.
+
+    Engine-native round() disagrees between Spark (exact-decimal HALF_UP
+    of the binary value) and DuckDB (scale-multiply-round) in the last
+    digit for values off the decimal grid.  ``floor(x*10^n + 0.5)/10^n``
+    is the same IEEE op sequence in both engines, so results are
+    bit-identical.  Use native round() only for decimal-backed values
+    already on the rounding grid.
+
+    DuckDB counterpart: ``floor(x * 1e{n} + 0.5) / 1e{n}``.
+    """
+    scale = float(10**n)
+    return F.floor(col * scale + 0.5) / scale
+
+
+def fround_sql(expr: str, n: int) -> str:
+    """DuckDB/Spark-SQL fragment matching :func:`fround`."""
+    scale = float(10**n)
+    return f"floor(({expr}) * {scale} + 0.5) / {scale}"
+
+
+def compaction_weight(
+    size_mb: Column, max_file_mb: Column, file_count: Column, locality: Column
+) -> Column:
+    """X11 — the reference's compaction weight
+    (compactor/CompactionWeight.java:39-44):
+    ``(1-locality)*115 + ((size - maxStoreFile)/1024) * (fileCount*1.33)``,
+    0 when size < 10 MB.
+
+    DuckDB counterpart (inline SQL)::
+
+        CASE WHEN size_mb < 10 THEN 0.0
+             ELSE (1 - locality) * 115
+                  + ((size_mb - max_file_mb) / 1024.0) * (file_count * 1.33)
+        END
+    """
+    return F.when(size_mb < 10, F.lit(0.0)).otherwise(
+        (1 - locality) * 115 + ((size_mb - max_file_mb) / 1024.0) * (file_count * 1.33)
+    )
+
+
+# SQL fragment used by oracle bodies for the weight formula (keep in sync
+# with compaction_weight above).
+COMPACTION_WEIGHT_SQL = """CASE WHEN size_mb < 10 THEN 0.0
+     ELSE (1 - locality) * 115
+          + ((size_mb - max_file_mb) / 1024.0) * (file_count * 1.33)
+END"""

@@ -42,8 +42,10 @@ BASE_TABLES = [
 
 # Fixed "now" instants so staleness predicates are deterministic across
 # engines and runs (orders span 1995..2001-08, events span 2024-01).
-ORDERS_AS_OF = "TIMESTAMP '2001-09-01 00:00:00'"
-EVENTS_AS_OF = "TIMESTAMP '2024-01-31 00:00:00'"
+ORDERS_AS_OF_LIT = "2001-09-01 00:00:00"
+EVENTS_AS_OF_LIT = "2024-01-31 00:00:00"
+ORDERS_AS_OF = f"TIMESTAMP '{ORDERS_AS_OF_LIT}'"
+EVENTS_AS_OF = f"TIMESTAMP '{EVENTS_AS_OF_LIT}'"
 
 # ---------------------------------------------------------------------------
 # Derived relation definitions (common Spark-SQL / DuckDB dialect).

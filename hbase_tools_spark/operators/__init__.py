@@ -1,5 +1,5 @@
 """Operator modules — importing this package registers every query."""
 
-from . import analyzer, tpch  # noqa: F401
+from . import analyzer, planners, reports, tpch  # noqa: F401
 
-__all__ = ["analyzer", "tpch"]
+__all__ = ["analyzer", "planners", "reports", "tpch"]

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..catalog import Model
+from ..functions.exprs import fround
 from ..registry import query
 
 
@@ -134,9 +135,9 @@ def analyzer_distribution_hist(m: Model) -> DataFrame:
     "analyzer_weight_stats",
     oracle="""
 SELECT server,
-       round(max(w), 6)  AS max_weight,
-       round(avg(w), 6)  AS avg_weight,
-       round(median(w), 6) AS median_weight
+       floor(max(w) * 1000000.0 + 0.5) / 1000000.0 AS max_weight,
+       floor(avg(w) * 1000000.0 + 0.5) / 1000000.0 AS avg_weight,
+       floor(median(w) * 1000000.0 + 0.5) / 1000000.0 AS median_weight
 FROM (
   SELECT server,
          CASE WHEN size_mb < 10 THEN 0.0
@@ -164,9 +165,9 @@ def analyzer_weight_stats(m: Model) -> DataFrame:
         m.region_metrics.select("server", w.alias("w"))
         .groupBy("server")
         .agg(
-            F.round(F.max("w"), 6).alias("max_weight"),
-            F.round(F.avg("w"), 6).alias("avg_weight"),
-            F.round(F.expr("percentile(w, 0.5)"), 6).alias("median_weight"),
+            fround(F.max("w"), 6).alias("max_weight"),
+            fround(F.avg("w"), 6).alias("avg_weight"),
+            fround(F.expr("percentile(w, 0.5)"), 6).alias("median_weight"),
         )
         .orderBy("server")
     )
