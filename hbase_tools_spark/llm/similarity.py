@@ -1,0 +1,162 @@
+"""Embedding similarity search (M8): brute-force cosine top-k baseline +
+sign-LSH bucketed variant (the scale path).
+
+Plan shape at 100 TB: the query set is broadcast; the corpus scan is
+embarrassingly parallel; top-k per query uses a rank window partitioned
+by query id.  The LSH variant buckets the corpus by hyperplane signs so
+each probe touches one bucket — candidate generation without the full
+cross product (IVF-style coarse quantization would slot into the same
+bucket-join contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import Model
+from ..functions.exprs import fround
+from ..registry import query
+
+_TOPK = 10
+_NQUERIES = 5        # vec_id < 5 are the probe vectors
+_LSH_BITS = 8        # sign bits of the first 8 dims
+
+
+def _dot(a: Column, b: Column) -> Column:
+    prod = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+# DuckDB counterparts: identical element order, double math.
+_DOT_SQL = "list_sum(list_transform(range(1, 65), i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+_NORM_SQL = "sqrt(list_sum(list_transform(range(1, 65), i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))"
+
+
+@query(
+    "embedding_topk",
+    oracle=f"""
+SELECT query_id, vec_id, label, cosine, rank
+FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS vec_id, c.label,
+         floor(({_DOT_SQL.format(a='q.embedding', b='c.embedding')}
+                / ({_NORM_SQL.format(a='q.embedding')} * {_NORM_SQL.format(a='c.embedding')}))
+               * 1000000.0 + 0.5) / 1000000.0 AS cosine,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY {_DOT_SQL.format(a='q.embedding', b='c.embedding')}
+                    / ({_NORM_SQL.format(a='q.embedding')} * {_NORM_SQL.format(a='c.embedding')})
+                    DESC, c.vec_id
+         ) AS rank
+  FROM (SELECT * FROM embeddings WHERE vec_id < {_NQUERIES}) q
+  CROSS JOIN embeddings c
+  WHERE q.vec_id <> c.vec_id
+) t
+WHERE rank <= {_TOPK}
+""",
+    views=[],
+)
+def embedding_topk(m: Model) -> DataFrame:
+    """Brute-force cosine top-{10} neighbors for the probe vectors —
+    exact ANN baseline.  Queries broadcast; cosine entirely in JVM
+    higher-order functions (zip_with/aggregate), no Python."""
+    emb = m.embeddings
+    q = emb.filter(F.col("vec_id") < _NQUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    pairs = F.broadcast(q).crossJoin(
+        emb.select("vec_id", "label", F.col("embedding").alias("ce"))
+    ).filter(F.col("query_id") != F.col("vec_id"))
+    cos = _dot(F.col("qe"), F.col("ce")) / (_norm(F.col("qe")) * _norm(F.col("ce")))
+    ranked = pairs.withColumn("cos_raw", cos).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+        ),
+    )
+    return ranked.filter(F.col("rank") <= _TOPK).select(
+        "query_id",
+        "vec_id",
+        "label",
+        fround(F.col("cos_raw"), 6).alias("cosine"),
+        "rank",
+    )
+
+
+_BUCKET_SQL = (
+    "array_to_string(list_transform(range(1, "
+    + str(_LSH_BITS + 1)
+    + "), i -> CASE WHEN {a}[i] >= 0 THEN '1' ELSE '0' END), '')"
+)
+
+
+@query(
+    "embedding_lsh_topk",
+    oracle=f"""
+SELECT query_id, vec_id, cosine, rank
+FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         floor(({_DOT_SQL.format(a='q.embedding', b='c.embedding')}
+                / ({_NORM_SQL.format(a='q.embedding')} * {_NORM_SQL.format(a='c.embedding')}))
+               * 1000000.0 + 0.5) / 1000000.0 AS cosine,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY {_DOT_SQL.format(a='q.embedding', b='c.embedding')}
+                    / ({_NORM_SQL.format(a='q.embedding')} * {_NORM_SQL.format(a='c.embedding')})
+                    DESC, c.vec_id
+         ) AS rank
+  FROM (SELECT * FROM embeddings WHERE vec_id < {_NQUERIES}) q
+  JOIN embeddings c
+    ON {_BUCKET_SQL.format(a='q.embedding')} = {_BUCKET_SQL.format(a='c.embedding')}
+   AND q.vec_id <> c.vec_id
+) t
+WHERE rank <= {_TOPK}
+""",
+    views=[],
+)
+def embedding_lsh_topk(m: Model) -> DataFrame:
+    """Sign-LSH bucketed ANN: bucket = sign bits of the first {8} dims
+    (fixed random-hyperplane surrogate); candidates share the probe's
+    bucket, then exact cosine ranks within.  Trades recall for a
+    bucket-equi-join instead of a cross product — the scale path."""
+    emb = m.embeddings
+
+    def bucket(a: Column) -> Column:
+        return F.array_join(
+            F.transform(
+                F.slice(a, 1, _LSH_BITS),
+                lambda x: F.when(x >= 0, "1").otherwise("0"),
+            ),
+            "",
+        )
+
+    q = emb.filter(F.col("vec_id") < _NQUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        bucket(F.col("embedding")).alias("bucket"),
+    )
+    c = emb.select(
+        "vec_id", F.col("embedding").alias("ce"), bucket(F.col("embedding")).alias("bucket")
+    )
+    pairs = F.broadcast(q).join(c, "bucket").filter(F.col("query_id") != F.col("vec_id"))
+    cos = _dot(F.col("qe"), F.col("ce")) / (_norm(F.col("qe")) * _norm(F.col("ce")))
+    ranked = pairs.withColumn("cos_raw", cos).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+        ),
+    )
+    return ranked.filter(F.col("rank") <= _TOPK).select(
+        "query_id", "vec_id", fround(F.col("cos_raw"), 6).alias("cosine"), "rank"
+    )

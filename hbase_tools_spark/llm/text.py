@@ -1,0 +1,187 @@
+"""Text-analysis operators (M8): language-ID heuristic, quality scoring,
+token counting, document fingerprinting — the text half of a training-
+data pipeline, all as JVM-side Column expressions (no Python UDFs in the
+hot path).
+
+Scale: every query here is embarrassingly parallel per document (narrow
+transformations feeding a thin aggregate or none), so the plans are a
+single scan stage at any data size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import Model
+from ..functions.exprs import fround
+from ..registry import query
+
+_STOPWORDS = ("the", "a")
+
+
+@query(
+    "text_stats",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT)  AS n_tokens,
+       CAST(length(text) AS BIGINT)                  AS n_chars_calc,
+       CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_word_tokens,
+       floor((length(replace(text, ' ', '')) * 1.0 / len(string_split(text, ' '))) * 10000.0 + 0.5) / 10000.0
+         AS avg_token_len,
+       floor((len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) * 1.0
+              / len(string_split(text, ' '))) * 10000.0 + 0.5) / 10000.0
+         AS stopword_ratio
+FROM documents
+""",
+    views=[],
+)
+def text_stats(m: Model) -> DataFrame:
+    """Quality-scoring stats per document: whitespace token count,
+    char count, regex word-token count (BPE-ish pre-tokenization),
+    average token length, stopword ratio."""
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks).cast("bigint")
+    stop_cnt = F.size(
+        F.filter(toks, lambda x: x.isin(*_STOPWORDS))
+    )
+    return m.documents.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_calc"),
+        F.regexp_count(F.col("text"), F.lit("[a-z]+")).cast("bigint").alias("n_word_tokens"),
+        fround(
+            F.length(F.regexp_replace(F.col("text"), " ", "")) * 1.0 / n_tokens, 4
+        ).alias("avg_token_len"),
+        fround(stop_cnt * 1.0 / n_tokens, 4).alias("stopword_ratio"),
+    )
+
+
+@query(
+    "lang_id_heuristic",
+    oracle="""
+SELECT doc_id, lang,
+       CASE WHEN len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a')))
+                 * 1.0 / len(string_split(text, ' ')) > 0.02
+            THEN 'en' ELSE 'unk' END AS pred_lang,
+       (lang = CASE WHEN len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a')))
+                         * 1.0 / len(string_split(text, ' ')) > 0.02
+                    THEN 'en' ELSE 'unk' END) AS agree
+FROM documents
+""",
+    views=[],
+)
+def lang_id_heuristic(m: Model) -> DataFrame:
+    """N-gram/stopword language-ID heuristic: english stopword density
+    above 2% -> 'en'.  (A real pipeline swaps in fastText/CLD3 via the
+    same column contract.)"""
+    toks = F.split(F.col("text"), " ")
+    ratio = F.size(F.filter(toks, lambda x: x.isin(*_STOPWORDS))) * 1.0 / F.size(toks)
+    pred = F.when(ratio > 0.02, "en").otherwise("unk")
+    return m.documents.select(
+        "doc_id", "lang", pred.alias("pred_lang"), (F.col("lang") == pred).alias("agree")
+    )
+
+
+@query(
+    "doc_fingerprints",
+    oracle="""
+SELECT doc_id,
+       md5(text)                                    AS content_hash,
+       CAST(length(text) AS BIGINT)                 AS n_chars_calc,
+       md5(substr(text, 1, 40))                     AS prefix_hash
+FROM documents
+""",
+    views=[],
+)
+def doc_fingerprints(m: Model) -> DataFrame:
+    """Document fingerprinting: full-content MD5 + 40-char prefix hash
+    (rolling-hash stand-in, cross-engine deterministic)."""
+    return m.documents.select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("content_hash"),
+        F.length("text").cast("bigint").alias("n_chars_calc"),
+        F.md5(F.substring(F.col("text"), 1, 40).cast("binary")).alias("prefix_hash"),
+    )
+
+
+@query(
+    "docs_exact_dedup",
+    oracle="""
+SELECT content_hash, keep_doc_id, group_size
+FROM (
+  SELECT md5(text) AS content_hash,
+         min(doc_id) AS keep_doc_id,
+         CAST(count(*) AS BIGINT) AS group_size
+  FROM documents
+  GROUP BY 1
+) g
+""",
+    views=[],
+)
+def docs_exact_dedup(m: Model) -> DataFrame:
+    """Exact dedup (hash-groupBy): one surviving doc_id per distinct
+    content hash.  Map-side partial agg means the shuffle carries one
+    row per distinct hash — the 100 TB-safe exact-dedup plan."""
+    return (
+        m.documents.groupBy(F.md5(F.col("text").cast("binary")).alias("content_hash"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+    )
+
+
+@query(
+    "docs_prefix_dedup",
+    oracle="""
+SELECT prefix_hash, keep_doc_id, group_size
+FROM (
+  SELECT md5(substr(text, 1, 40)) AS prefix_hash,
+         min(doc_id) AS keep_doc_id,
+         CAST(count(*) AS BIGINT) AS group_size
+  FROM documents
+  GROUP BY 1
+) g
+WHERE group_size > 1
+""",
+    views=[],
+)
+def docs_prefix_dedup(m: Model) -> DataFrame:
+    """Near-exact dedup by normalized prefix: groups sharing a 40-char
+    prefix with more than one member (the cheap first pass before
+    MinHash)."""
+    return (
+        m.documents.groupBy(
+            F.md5(F.substring(F.col("text"), 1, 40).cast("binary")).alias("prefix_hash")
+        )
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("group_size"))
+        .filter(F.col("group_size") > 1)
+    )
+
+
+@query("simhash_fingerprints", oracle=None)
+def simhash_fingerprints(m: Model) -> DataFrame:
+    """SimHash (16-bit) per document, entirely with JVM built-ins: each
+    token hashes to 16 bits via md5; bit b of the fingerprint is the sign
+    of sum(+/-1) of that bit over tokens.  Rows-only checked by the
+    driver; differential-tested against a pure-Python port in
+    tests/test_llm.py."""
+    tok = m.documents.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).withColumn(
+        "h", F.conv(F.substring(F.md5(F.col("w").cast("binary")), 1, 4), 16, 10).cast("long")
+    )
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(16)
+    ]
+    bits = tok.groupBy("doc_id").agg(*aggs)
+    fp = None
+    for b in range(16):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return bits.select("doc_id", fp.cast("bigint").alias("simhash16"))

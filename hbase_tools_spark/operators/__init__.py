@@ -1,5 +1,23 @@
 """Operator modules — importing this package registers every query."""
 
-from . import analyzer, planners, reports, tpch  # noqa: F401
+from . import (  # noqa: F401
+    analyzer,
+    joins,
+    keyspace,
+    planners,
+    reports,
+    temporal,
+    tpch,
+    writepath,
+)
 
-__all__ = ["analyzer", "planners", "reports", "tpch"]
+__all__ = [
+    "analyzer",
+    "joins",
+    "keyspace",
+    "planners",
+    "reports",
+    "temporal",
+    "tpch",
+    "writepath",
+]

@@ -1,0 +1,79 @@
+"""Golden-vector + property tests for the byte-level key functions (X1,
+X2, X4) — the oracle here is an independent straight port of the
+reference's observable algorithm (SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import zlib
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from hbase_tools_spark.functions.keys import (
+    midpoint_key,
+    salt_key_bytes,
+    to_string_binary,
+)
+
+
+def _reference_salt(row_key: str) -> bytes:
+    """Independent port of KeyGenerator.generateKeyAsBytes
+    (common/KeyGenerator.java:27-49): Bytes.toBytes(long crc)[4:8] salt,
+    then the two layout branches, written with explicit arraycopy
+    semantics to mirror the Java."""
+    input_bytes = row_key.encode("utf-8")
+    crc = zlib.crc32(input_bytes) & 0xFFFFFFFF
+    # Java: long salt -> 8-byte big-endian; copy bytes [4,8)
+    salt8 = crc.to_bytes(8, "big")
+    salt = salt8[4:8]
+    if len(input_bytes) < 4:
+        return salt + input_bytes
+    out = bytearray(8 + len(input_bytes))
+    out[0:4] = salt
+    out[4:6] = input_bytes[len(input_bytes) - 2 :]
+    out[6:8] = input_bytes[len(input_bytes) - 4 : len(input_bytes) - 2]
+    out[8:] = input_bytes
+    return bytes(out)
+
+
+GOLDEN = ["a", "abc", "abcd", "row-0001", "Customer#000000042", "", "zz"]
+
+
+def test_salt_golden_vectors():
+    for key in GOLDEN:
+        assert salt_key_bytes(key.encode()) == _reference_salt(key), key
+
+
+@given(st.text(max_size=64))
+@settings(max_examples=300, deadline=None)
+def test_salt_property(key):
+    assert salt_key_bytes(key.encode("utf-8")) == _reference_salt(key)
+
+
+@given(st.binary(max_size=32))
+@settings(max_examples=200, deadline=None)
+def test_printable_roundtrip_ascii(b):
+    s = to_string_binary(b)
+    # printable output must be ASCII and deterministic
+    assert s == to_string_binary(b)
+    s.encode("ascii")
+
+
+@given(st.binary(min_size=0, max_size=12), st.binary(min_size=0, max_size=12))
+@settings(max_examples=300, deadline=None)
+def test_midpoint_between(start, end):
+    eff_end = b"\xff" * 8 if end == b"" else end
+    width = max(len(start), len(eff_end), 1)
+    a = int.from_bytes(start.ljust(width, b"\x00"), "big")
+    b_ = int.from_bytes(eff_end.ljust(width, b"\x00"), "big")
+    mid = midpoint_key(start, end)
+    v = int.from_bytes(mid, "big")
+    lo, hi = min(a, b_), max(a, b_)
+    assert lo <= v <= hi
+    if hi - lo >= 2:
+        assert lo < v < hi
+
+
+def test_midpoint_unbounded_end_default():
+    # empty end key means unbounded -> 8 x 0xFF (TableSplitter.java:100-103)
+    assert midpoint_key(b"\x00" * 8, b"") == b"\x7f" + b"\xff" * 7
