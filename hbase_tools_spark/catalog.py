@@ -58,6 +58,11 @@ def load_model(spark: SparkSession, sf_dir: str) -> Model:
     Idempotent (CREATE OR REPLACE); cheap -- registration is metadata
     only, nothing is scanned until an action runs.
     """
+    # Registration is idempotent but not free (schema reads + one
+    # catalog round-trip per view); skip it when this session already
+    # has this sf_dir registered — also keeps any cached tables warm.
+    if spark.conf.get("spark.hbase_tools.model_dir", "") == sf_dir:
+        return Model(spark, sf_dir)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # Pin UTC so NTZ<->instant conversions and unix_timestamp are
     # deterministic regardless of the host session's timezone (DuckDB
@@ -80,4 +85,5 @@ def load_model(spark: SparkSession, sf_dir: str) -> Model:
         spark.sql(
             f"CREATE OR REPLACE TEMPORARY VIEW {name} AS\n{view_sql(name, 'spark')}"
         )
+    spark.conf.set("spark.hbase_tools.model_dir", sf_dir)
     return Model(spark, sf_dir)

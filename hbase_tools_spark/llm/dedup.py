@@ -109,26 +109,46 @@ GROUP BY 1, 2
 """
 
 
-def _minhash(m: Model) -> DataFrame:
-    """MinHash signatures: h_i(doc) = min over shingles of
+def _minhash_signatures(m: Model) -> DataFrame:
+    """MinHash signatures: sig[i] = min over distinct shingles of
     md5(i || '|' || shingle).  md5 hex strings compare identically in
     both engines, making the signature engine-portable (unlike
-    Spark's hash() or DuckDB's hash())."""
-    sh = _shingles(m)
-    seeds = m.spark.range(_MINHASHES).select(F.col("id").cast("int").alias("i"))
-    return (
-        sh.crossJoin(F.broadcast(seeds))
-        .select(
-            "doc_id",
-            "i",
-            F.md5(
-                F.concat(F.col("i").cast("string"), F.lit("|"), F.col("shingle")).cast(
-                    "binary"
-                )
-            ).alias("h"),
+    Spark's hash() or DuckDB's hash()).
+
+    Computed entirely with narrow array expressions — per document:
+    ``transform(seeds, i -> array_min(transform(shingles, s -> md5(..))))``.
+    No explode, no cross join, no shuffle: at 100 TB the signature pass
+    is a pure map stage; only the tiny (doc_id, band_hash) relation ever
+    shuffles (in the LSH join below)."""
+    toks = F.split(F.col("text"), " ")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - (_SHINGLE - 1)),
+            lambda i: F.array_join(F.slice(F.col("toks"), i, _SHINGLE), " "),
         )
-        .groupBy("doc_id", "i")
-        .agg(F.min("h").alias("mh"))
+    )
+    seeds = F.sequence(F.lit(0), F.lit(_MINHASHES - 1))
+    sig = F.transform(
+        seeds,
+        lambda i: F.array_min(
+            F.transform(
+                F.col("shingles"),
+                lambda s: F.md5(
+                    F.concat(i.cast("string"), F.lit("|"), s).cast("binary")
+                ),
+            )
+        ),
+    )
+    # CPU-bound narrow map: spread it over every core even when the
+    # source is a single parquet file (fixture case). On a real corpus
+    # the file count already provides this fan-out.
+    n_parts = m.spark.sparkContext.defaultParallelism
+    return (
+        m.documents.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= _SHINGLE)
+        .repartition(n_parts, "doc_id")
+        .select("doc_id", shingles.alias("shingles"))
+        .select("doc_id", sig.alias("sig"))
     )
 
 
@@ -153,23 +173,26 @@ def minhash_band_pairs(m: Model) -> DataFrame:
     """MinHash-LSH candidate pairs: {16} md5-minhashes, {4} bands of
     {4}; docs sharing any band hash are candidates.  The band-hash join
     replaces the O(shingle-fanout) pair join — the 100 TB dedup path."""
-    mh = _minhash(m)
+    sig = _minhash_signatures(m)
     rows_per_band = _MINHASHES // _BANDS
-    bands = (
-        mh.withColumn("band", F.floor(F.col("i") / rows_per_band).cast("bigint"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("i", "mh"))),
-                        lambda x: x["mh"],
-                    ),
-                    "|",
-                ).cast("binary")
-            ).alias("band_hash")
-        )
-    )
+    band_ids = F.sequence(F.lit(0), F.lit(_BANDS - 1))
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                band_ids,
+                lambda b: F.struct(
+                    b.cast("bigint").alias("band"),
+                    F.md5(
+                        F.array_join(
+                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                            "|",
+                        ).cast("binary")
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("bh"),
+    ).select("doc_id", "bh.band", "bh.band_hash")
     a = bands.alias("a")
     b = bands.alias("b")
     return (
