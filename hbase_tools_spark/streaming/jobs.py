@@ -1,0 +1,276 @@
+"""Structured Streaming operators (M7, SURVEY.md §2.8 S1-S9).
+
+The reference implements "streaming" as infinite loops + scheduled
+executors over continuously refreshed metric snapshots
+(compactor/CompactorServer.java:127-155 — re-scan/re-weight/re-sort
+cycle; analyze/HBaseHealthAnalyzeService.java:54-114 — fixed-delay
+health checks; compactor/CompactorManager.java:147-164 — membership
+diffing every 90 s).  The Spark-idiomatic generalization is Structured
+Streaming: ``readStream`` over the event/metric feed, event-time
+windows + watermarks for its periodic aggregations, streaming
+deduplication for its TTL caches, and ``foreachBatch`` for its
+plan-refresh cycles.
+
+Each registered query runs its stream to completion with
+``Trigger.AvailableNow`` into an in-memory sink and returns the result
+table — so the driver (and the DuckDB oracle) can hash-check streaming
+output exactly like any batch query.  Production deployments replace
+the trigger with ``Trigger.ProcessingTime`` and the memory sink with a
+table sink; nothing else changes.
+
+Scale notes (100 TB): all aggregations below key on
+(window × event_type) or (window × user_id) — state partitions by a
+high-cardinality key, no global state.  ``dropDuplicates`` keeps exact
+state for the F11/S8 caches; the watermark-bounded variant
+(``dropDuplicatesWithinWatermark``) is the bounded-state production
+path, exercised in tests where batch boundaries are controlled.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import Model
+from ..functions.exprs import dsum, epoch_bigint
+from ..registry import query
+
+_GAP_MIN = 10  # session-window gap (minutes)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``readStream`` over the events fixture with the same timestamp
+    normalization as the batch catalog (ns-long at small SFs, µs NTZ at
+    sf0.1) so streaming and batch plans see identical rows."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = os.path.join(sf_dir, "events.parquet")
+    # The file-stream source needs a *directory*; stage one holding a
+    # symlink to the (read-only) fixture file.  In production the feed
+    # is already a directory of arriving files.
+    stage = os.path.join(
+        "/tmp", "hbase_tools_stream", sf_dir.strip("/").replace("/", "_")
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events-000.parquet")
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    schema = spark.read.parquet(path).schema
+    df = spark.readStream.schema(schema).parquet(stage)
+    dtype = dict(df.dtypes)["ts"]
+    if dtype == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif dtype == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
+def run_to_table(stream_df: DataFrame, name: str, output_mode: str) -> DataFrame:
+    """Drain a streaming DataFrame with AvailableNow into a memory sink
+    and return the materialized result as a batch DataFrame."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+# ---------------------------------------------------------------------------
+# S1/S2 generalization — tumbling event-time windows
+# ---------------------------------------------------------------------------
+
+@query(
+    "stream_tumbling_counts",
+    oracle="""
+SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS window_start,
+       event_type,
+       count(*) AS n,
+       CAST(round(sum(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+    views=[],
+)
+def stream_tumbling_counts(m: Model) -> DataFrame:
+    """S1/S2 — periodic re-aggregation as 1-hour tumbling event-time
+    windows over the event stream (the reference's fixed-delay re-scan
+    cycles, compactor/CompactorServer.java:139-141, made event-time-
+    exact).  Complete output mode: every window is in the sink when the
+    stream drains."""
+    ev = events_stream(m.spark, m.sf_dir)
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("value")).alias("total_value"),
+        )
+        .select(
+            epoch_bigint(F.col("window.start")).alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    return run_to_table(agg, "stream_tumbling_counts", "complete")
+
+
+# ---------------------------------------------------------------------------
+# Sliding windows — overlapping re-evaluation periods
+# ---------------------------------------------------------------------------
+
+@query(
+    "stream_sliding_counts",
+    oracle="""
+WITH offsets AS (SELECT unnest([0, 1800]) AS off)
+SELECT window_start, event_type, count(*) AS n
+FROM (
+  SELECT (CAST(floor(epoch(ts) - off) AS BIGINT) // 3600) * 3600 + off AS window_start,
+         event_type
+  FROM events CROSS JOIN offsets
+) t
+GROUP BY 1, 2
+""",
+    views=[],
+)
+def stream_sliding_counts(m: Model) -> DataFrame:
+    """1-hour windows sliding every 30 min: each event lands in two
+    overlapping windows (the idiomatic form of the reference's staggered
+    re-check cadences, hbase-tools.properties:13,19-20)."""
+    ev = events_stream(m.spark, m.sf_dir)
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            epoch_bigint(F.col("window.start")).alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+    return run_to_table(agg, "stream_sliding_counts", "complete")
+
+
+# ---------------------------------------------------------------------------
+# Session windows — per-user activity sessions
+# ---------------------------------------------------------------------------
+
+@query(
+    "stream_session_stats",
+    oracle=f"""
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   <= INTERVAL {_GAP_MIN} MINUTE
+              THEN 0 ELSE 1 END AS new_sess
+  FROM events
+),
+numbered AS (
+  SELECT user_id, ts, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM flagged
+)
+SELECT user_id,
+       CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+       count(*) AS n_events,
+       CAST(round(sum(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS total_value
+FROM numbered
+GROUP BY user_id, sess_id
+""",
+    views=[],
+)
+def stream_session_stats(m: Model) -> DataFrame:
+    """Per-user session windows (gap {10} min): count + exact value sum
+    per session.  The stateful generalization of the reference's
+    per-server work cycles; DuckDB oracle is the classic
+    gaps-and-islands rewrite."""
+    ev = events_stream(m.spark, m.sf_dir)
+    agg = (
+        ev.groupBy(F.session_window("ts", f"{_GAP_MIN} minutes"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            epoch_bigint(F.col("session_window.start")).alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+    return run_to_table(agg, "stream_session_stats", "complete")
+
+
+# ---------------------------------------------------------------------------
+# S4/F11/S8 — streaming deduplication (the TTL-cache analog)
+# ---------------------------------------------------------------------------
+
+@query(
+    "stream_dedup_keys",
+    oracle="""
+SELECT DISTINCT user_id AS row_key, event_type AS qualifier FROM events
+""",
+    views=[],
+)
+def stream_dedup_keys(m: Model) -> DataFrame:
+    """F11/S8 — streaming dedup of the mutation feed on
+    (row_key, qualifier).  Exact-state ``dropDuplicates`` here (output
+    is the distinct key set, deterministic under any batching);
+    ``dropDuplicatesWithinWatermark`` is the bounded-state production
+    variant — the direct analog of the reference's 1-day-TTL Guava
+    cache (compactor/CompactorServer.java:47-58) — exercised in tests
+    with controlled batch boundaries."""
+    ev = events_stream(m.spark, m.sf_dir)
+    dedup = (
+        ev.select(
+            F.col("user_id").alias("row_key"),
+            F.col("event_type").alias("qualifier"),
+        )
+        .dropDuplicates(["row_key", "qualifier"])
+    )
+    return run_to_table(dedup, "stream_dedup_keys", "append")
+
+
+# ---------------------------------------------------------------------------
+# S1 proper — per-micro-batch plan refresh via foreachBatch
+# ---------------------------------------------------------------------------
+
+def compaction_plan_stream(
+    spark: SparkSession, sf_dir: str, sink_name: str = "stream_plan_sink"
+) -> DataFrame:
+    """S1 — the compactor's refresh cycle: every micro-batch of new
+    metric events triggers a full plan recompute (re-scan → re-weight →
+    re-sort, CompactorServer.java:127-155), appended to the sink with
+    its batch id.  ``foreachBatch`` is the idiomatic home for this
+    snapshot-replace (not windowed-append) semantics."""
+    from ..catalog import load_model
+    from ..registry import QUERIES
+
+    sink_rows: list = []
+
+    def refresh(batch_df: DataFrame, batch_id: int) -> None:
+        model = load_model(batch_df.sparkSession, sf_dir)
+        plan = QUERIES["compaction_plan"].fn(model).withColumn(
+            "batch_id", F.lit(batch_id)
+        )
+        sink_rows.extend(plan.collect())
+
+    ev = events_stream(spark, sf_dir)
+    q = (
+        ev.writeStream.foreachBatch(refresh)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    plan_schema = QUERIES["compaction_plan"].fn(load_model(spark, sf_dir)).schema
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        list(plan_schema.fields) + [StructField("batch_id", LongType(), False)]
+    )
+    return spark.createDataFrame(sink_rows, schema)
