@@ -160,3 +160,61 @@ def embedding_lsh_topk(m: Model) -> DataFrame:
     return ranked.filter(F.col("rank") <= _TOPK).select(
         "query_id", "vec_id", fround(F.col("cos_raw"), 6).alias("cosine"), "rank"
     )
+
+
+_NEARDUP_T = 0.35    # cosine threshold for near-duplicate pairs
+
+
+@query(
+    "embedding_neardup_pairs",
+    oracle=f"""
+SELECT vec_a, vec_b,
+       floor(cos_raw * 1000000.0 + 0.5) / 1000000.0 AS cosine
+FROM (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         {_DOT_SQL.format(a='a.embedding', b='b.embedding')}
+           / ({_NORM_SQL.format(a='a.embedding')} * {_NORM_SQL.format(a='b.embedding')}) AS cos_raw
+  FROM embeddings a
+  JOIN embeddings b
+    ON {_BUCKET_SQL.format(a='a.embedding')} = {_BUCKET_SQL.format(a='b.embedding')}
+   AND a.vec_id < b.vec_id
+) t
+WHERE cos_raw >= {_NEARDUP_T}
+""",
+    views=[],
+)
+def embedding_neardup_pairs(m: Model) -> DataFrame:
+    """Embedding-cosine near-duplicate detection: candidate pairs from
+    the sign-LSH bucket equi-join (each vector only meets its bucket
+    peers — never the full cross product), verified with exact cosine
+    >= {0.35}.  The embedding-space analog of MinHash-LSH text dedup;
+    at 100 TB the bucket join shuffles on the bucket key and AQE
+    handles hot buckets."""
+    emb = m.embeddings
+
+    def bucket(a: Column) -> Column:
+        return F.array_join(
+            F.transform(
+                F.slice(a, 1, _LSH_BITS),
+                lambda x: F.when(x >= 0, "1").otherwise("0"),
+            ),
+            "",
+        )
+
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        bucket(F.col("embedding")).alias("bucket"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        bucket(F.col("embedding")).alias("bucket"),
+    )
+    pairs = a.join(b, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
+    cos = _dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb")))
+    return (
+        pairs.withColumn("cos_raw", cos)
+        .filter(F.col("cos_raw") >= _NEARDUP_T)
+        .select("vec_a", "vec_b", fround(F.col("cos_raw"), 6).alias("cosine"))
+    )

@@ -2,6 +2,7 @@
 
 from . import (  # noqa: F401
     analyzer,
+    health,
     joins,
     keyspace,
     planners,
@@ -13,6 +14,7 @@ from . import (  # noqa: F401
 
 __all__ = [
     "analyzer",
+    "health",
     "joins",
     "keyspace",
     "planners",

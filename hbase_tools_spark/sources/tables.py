@@ -1,0 +1,115 @@
+"""Table-lifecycle operations (SURVEY.md §2.1): SC7 copy, SC8 replace
+with backup, SC9 drop, SC5 topology snapshot sink, S8 retention expiry.
+
+The reference implements these as HBase admin sequences —
+snapshot→clone→delete for copy (common/HBaseStaticHelper.java:18-39),
+copy-backup-swap for replace (:41-86), disable→delete with re-enable
+rollback for drop (HBaseToolsHelper.java:19-42), and a buffered
+column-per-timestamp topology write with TTL
+(meta/TechnicalMeta.java:160-186).  On a Spark+parquet (or Delta/
+Iceberg) catalog each becomes a declarative table op: CTAS, atomic-ish
+swap via backup CTAS, DROP, partitioned append, and retention delete of
+expired partitions.
+
+These are actions (side effects), not queries, so they are exercised by
+tests rather than the oracle gate.  All paths are plain directories so
+the same code runs against any hadoop-compatible FS at cluster scale.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _exists(path: str) -> bool:
+    return os.path.exists(path)
+
+
+def copy_table(spark: SparkSession, src: str, dst: str) -> None:
+    """SC7 — table copy: snapshot→clone→drop-snapshot collapses to a
+    single CTAS-style rewrite (the parquet read is the snapshot; the
+    write is the clone)."""
+    if _exists(dst):
+        raise ValueError(f"destination exists: {dst}")
+    spark.read.parquet(src).write.parquet(dst)
+
+
+def replace_table(
+    spark: SparkSession, from_path: str, to_path: str, keep_backup: bool = True
+) -> str:
+    """SC8 — replace ``to`` with ``from``, backing up the original as
+    ``origin_<epoch-millis>`` next to it (HBaseStaticHelper.java:41-86:
+    copy to→backup, delete to, copy from→to, delete from).  Returns the
+    backup path ('' if ``to`` did not exist)."""
+    backup = ""
+    if _exists(to_path):
+        ts = int(time.time() * 1000)
+        backup = os.path.join(
+            os.path.dirname(to_path), f"origin_{os.path.basename(to_path)}_{ts}"
+        )
+        os.rename(to_path, backup)
+    os.rename(from_path, to_path)
+    if backup and not keep_backup:
+        shutil.rmtree(backup)
+        backup = ""
+    return backup
+
+
+def drop_table(spark: SparkSession, path: str) -> None:
+    """SC9 — drop: disable→delete with re-enable-on-failure rollback
+    (HBaseToolsHelper.java:19-42) is unnecessary under an atomic
+    directory/catalog remove."""
+    if not _exists(path):
+        raise ValueError(f"no such table: {path}")
+    shutil.rmtree(path)
+
+
+def snapshot_topology(
+    topology: DataFrame, out_dir: str, snapshot_ts: int
+) -> None:
+    """SC5 — append one topology snapshot partition (the Spark form of
+    the column-per-timestamp write, meta/TechnicalMeta.java:160-186).
+    Partitioning by snapshot_ts makes as-of reads partition-pruned and
+    retention a partition drop — the 100 TB layout."""
+    (
+        topology.withColumn("snapshot_epoch", F.lit(snapshot_ts))
+        .write.mode("append")
+        .partitionBy("snapshot_epoch")
+        .parquet(out_dir)
+    )
+
+
+def expire_topology(
+    spark: SparkSession, out_dir: str, now_ts: int, ttl_sec: int
+) -> list[int]:
+    """S8 — retention: drop snapshot partitions older than the TTL (the
+    reference's 7-day row TTL, meta/TechnicalMeta.java:173;
+    hbase-tools.properties:55-56).  Returns the dropped snapshot
+    epochs.  A partition remove is O(partitions), never a table scan."""
+    dropped: list[int] = []
+    if not _exists(out_dir):
+        return dropped
+    for name in sorted(os.listdir(out_dir)):
+        if not name.startswith("snapshot_epoch="):
+            continue
+        epoch = int(name.split("=", 1)[1])
+        if now_ts - epoch > ttl_sec:
+            shutil.rmtree(os.path.join(out_dir, name))
+            dropped.append(epoch)
+    return dropped
+
+
+def read_topology_asof(spark: SparkSession, out_dir: str, at_ts: int) -> DataFrame:
+    """J7 over the snapshot store: the floor-entry lookup
+    (meta/TechnicalMeta.java:156) as a partition-pruned max-≤-t read."""
+    df = spark.read.parquet(out_dir)
+    best = (
+        df.filter(F.col("snapshot_epoch") <= at_ts)
+        .agg(F.max("snapshot_epoch").alias("snapshot_epoch"))
+    )
+    return df.join(F.broadcast(best), "snapshot_epoch")
