@@ -38,20 +38,32 @@ WHERE len(toks) >= {_SHINGLE}
 
 
 def _shingles(m: Model) -> DataFrame:
-    toks = F.split(F.col("text"), " ")
-    sh = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (_SHINGLE - 1)),
-        lambda i: F.array_join(F.slice(toks, i, _SHINGLE), " "),
+    return _shingles_with_size(m).select("doc_id", "shingle")
+
+
+def _shingles_with_size(m: Model) -> DataFrame:
+    """Exploded (doc_id, n_distinct_shingles, shingle) postings; n rides
+    along so downstream set-similarity math needs no size-lookup join."""
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - (_SHINGLE - 1)),
+            lambda i: F.array_join(F.slice(F.col("toks"), i, _SHINGLE), " "),
+        )
     )
+    # Repartition before the CPU-bound shingle pass: the fixture is a
+    # single parquet file (1 input partition), which would serialize the
+    # whole pass on one core; a real corpus has file-level fan-out.
+    n_parts = m.spark.sparkContext.defaultParallelism
     return (
-        m.documents.select("doc_id", toks.alias("toks"))
+        m.documents.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
         .filter(F.size("toks") >= _SHINGLE)
-        .select("doc_id", F.explode(F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size("toks") - (_SHINGLE - 1)),
-                lambda i: F.array_join(F.slice(F.col("toks"), i, _SHINGLE), " "),
-            )
-        )).alias("shingle"))
+        .repartition(n_parts, "doc_id")
+        .select("doc_id", shingles.alias("sh"))
+        .select(
+            "doc_id",
+            F.size("sh").alias("n"),
+            F.explode("sh").alias("shingle"),
+        )
     )
 
 
@@ -75,51 +87,68 @@ WHERE c * 1.0 / (sa.n + sb.n - c) >= {_JACCARD_T}
     views=[],
 )
 def ngram_jaccard_pairs(m: Model) -> DataFrame:
-    """Word-{5}-gram Jaccard near-dup pairs >= {0.5}: inverted-index join
-    on distinct shingles, then |A∩B| / (|A|+|B|-|A∩B|)."""
-    sh = _shingles(m)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    """Word-{5}-gram Jaccard near-dup pairs >= {0.5}: inverted index on
+    distinct shingles, then |A∩B| / (|A|+|B|-|A∩B|).
+
+    Each posting carries its document's distinct-shingle count, so the
+    equi-join on shingle yields pair counts AND both set sizes in one
+    aggregation — no size-lookup joins, and the two join sides share
+    one shuffle via exchange reuse (identical subplans)."""
+    posts = _shingles_with_size(m)
+    a = posts.select(
+        F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "shingle"
+    )
+    b = posts.select(
+        F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), "shingle"
+    )
     common = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jac = F.col("c") * 1.0 / (F.col("na") + F.col("nb") - F.col("c"))
     return (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(jac >= _JACCARD_T)
+        common.filter(jac >= _JACCARD_T)
         .select("doc_a", "doc_b", fround(jac, 6).alias("jaccard"))
     )
 
 
-_MINHASH_SQL = f"""
-SELECT doc_id, i, min(md5(concat(CAST(i AS VARCHAR), '|', shingle))) AS mh
-FROM ({_SHINGLES_SQL}) sh
-CROSS JOIN (SELECT unnest(range(0, {_MINHASHES})) AS i) seeds
-GROUP BY 1, 2
+# One md5 per shingle, parsed to a 32-bit int; the 16 minhash functions
+# are integer permutations h_i(x) = ((2i+1)*x + i*2654435761) mod P with
+# P the largest prime < 2^32 — identical pure-integer math in both
+# engines, 16x fewer cryptographic hashes than hashing per (seed,
+# shingle).
+_MH_PRIME = 4294967291
+_MH_MULT = 2654435761  # Knuth multiplicative constant
+
+_SIG_SQL = f"""
+SELECT doc_id,
+       list_transform(range(0, {_MINHASHES}),
+                      i -> list_min(list_transform(hv,
+                             h -> ((2*i + 1) * h + i * {_MH_MULT}) % {_MH_PRIME}))) AS sig
+FROM (
+  SELECT doc_id,
+         list_transform(list(shingle),
+                        s -> CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT)) AS hv
+  FROM ({_SHINGLES_SQL}) sh
+  GROUP BY doc_id
+) hashed
 """
 
 
 def _minhash_signatures(m: Model) -> DataFrame:
-    """MinHash signatures: sig[i] = min over distinct shingles of
-    md5(i || '|' || shingle).  md5 hex strings compare identically in
-    both engines, making the signature engine-portable (unlike
-    Spark's hash() or DuckDB's hash()).
+    """MinHash signatures: each distinct shingle is md5-hashed ONCE and
+    parsed to a 32-bit int; sig[i] = min over shingles of the i-th
+    integer permutation ((2i+1)·h + i·K) mod P.  md5-hex parse and
+    64-bit modular arithmetic behave identically in Spark and DuckDB,
+    so the signature is engine-portable (unlike Spark's hash() or
+    DuckDB's hash()).
 
-    Computed entirely with narrow array expressions — per document:
-    ``transform(seeds, i -> array_min(transform(shingles, s -> md5(..))))``.
-    No explode, no cross join, no shuffle: at 100 TB the signature pass
-    is a pure map stage; only the tiny (doc_id, band_hash) relation ever
-    shuffles (in the LSH join below)."""
+    Computed entirely with narrow array expressions — no explode, no
+    cross join, no shuffle: at 100 TB the signature pass is a pure map
+    stage; only the tiny (doc_id, band_hash) relation ever shuffles
+    (in the LSH join below)."""
     toks = F.split(F.col("text"), " ")
     shingles = F.array_distinct(
         F.transform(
@@ -127,27 +156,35 @@ def _minhash_signatures(m: Model) -> DataFrame:
             lambda i: F.array_join(F.slice(F.col("toks"), i, _SHINGLE), " "),
         )
     )
+    hv = F.transform(
+        F.col("shingles"),
+        lambda s: F.conv(F.substring(F.md5(s.cast("binary")), 1, 8), 16, 10).cast(
+            "long"
+        ),
+    )
     seeds = F.sequence(F.lit(0), F.lit(_MINHASHES - 1))
     sig = F.transform(
         seeds,
         lambda i: F.array_min(
             F.transform(
-                F.col("shingles"),
-                lambda s: F.md5(
-                    F.concat(i.cast("string"), F.lit("|"), s).cast("binary")
-                ),
+                F.col("hv"),
+                lambda h: ((2 * i + 1) * h + i * F.lit(_MH_MULT)) % F.lit(_MH_PRIME),
             )
         ),
     )
-    # CPU-bound narrow map: spread it over every core even when the
-    # source is a single parquet file (fixture case). On a real corpus
-    # the file count already provides this fan-out.
+    # The repartition serves two purposes: (a) spread the CPU-bound map
+    # over every core even when the source is a single parquet file, and
+    # (b) act as a projection-collapse barrier — without it Catalyst
+    # inlines the hv expression into all 16 seed lambdas and the md5
+    # pass runs 16x (verified via executedPlan).  The exchanged rows
+    # carry only (doc_id, hv): one 32-bit hash per distinct shingle.
     n_parts = m.spark.sparkContext.defaultParallelism
     return (
         m.documents.select("doc_id", toks.alias("toks"))
         .filter(F.size("toks") >= _SHINGLE)
-        .repartition(n_parts, "doc_id")
         .select("doc_id", shingles.alias("shingles"))
+        .select("doc_id", hv.alias("hv"))
+        .repartition(n_parts, "doc_id")
         .select("doc_id", sig.alias("sig"))
     )
 
@@ -155,12 +192,12 @@ def _minhash_signatures(m: Model) -> DataFrame:
 @query(
     "minhash_band_pairs",
     oracle=f"""
-WITH mh AS ({_MINHASH_SQL}),
+WITH sig AS ({_SIG_SQL}),
 bands AS (
-  SELECT doc_id, CAST(floor(i / {_MINHASHES // _BANDS}) AS BIGINT) AS band,
-         md5(string_agg(mh, '|' ORDER BY i)) AS band_hash
-  FROM mh
-  GROUP BY 1, 2
+  SELECT doc_id, b AS band,
+         array_to_string(sig[b*{_MINHASHES // _BANDS}+1 : (b+1)*{_MINHASHES // _BANDS}], '|') AS band_hash
+  FROM sig
+  CROSS JOIN (SELECT unnest(range(0, {_BANDS})) AS b)
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a
@@ -183,25 +220,40 @@ def minhash_band_pairs(m: Model) -> DataFrame:
                 band_ids,
                 lambda b: F.struct(
                     b.cast("bigint").alias("band"),
-                    F.md5(
-                        F.array_join(
+                    F.array_join(
+                        F.transform(
                             F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                            "|",
-                        ).cast("binary")
+                            lambda x: x.cast("string"),
+                        ),
+                        "|",
                     ).alias("band_hash"),
                 ),
             )
         ).alias("bh"),
     ).select("doc_id", "bh.band", "bh.band_hash")
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    # Pair generation by bucket grouping, not a self-join: the signature
+    # pipeline runs ONCE and shuffles once on (band, band_hash); pairs
+    # are enumerated inside each bucket (buckets are tiny by LSH
+    # design — a hot bucket means near-identical docs, which AQE-skew
+    # or a bucket-size cap handles at scale).
+    buckets = (
+        bands.groupBy("band", "band_hash")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("ds"), i + 2, F.greatest(F.size("ds") - i - 1, F.lit(0))
+                ),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    return (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
