@@ -218,3 +218,166 @@ def embedding_neardup_pairs(m: Model) -> DataFrame:
         .filter(F.col("cos_raw") >= _NEARDUP_T)
         .select("vec_a", "vec_b", fround(F.col("cos_raw"), 6).alias("cosine"))
     )
+
+
+_NPROBE = 2          # IVF cells searched per probe
+
+# Cosine between two DOUBLE lists (DuckDB side).
+_DOTDD_SQL = "list_sum(list_transform(range(1, 65), i -> {a}[i] * {b}[i]))"
+_NORMDD_SQL = "sqrt(list_sum(list_transform(range(1, 65), i -> {a}[i] * {a}[i])))"
+# vector(FLOAT[]) x centroid(DOUBLE[])
+_DOTVC_SQL = "list_sum(list_transform(range(1, 65), i -> CAST({a}[i] AS DOUBLE) * {b}[i]))"
+
+
+@query(
+    "embedding_ivf_topk",
+    oracle=f"""
+, cent AS (
+  SELECT label,
+         list(CAST(s AS DOUBLE) / n ORDER BY dim) AS c
+  FROM (
+    SELECT label, dim,
+           sum(CAST(embedding[dim] AS DECIMAL(20,9))) AS s,
+           count(*) AS n
+    FROM embeddings
+    CROSS JOIN (SELECT unnest(range(1, 65)) AS dim)
+    GROUP BY label, dim
+  ) d
+  GROUP BY label
+),
+assign AS (
+  SELECT vec_id, embedding, label AS cell
+  FROM (
+    SELECT e.vec_id, e.embedding, c.label,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_DOTVC_SQL.format(a='e.embedding', b='c.c')}
+                      / ({_NORM_SQL.format(a='e.embedding')} * {_NORMDD_SQL.format(a='c.c')})
+                      DESC, c.label
+           ) AS rnk
+    FROM embeddings e CROSS JOIN cent c
+  ) t
+  WHERE rnk = 1
+),
+probe_cells AS (
+  SELECT vec_id AS query_id, label AS cell
+  FROM (
+    SELECT e.vec_id, c.label,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_DOTVC_SQL.format(a='e.embedding', b='c.c')}
+                      / ({_NORM_SQL.format(a='e.embedding')} * {_NORMDD_SQL.format(a='c.c')})
+                      DESC, c.label
+           ) AS rnk
+    FROM (SELECT * FROM embeddings WHERE vec_id < {_NQUERIES}) e
+    CROSS JOIN cent c
+  ) t
+  WHERE rnk <= {_NPROBE}
+)
+SELECT query_id, vec_id, cosine, rank
+FROM (
+  SELECT p.query_id, a.vec_id,
+         floor(({_DOT_SQL.format(a='q.embedding', b='a.embedding')}
+                / ({_NORM_SQL.format(a='q.embedding')} * {_NORM_SQL.format(a='a.embedding')}))
+               * 1000000.0 + 0.5) / 1000000.0 AS cosine,
+         row_number() OVER (
+           PARTITION BY p.query_id
+           ORDER BY {_DOT_SQL.format(a='q.embedding', b='a.embedding')}
+                    / ({_NORM_SQL.format(a='q.embedding')} * {_NORM_SQL.format(a='a.embedding')})
+                    DESC, a.vec_id
+         ) AS rank
+  FROM probe_cells p
+  JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
+  JOIN embeddings q ON q.vec_id = p.query_id
+) t
+WHERE rank <= {_TOPK}
+""",
+    views=["servers"],
+)
+def embedding_ivf_topk(m: Model) -> DataFrame:
+    """IVF-style ANN: coarse quantizer = per-label mean embedding
+    (exact-decimal means, so both engines derive identical centroids;
+    a k-means quantizer slots into the same contract), vectors
+    inverted-listed under their nearest centroid, probes search their
+    {2} nearest cells, exact cosine ranks the candidates.
+
+    Scale shape: centroid build is one narrow posexplode + groupBy
+    (64·C cells); assignment is a broadcast of C centroids against an
+    embarrassingly-parallel scan; the candidate join keys on cell id —
+    each probe touches ~N·nprobe/C vectors instead of N."""
+    emb = m.embeddings
+
+    cent = (
+        emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(
+            F.sum(F.col("v").cast("decimal(20,9)")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "dim", (F.col("s").cast("double") / F.col("n")).alias("m")
+                        )
+                    )
+                ),
+                lambda x: x["m"],
+            ).alias("c")
+        )
+    )
+
+    def _cos_vc(vec: Column, c: Column) -> Column:
+        dot = F.aggregate(
+            F.zip_with(vec, c, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        nc = F.sqrt(
+            F.aggregate(
+                F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+            )
+        )
+        return dot / (_norm(vec) * nc)
+
+    ranked_cells = (
+        emb.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(cent.select(F.col("label").alias("cell_label"), "c")))
+        .withColumn("cc", _cos_vc(F.col("embedding"), F.col("c")))
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(F.desc("cc"), F.asc("cell_label"))
+            ),
+        )
+    )
+    assign = ranked_cells.filter(F.col("rnk") == 1).select(
+        "vec_id", "embedding", F.col("cell_label").alias("cell")
+    )
+    probe_cells = (
+        ranked_cells.filter((F.col("vec_id") < _NQUERIES) & (F.col("rnk") <= _NPROBE))
+        .select(F.col("vec_id").alias("query_id"), F.col("cell_label").alias("cell"))
+    )
+    probes = emb.filter(F.col("vec_id") < _NQUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    cand = (
+        F.broadcast(probe_cells)
+        .join(assign, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(probes), "query_id")
+    )
+    cos = _dot(F.col("qe"), F.col("embedding")) / (
+        _norm(F.col("qe")) * _norm(F.col("embedding"))
+    )
+    ranked = cand.withColumn("cos_raw", cos).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+        ),
+    )
+    return ranked.filter(F.col("rank") <= _TOPK).select(
+        "query_id", "vec_id", fround(F.col("cos_raw"), 6).alias("cosine"), "rank"
+    )

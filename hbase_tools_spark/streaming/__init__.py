@@ -1,6 +1,6 @@
 """Structured-Streaming analogs of the reference's continuous modes
 (SURVEY.md §2.8 S-series)."""
 
-from . import jobs  # noqa: F401
+from . import jobs, stateful  # noqa: F401
 
-__all__ = ["jobs"]
+__all__ = ["jobs", "stateful"]

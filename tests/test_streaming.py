@@ -139,3 +139,57 @@ def test_compaction_plan_stream_foreachbatch(spark):
     got_rows = sorted(map(tuple, one.collect()))
     exp_rows = sorted(map(tuple, expect.collect()))
     assert got_rows == exp_rows
+
+
+def test_membership_changes_stateful_across_batches(spark, tmp_path):
+    """S4 — applyInPandasWithState membership detection: a server first
+    observed in a later micro-batch emits IN exactly once, in that
+    batch; persisting servers never re-emit."""
+    import os
+    import time as _time
+
+    from hbase_tools_spark.streaming.stateful import membership_changes
+
+    src = str(tmp_path / "obs")
+    os.makedirs(src)
+    base = [("s0", 100), ("s1", 110), ("s0", 120)]
+    later = [("s0", 200), ("s1", 210), ("s9", 220), ("s9", 230)]
+    f1, f2 = os.path.join(src, "b1.parquet"), os.path.join(src, "b2.parquet")
+    spark.createDataFrame(base, "server string, obs_ts bigint").coalesce(
+        1
+    ).write.parquet(f1)
+    spark.createDataFrame(later, "server string, obs_ts bigint").coalesce(
+        1
+    ).write.parquet(f2)
+    # distinct mtimes => deterministic file->batch order for the source
+    now = _time.time()
+    for i, f in enumerate((f1, f2)):
+        for root, _, files in os.walk(f):
+            for name in files:
+                os.utime(os.path.join(root, name), (now + i * 10, now + i * 10))
+    os.utime(f1, (now, now))
+    os.utime(f2, (now + 10, now + 10))
+
+    stream = (
+        spark.readStream.schema("server string, obs_ts bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*.parquet")
+    )
+    q = (
+        membership_changes(stream)
+        .writeStream.format("memory")
+        .queryName("membership_events")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(batches) == 2, "expected one micro-batch per file"
+    rows = {
+        (r["server"], r["first_ts"], r["event"])
+        for r in spark.table("membership_events").collect()
+    }
+    # s0/s1 IN from batch 1 (their batch-1 min ts); s9 IN from batch 2;
+    # no duplicate IN for s0/s1 despite batch-2 observations.
+    assert rows == {("s0", 100, "IN"), ("s1", 110, "IN"), ("s9", 220, "IN")}
