@@ -185,3 +185,90 @@ def simhash_fingerprints(m: Model) -> DataFrame:
         term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
         fp = term if fp is None else fp + term
     return bits.select("doc_id", fp.cast("bigint").alias("simhash16"))
+
+
+# --- Winnowing fingerprints (real rolling hash) -------------------------
+# Karp-Rabin over token hashes: h(i) = sum_j th[i+j] * B^j  (mod P1),
+# minimized over a guarantee window (winnowing, as in MOSS).  P1 < 2^20
+# keeps every partial product < 2^40 so the unrolled sum stays in BIGINT
+# range in BOTH engines (no overflow, no hugeint).
+_KGRAM = 8        # tokens per k-gram
+_WINNOW = 4       # guarantee window (k-gram hashes per min)
+_RH_BASE = 31
+_RH_P = 1048573   # largest prime < 2^20
+_RH_POW = [pow(_RH_BASE, j, _RH_P) for j in range(_KGRAM)]
+
+_TH_SQL = (
+    "list_transform(string_split(text, ' '), "
+    "t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % " + str(_RH_P) + ")"
+)
+_RH_SUM_SQL = " + ".join(f"ths[i+{j}] * {_RH_POW[j]}" for j in range(_KGRAM))
+_WINNOW_SQL = ", ".join(f"hs[i+{j}]" for j in range(_WINNOW))
+
+
+@query(
+    "doc_winnow_fingerprints",
+    oracle=f"""
+SELECT DISTINCT doc_id, fp
+FROM (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(hs) - {_WINNOW - 2}),
+                               i -> least({_WINNOW_SQL}))) AS fp
+  FROM (
+    SELECT doc_id,
+           list_transform(range(1, len(ths) - {_KGRAM - 2}),
+                          i -> ({_RH_SUM_SQL}) % {_RH_P}) AS hs
+    FROM (SELECT doc_id, {_TH_SQL} AS ths FROM documents) t
+    WHERE len(ths) >= {_KGRAM}
+  ) h
+  WHERE len(hs) >= {_WINNOW}
+) w
+""",
+    views=[],
+)
+def doc_winnow_fingerprints(m: Model) -> DataFrame:
+    """Winnowing document fingerprints: Karp-Rabin rolling hash over
+    token-hash {8}-grams, minimized over a {4}-hash guarantee window,
+    deduplicated — the MOSS scheme.  Entirely narrow (one md5 per
+    token + unrolled modular arithmetic); only the tiny (doc_id, fp)
+    set ever shuffles (for the DISTINCT), so at 100 TB this is a map
+    stage + one low-cardinality exchange."""
+    import functools
+    import operator
+
+    ths = F.transform(
+        F.split(F.col("text"), " "),
+        lambda t: F.conv(F.substring(F.md5(t.cast("binary")), 1, 8), 16, 10).cast(
+            "long"
+        )
+        % _RH_P,
+    )
+    rh = lambda i: (
+        functools.reduce(
+            operator.add,
+            [
+                F.element_at(F.col("ths"), i + j) * _RH_POW[j]
+                for j in range(_KGRAM)
+            ],
+        )
+        % _RH_P
+    )
+    hs = F.transform(
+        F.sequence(F.lit(1), F.size("ths") - (_KGRAM - 1)), lambda i: rh(i)
+    )
+    winnow = F.transform(
+        F.sequence(F.lit(1), F.size("hs") - (_WINNOW - 1)),
+        lambda i: F.least(
+            *[F.element_at(F.col("hs"), i + j) for j in range(_WINNOW)]
+        ),
+    )
+    n_parts = m.spark.sparkContext.defaultParallelism
+    return (
+        m.documents.select("doc_id", ths.alias("ths"))
+        .filter(F.size("ths") >= _KGRAM)
+        .repartition(n_parts, "doc_id")
+        .select("doc_id", hs.alias("hs"))
+        .filter(F.size("hs") >= _WINNOW)
+        .select("doc_id", F.explode(winnow).alias("fp"))
+        .distinct()
+    )

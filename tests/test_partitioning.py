@@ -1,0 +1,65 @@
+"""Tests for the skew/partitioning helpers: results must equal their
+unsalted/unbucketed equivalents, and the physical placement contracts
+must hold."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import hbase_tools_spark.operators  # noqa: F401
+from hbase_tools_spark.catalog import load_model
+from hbase_tools_spark.functions.partitioning import (
+    repartition_by_bounds,
+    salted_join,
+    two_phase_agg,
+)
+from tests.conftest import SF_DIR
+
+
+def test_repartition_by_bounds_colocates_ranges(spark):
+    m = load_model(spark, SF_DIR)
+    bounds = ["000000000200", "000000000400", "000000000600"]
+    df = repartition_by_bounds(
+        m.meta_regions.select("region_id", "start_key"), "start_key", bounds
+    )
+    placed = df.withColumn("pid", F.spark_partition_id())
+    # every key range maps to exactly one partition
+    from hbase_tools_spark.functions.partitioning import bucket_by_bounds
+
+    per_bucket = (
+        placed.withColumn("bucket", bucket_by_bounds(F.col("start_key"), bounds))
+        .groupBy("bucket")
+        .agg(F.count_distinct("pid").alias("n_pids"))
+        .collect()
+    )
+    assert per_bucket and all(r["n_pids"] == 1 for r in per_bucket)
+    # no rows lost
+    assert df.count() == m.meta_regions.count()
+
+
+def test_salted_join_equals_plain_join(spark):
+    m = load_model(spark, SF_DIR)
+    big = m.region_metrics.select("region_id", "server", "size_mb")
+    small = m.server_metrics.select("server", "compaction_queue")
+    plain = big.join(small, "server").select("region_id", "compaction_queue")
+    salted = salted_join(big, small, "server", n_salts=5).select(
+        "region_id", "compaction_queue"
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_two_phase_agg_equals_direct(spark):
+    m = load_model(spark, SF_DIR)
+    df = m.region_metrics
+    direct = df.groupBy("server").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("file_count").alias("files"),
+        F.max("size_mb").alias("mx"),
+    )
+    two = two_phase_agg(
+        df,
+        ["server"],
+        {"n": ("file_count", "count"), "files": ("file_count", "sum"), "mx": ("size_mb", "max")},
+        n_salts=7,
+    )
+    assert sorted(map(tuple, direct.collect())) == sorted(map(tuple, two.collect()))
