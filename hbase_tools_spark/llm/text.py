@@ -161,13 +161,28 @@ def docs_prefix_dedup(m: Model) -> DataFrame:
     )
 
 
-@query("simhash_fingerprints", oracle=None)
+@query(
+    "simhash_fingerprints",
+    oracle="""
+SELECT doc_id,
+       CAST(list_sum(list_transform(range(0, 16),
+         b -> CASE WHEN list_sum(list_transform(hs,
+                     h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                   THEN 1 << b ELSE 0 END)) AS BIGINT) AS simhash16
+FROM (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '),
+                        t -> CAST(('0x' || substr(md5(t), 1, 4)) AS BIGINT)) AS hs
+  FROM documents
+) t
+""",
+    views=[],
+)
 def simhash_fingerprints(m: Model) -> DataFrame:
     """SimHash (16-bit) per document, entirely with JVM built-ins: each
     token hashes to 16 bits via md5; bit b of the fingerprint is the sign
-    of sum(+/-1) of that bit over tokens.  Rows-only checked by the
-    driver; differential-tested against a pure-Python port in
-    tests/test_llm.py."""
+    of sum(+/-1) of that bit over tokens.  Also differential-tested
+    against a pure-Python port in tests/test_llm.py."""
     tok = m.documents.select(
         "doc_id", F.explode(F.split("text", " ")).alias("w")
     ).withColumn(

@@ -141,3 +141,45 @@ def regions_by_server(m: Model) -> DataFrame:
             F.array_sort(F.collect_list(F.col("region_id").cast("string"))), ","
         ).alias("region_list"),
     )
+
+
+@query(
+    "table_mask_selection",
+    oracle="""
+SELECT qualified_name, namespace, table_name, disabled
+FROM (
+  SELECT concat('ns', CAST(CAST(substr(table_name, 2) AS INTEGER) % 2 AS VARCHAR),
+                ':', table_name)                                    AS qualified_name,
+         concat('ns', CAST(CAST(substr(table_name, 2) AS INTEGER) % 2 AS VARCHAR)) AS namespace,
+         table_name,
+         (table_name = 't3')                                        AS disabled
+  FROM tables_dim
+) t
+WHERE regexp_matches(table_name, '^t[0-5]$')
+  AND namespace = 'ns0'
+  AND NOT disabled
+""",
+    views=["tables_dim"],
+)
+def table_mask_selection(m: Model) -> DataFrame:
+    """F2+F3+F4 — table selection the way every reference tool routes
+    work: regex mask (HBase table-mask listing,
+    distributor/Distributor.java:70-77), namespace predicate
+    (merger/MergerService.java:60-72, ':'-qualified names), and
+    disabled-table exclusion (distributor/Distributor.java:121-124).
+    Namespace/disabled flags are derived deterministically from the
+    fixture table names."""
+    ns = F.concat(
+        F.lit("ns"), (F.substring("table_name", 2, 10).cast("int") % 2).cast("string")
+    )
+    t = m.tables_dim.select(
+        F.concat(ns, F.lit(":"), F.col("table_name")).alias("qualified_name"),
+        ns.alias("namespace"),
+        "table_name",
+        (F.col("table_name") == "t3").alias("disabled"),
+    )
+    return t.filter(
+        F.col("table_name").rlike("^t[0-5]$")
+        & (F.col("namespace") == "ns0")
+        & (~F.col("disabled"))
+    )
