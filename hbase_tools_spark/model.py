@@ -61,10 +61,16 @@ SELECT
   l_orderkey                                                         AS region_id,
   concat('t', CAST(l_orderkey % 8 AS {STR}))                         AS table_name,
   concat('s', CAST(l_orderkey % 10 AS {STR}))                        AS server,
-  CAST(sum(CAST(l_extendedprice / 100.0 AS DECIMAL(18,6))) AS DOUBLE) AS size_mb,
+  -- exact sums via scaled BIGINT (values have <= 4/0 decimals); the
+  -- int sum is order-independent and < 2^53, so the final double is
+  -- bit-identical in both engines.  (DECIMAL sums are equally exact
+  -- but each decimal aggregate costs ~0.25 s of codegen per plan.)
+  CAST(sum(CAST(floor(l_extendedprice / 100.0 * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+    / 1000000.0                                                      AS size_mb,
   count(*)                                                           AS file_count,
   max(l_discount) * 10.0                                             AS locality,
-  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)             AS memstore_mb,
+  CAST(sum(CAST(floor(l_quantity * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+    / 10000.0                                                        AS memstore_mb,
   max(l_extendedprice) / 100.0                                       AS max_file_mb
 FROM lineitem
 GROUP BY 1, 2, 3
