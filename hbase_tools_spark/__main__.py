@@ -1,0 +1,107 @@
+"""CLI entry point mirroring the reference's tool surface.
+
+The reference dispatches ``args[0]`` to one of 15 tools
+(hbase-tools-runner/.../Tool.java:18-341, ToolsRunner.java:13-44); this
+module maps every tool name to the queries that re-express it, so a
+reference user can run::
+
+    python -m hbase_tools_spark table_analyzer --sf-dir /root/testdata/sf0.01
+    python -m hbase_tools_spark report
+    python -m hbase_tools_spark table_copy --src <dir> --dst <dir>
+
+Analytics tools print their result relations; act-tools print their
+emitted action plans (the REPORT-mode contract — findings +
+resolutions, never live RPCs); table_copy/table_replace perform the
+catalog operation.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+# Tool -> registered queries (SURVEY.md §2 / COVERAGE.md mapping).
+TOOL_QUERIES: dict[str, list[str]] = {
+    "table_analyzer": [
+        "analyzer_table_size", "analyzer_size_hist", "analyzer_locality_hist",
+        "analyzer_filecount_hist", "analyzer_distribution_hist",
+        "analyzer_weight_stats",
+    ],
+    "report": [
+        "report_rs_distribution", "report_snapshots_stale",
+        "report_snapshots_toomany", "report_heap_pressure", "report_rit_stuck",
+        "report_biggest_regions", "report_biggest_rollup",
+        "report_compaction_queues", "report_locality", "report_complex_rollup",
+        "report_partial_top15",
+    ],
+    "compactor": ["compaction_plan"],
+    "compaction_cleaner": ["report_compaction_queues"],
+    "distributor": [
+        "distribution_weight", "distribution_candidates", "busiest_emptiest",
+    ],
+    "flusher": ["flush_plan"],
+    "merger": [
+        "merge_plan", "mergeable_region_count", "snapshot_merge_guard",
+        "merged_span_recovery",
+    ],
+    "splitter": ["split_plan", "split_points"],
+    "key_generator": ["salted_keys"],
+    "key_finder": ["range_lookup"],
+    "health_check": ["health_check_eligible", "health_probe_plan"],
+    "meta": [
+        "topology_parse", "topology_diff", "topology_asof",
+        "topology_retention", "regions_by_server", "table_mask_selection",
+    ],
+    "table_checker": ["region_bounds"],
+}
+
+LIFECYCLE_TOOLS = {"table_copy", "table_replace"}
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="hbase_tools_spark",
+        description="PySpark-native analogs of the hbase-tools CLI tools",
+    )
+    parser.add_argument(
+        "tool", choices=sorted(TOOL_QUERIES) + sorted(LIFECYCLE_TOOLS)
+    )
+    parser.add_argument(
+        "--sf-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"),
+    )
+    parser.add_argument("--rows", type=int, default=20, help="rows to show")
+    parser.add_argument("--src", help="source path (table_copy/table_replace)")
+    parser.add_argument("--dst", help="destination path")
+    args = parser.parse_args(argv)
+
+    from .session import get_spark
+
+    spark = get_spark(f"hbase-tools-{args.tool}")
+    if args.tool in LIFECYCLE_TOOLS:
+        if not args.src or not args.dst:
+            parser.error(f"{args.tool} requires --src and --dst")
+        from .sources import tables as T
+
+        if args.tool == "table_copy":
+            T.copy_table(spark, args.src, args.dst)
+            print(f"copied {args.src} -> {args.dst}")
+        else:
+            backup = T.replace_table(spark, args.src, args.dst)
+            print(f"replaced {args.dst} (backup: {backup or 'none'})")
+        return 0
+
+    from . import llm, operators, streaming  # noqa: F401 — register queries
+    from .catalog import load_model
+    from .registry import QUERIES
+
+    model = load_model(spark, args.sf_dir)
+    for name in TOOL_QUERIES[args.tool]:
+        print(f"\n=== {name} ===")
+        QUERIES[name].fn(model).show(args.rows, truncate=False)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

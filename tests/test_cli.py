@@ -1,0 +1,49 @@
+"""CLI surface tests: every reference tool name dispatches, its queries
+exist in the registry, and the lifecycle tools perform their catalog
+ops."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+import hbase_tools_spark.llm  # noqa: F401
+import hbase_tools_spark.operators  # noqa: F401
+import hbase_tools_spark.streaming  # noqa: F401
+from hbase_tools_spark.__main__ import LIFECYCLE_TOOLS, TOOL_QUERIES, main
+from hbase_tools_spark.registry import QUERIES
+from tests.conftest import SF_DIR
+
+
+def test_all_15_reference_tools_covered():
+    # Tool.java:18-341 lists 15 tools; every one must dispatch here.
+    assert len(TOOL_QUERIES) + len(LIFECYCLE_TOOLS) == 15
+
+
+def test_tool_queries_all_registered():
+    missing = {
+        q for names in TOOL_QUERIES.values() for q in names if q not in QUERIES
+    }
+    assert not missing, f"tools reference unregistered queries: {missing}"
+
+
+@pytest.mark.parametrize("tool", ["table_checker", "flusher"])
+def test_cli_runs_tool(tool, capsys):
+    rc = main([tool, "--sf-dir", SF_DIR, "--rows", "3"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    for q in TOOL_QUERIES[tool]:
+        assert f"=== {q} ===" in out
+
+
+def test_cli_table_copy(tmp_path, spark, capsys):
+    from hbase_tools_spark.catalog import load_model
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    load_model(spark, SF_DIR).nation.write.parquet(src)
+    rc = main(["table_copy", "--src", src, "--dst", dst])
+    assert rc == 0
+    assert os.path.exists(dst)
+    assert spark.read.parquet(dst).count() == spark.read.parquet(src).count()
