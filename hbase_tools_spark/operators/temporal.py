@@ -155,3 +155,94 @@ def topology_retention(m: Model) -> DataFrame:
         .groupBy(F.unix_timestamp("snapshot_ts").alias("snapshot_epoch"))
         .agg(F.count(F.lit(1)).alias("assignments"))
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+) -> DataFrame:
+    """Generic sorted as-of join (the operator behind floorEntry,
+    meta/TechnicalMeta.java:156, generalized to a probe RELATION):
+    each left row is matched to the right row with the greatest
+    right_ts <= left_ts for its key.
+
+    Spark-first shape: union both sides tagged, one window pass
+    partitioned by key and ordered by (ts, right-first-on-tie), carry
+    the last seen right row forward with ``last(ignorenulls)``, keep
+    left rows.  One shuffle on the join key, no per-row subquery, no
+    range join — the plan scales like a groupBy, and a hot key is
+    still a single partition's sort (salt the key upstream if one key
+    dominates).  Right columns come back nested under ``__r``.
+    Left rows before any right row are dropped (inner as-of)."""
+    from pyspark.sql.window import Window
+
+    lcols = [c for c in left.columns]
+    rcols = [c for c in right.columns if c != key]
+    l_tag = left.select(
+        F.col(key).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(0).alias("__r_side"),
+        F.struct(*lcols).alias("__l"),
+        F.lit(None).cast(
+            right.select(F.struct(*rcols).alias("s")).schema["s"].dataType
+        ).alias("__r"),
+    )
+    r_tag = right.select(
+        F.col(key).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(1).alias("__r_side"),
+        F.lit(None).cast(
+            left.select(F.struct(*lcols).alias("s")).schema["s"].dataType
+        ).alias("__l"),
+        F.struct(*rcols).alias("__r"),
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__ts").asc(), F.col("__r_side").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        l_tag.unionByName(r_tag)
+        .withColumn("__match", F.last("__r", ignorenulls=True).over(w))
+        .filter((F.col("__r_side") == 0) & F.col("__match").isNotNull())
+        .select("__l.*", F.col("__match").alias("__r"))
+    )
+
+
+@query(
+    "events_asof_assignment",
+    oracle="""
+SELECT event_id,
+       CAST(floor(epoch(e_ts)) AS BIGINT) AS event_ts,
+       region_id,
+       server,
+       CAST(floor(epoch(t_ts)) AS BIGINT) AS snapshot_ts
+FROM (
+  SELECT e.event_id, e.ts AS e_ts, t.region_id, t.server, t.snapshot_ts AS t_ts
+  FROM (SELECT event_id, ts, event_id % 500 AS region_id FROM events) e
+  ASOF JOIN topology t
+    ON e.region_id = t.region_id AND t.snapshot_ts <= e.ts
+) j
+""",
+    views=["topology"],
+)
+def events_asof_assignment(m: Model) -> DataFrame:
+    """J7 generalized — as-of join of the event stream to the topology
+    history: which server hosted each event's region at event time.
+    DuckDB's native ASOF JOIN is the oracle; the Spark side is the
+    union+window sorted as-of (no per-row subquery, one shuffle)."""
+    probes = m.events.select(
+        "event_id", "ts", (F.col("event_id") % 500).alias("region_id")
+    )
+    topo = m.topology.select("region_id", "snapshot_ts", "server")
+    joined = asof_join(probes, topo, key="region_id", left_ts="ts", right_ts="snapshot_ts")
+    return joined.select(
+        "event_id",
+        F.unix_timestamp("ts").alias("event_ts"),
+        "region_id",
+        F.col("__r.server").alias("server"),
+        F.unix_timestamp("__r.snapshot_ts").alias("snapshot_ts"),
+    )
