@@ -271,19 +271,97 @@ def doc_winnow_fingerprints(m: Model) -> DataFrame:
     hs = F.transform(
         F.sequence(F.lit(1), F.size("ths") - (_KGRAM - 1)), lambda i: rh(i)
     )
-    winnow = F.transform(
-        F.sequence(F.lit(1), F.size("hs") - (_WINNOW - 1)),
-        lambda i: F.least(
-            *[F.element_at(F.col("hs"), i + j) for j in range(_WINNOW)]
-        ),
-    )
+    # Winnow via a frame-spec window min over EXPLODED hash rows, not
+    # array element_at: referencing the hs array column k times would
+    # re-inline (and re-evaluate) the whole rolling-hash transform per
+    # access after projection collapse — measured 100x slower.  The
+    # exploded form runs the sliding min in whole-stage codegen and the
+    # explode itself is the barrier that materializes hs once.
     n_parts = m.spark.sparkContext.defaultParallelism
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("idx")
+        .rowsBetween(Window.currentRow, _WINNOW - 1)
+    )
     return (
         m.documents.select("doc_id", ths.alias("ths"))
         .filter(F.size("ths") >= _KGRAM)
         .repartition(n_parts, "doc_id")
-        .select("doc_id", hs.alias("hs"))
-        .filter(F.size("hs") >= _WINNOW)
-        .select("doc_id", F.explode(winnow).alias("fp"))
+        .select("doc_id", F.size("ths").alias("n_hs"), F.posexplode(hs).alias("idx", "h"))
+        .withColumn("fp", F.min("h").over(w))
+        .filter(F.col("idx") <= F.col("n_hs") - (_KGRAM - 1) - _WINNOW)
+        .select("doc_id", "fp")
         .distinct()
+    )
+
+
+_QF_MIN_TOKENS = 20
+_QF_MAX_TOKENS = 10000
+_QF_MIN_STOPWORD = 0.005
+
+
+@query(
+    "docs_quality_filter",
+    oracle=f"""
+SELECT doc_id, n_tokens, stopword_ratio
+FROM (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         floor((len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) * 1.0
+                / len(string_split(text, ' '))) * 10000.0 + 0.5) / 10000.0 AS stopword_ratio
+  FROM documents
+) t
+WHERE n_tokens BETWEEN {_QF_MIN_TOKENS} AND {_QF_MAX_TOKENS}
+  AND stopword_ratio >= {_QF_MIN_STOPWORD}
+""",
+    views=[],
+)
+def docs_quality_filter(m: Model) -> DataFrame:
+    """Pretraining quality gate: keep documents inside the token-count
+    band with at least the minimum stopword density (gibberish and
+    boilerplate fall below it).  Pure narrow filter — at 100 TB this
+    runs inside the scan stage with zero shuffle."""
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks).cast("bigint")
+    ratio = fround(
+        F.size(F.filter(toks, lambda x: x.isin(*_STOPWORDS))) * 1.0 / F.size(toks), 4
+    )
+    return (
+        m.documents.select(
+            "doc_id", n_tokens.alias("n_tokens"), ratio.alias("stopword_ratio")
+        )
+        .filter(
+            F.col("n_tokens").between(_QF_MIN_TOKENS, _QF_MAX_TOKENS)
+            & (F.col("stopword_ratio") >= _QF_MIN_STOPWORD)
+        )
+    )
+
+
+@query(
+    "docs_dedup_canonical",
+    oracle="""
+SELECT doc_id, canonical_id, (doc_id = canonical_id) AS is_canonical
+FROM (
+  SELECT doc_id,
+         min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
+  FROM documents
+) t
+""",
+    views=[],
+)
+def docs_dedup_canonical(m: Model) -> DataFrame:
+    """Exact dedup with a keep-strategy: every document maps to the
+    lowest doc_id sharing its content hash (the canonical survivor);
+    non-canonical rows are the drop set.  One shuffle on the content
+    hash — the canonical 100 TB exact-dedup shape (group by hash,
+    min-id survivor)."""
+    from pyspark.sql.window import Window as W
+
+    canonical = F.min("doc_id").over(
+        W.partitionBy(F.md5(F.col("text").cast("binary")))
+    )
+    return m.documents.select(
+        "doc_id",
+        canonical.alias("canonical_id"),
+        (F.col("doc_id") == canonical).alias("is_canonical"),
     )
