@@ -81,6 +81,9 @@ def metrics_semi_join(m: Model) -> DataFrame:
     )
 
 
+_GRID_BLOCK = 10000  # key units per grid cell
+
+
 @query(
     "range_lookup",
     oracle="""
@@ -96,23 +99,57 @@ JOIN (SELECT * FROM meta_regions WHERE table_name = 't0') mr
 )
 def range_lookup(m: Model) -> DataFrame:
     """J5 — point-in-range lookup: locate the region whose [start,end)
-    contains each probe key (common/KeyFinder.java:24-46).  The region
-    dim is broadcast, so the probe side never shuffles — the 100 TB
-    pattern for key->region routing."""
+    contains each probe key (common/KeyFinder.java:24-46).
+
+    Grid range join: regions explode into the fixed-width key blocks
+    they overlap (the grid is broadcast — blocks ≈ keyspace/B +
+    regions, tiny for a dim table), probes compute their block and
+    equi-join on it, and the exact [start,end) predicate filters the
+    1-2 candidates per probe.  This replaces the |probes| x |regions|
+    broadcast nested-loop with a codegen'd hash join — the probe side
+    still never shuffles.  The unbounded-end region (at most one per
+    table) is handled by a separate single-row broadcast join.  (Two
+    rejected alternatives, both measured slower: plain broadcast-NL —
+    28M predicate evaluations; a boundary-array floor join — 20x worse
+    because higher-order array functions are interpreted.)"""
     probes = m.customer.select(
         "c_custkey",
         F.lpad((F.col("c_custkey") * 10).cast("string"), 12, "0").alias("probe_key"),
+    ).withColumn(
+        "block", (F.col("probe_key").cast("long") / _GRID_BLOCK).cast("long")
     )
     regions = (
         m.meta_regions.filter(F.col("table_name") == "t0")
         .select("region_id", "start_key", "end_key")
     )
-    cond = (F.col("probe_key") >= F.col("start_key")) & (
-        (F.col("end_key") == "") | (F.col("probe_key") < F.col("end_key"))
+    bounded = regions.filter(F.col("end_key") != "")
+    grid = bounded.select(
+        "region_id",
+        "start_key",
+        "end_key",
+        F.explode(
+            F.sequence(
+                (F.col("start_key").cast("long") / _GRID_BLOCK).cast("long"),
+                (F.col("end_key").cast("long") / _GRID_BLOCK).cast("long"),
+            )
+        ).alias("block"),
     )
-    return probes.join(F.broadcast(regions), cond).select(
-        "c_custkey", "probe_key", "region_id"
+    in_range = (F.col("probe_key") >= F.col("start_key")) & (
+        F.col("probe_key") < F.col("end_key")
     )
+    hits_bounded = (
+        probes.join(F.broadcast(grid), "block")
+        .filter(in_range)
+        .select("c_custkey", "probe_key", "region_id")
+    )
+    unbounded = regions.filter(F.col("end_key") == "")
+    hits_unbounded = (
+        probes.join(
+            F.broadcast(unbounded), F.col("probe_key") >= F.col("start_key")
+        )
+        .select("c_custkey", "probe_key", "region_id")
+    )
+    return hits_bounded.unionByName(hits_unbounded)
 
 
 @query(
