@@ -95,12 +95,16 @@ def ngram_jaccard_pairs(m: Model) -> DataFrame:
     aggregation — no size-lookup joins, and the two join sides share
     one shuffle via exchange reuse (identical subplans)."""
     posts = _shingles_with_size(m)
+    # shuffle-hash hint: the posting list is too big to broadcast
+    # cheaply (AQE would otherwise collect one whole side to the
+    # driver) and far too big for that at corpus scale; hash-join on
+    # the shuffled shingle key is both the local and the 100 TB plan.
     a = posts.select(
         F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "shingle"
-    )
+    ).hint("shuffle_hash")
     b = posts.select(
         F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), "shingle"
-    )
+    ).hint("shuffle_hash")
     common = (
         a.join(b, "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))

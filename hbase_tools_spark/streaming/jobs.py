@@ -67,18 +67,32 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
-def run_to_table(stream_df: DataFrame, name: str, output_mode: str) -> DataFrame:
+def run_to_table(
+    stream_df: DataFrame, name: str, output_mode: str, state_partitions: int = 4
+) -> DataFrame:
     """Drain a streaming DataFrame with AvailableNow into a memory sink
-    and return the materialized result as a batch DataFrame."""
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return stream_df.sparkSession.table(name)
+    and return the materialized result as a batch DataFrame.
+
+    State-partition count is pinned low for these run-to-completion
+    fixture drains (each state partition costs a state-store instance
+    per stateful operator per batch; 32 of them dominate sub-second
+    streams).  A production deployment sizes it to cluster parallelism
+    before the FIRST run — it is fixed into the checkpoint."""
+    spark = stream_df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
 
 
 # ---------------------------------------------------------------------------
