@@ -55,8 +55,10 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     os.makedirs(stage, exist_ok=True)
     link = os.path.join(stage, "events-000.parquet")
-    if not os.path.exists(link):
+    try:
         os.symlink(path, link)
+    except FileExistsError:
+        pass  # another session staged it already
     schema = spark.read.parquet(path).schema
     df = spark.readStream.schema(schema).parquet(stage)
     dtype = dict(df.dtypes)["ts"]
