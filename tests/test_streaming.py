@@ -193,3 +193,45 @@ def test_membership_changes_stateful_across_batches(spark, tmp_path):
     # s0/s1 IN from batch 1 (their batch-1 min ts); s9 IN from batch 2;
     # no duplicate IN for s0/s1 despite batch-2 observations.
     assert rows == {("s0", 100, "IN"), ("s1", 110, "IN"), ("s9", 220, "IN")}
+
+
+def test_asof_join_property_vs_pandas_merge_asof(spark):
+    """Generic as-of join vs pandas.merge_asof on randomized-but-seeded
+    inputs: every left row must match the greatest right_ts <= left_ts
+    within its key, inner semantics."""
+    import pandas as pd
+    import random
+
+    from hbase_tools_spark.operators.temporal import asof_join
+
+    rng = random.Random(42)
+    for trial in range(5):
+        keys = ["k%d" % i for i in range(rng.randint(1, 4))]
+        left = [
+            (rng.choice(keys), rng.randint(0, 1000), i)
+            for i in range(rng.randint(1, 60))
+        ]
+        right = [
+            (rng.choice(keys), rng.randint(0, 1000), 100 + i)
+            for i in range(rng.randint(1, 40))
+        ]
+        # unique (key, ts) on the right so the match is well-defined
+        seen = set()
+        right = [
+            r for r in right if (r[0], r[1]) not in seen and not seen.add((r[0], r[1]))
+        ]
+        ldf = spark.createDataFrame(left, "k string, ts bigint, lval bigint")
+        rdf = spark.createDataFrame(right, "k string, ts bigint, rval bigint")
+        got = {
+            (r["k"], r["ts"], r["lval"], r["__r"]["rval"])
+            for r in asof_join(ldf, rdf, key="k", left_ts="ts", right_ts="ts").collect()
+        }
+        lp = pd.DataFrame(left, columns=["k", "ts", "lval"]).sort_values("ts")
+        rp = pd.DataFrame(right, columns=["k", "ts", "rval"]).sort_values("ts")
+        mp = pd.merge_asof(lp, rp, on="ts", by="k", direction="backward").dropna(
+            subset=["rval"]
+        )
+        expect = {
+            (r.k, r.ts, r.lval, int(r.rval)) for r in mp.itertuples()
+        }
+        assert got == expect, f"trial {trial}"
