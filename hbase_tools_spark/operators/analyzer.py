@@ -171,3 +171,36 @@ def analyzer_weight_stats(m: Model) -> DataFrame:
         )
         .orderBy("server")
     )
+
+
+@query(
+    "events_user_cardinality",
+    oracle="""
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY event_type
+""",
+    views=[],
+)
+def events_user_cardinality(m: Model) -> DataFrame:
+    """Distinct-cardinality per event type — exact form (expand +
+    two-phase distinct aggregation; Catalyst plans the partial/final
+    split).  The HLL sketch path (approx_count_distinct) is the 100 TB
+    variant — one pass, constant memory per group, mergeable partials —
+    and is asserted within tolerance of this exact query in
+    tests/test_llm.py (sketches are engine-specific, so the oracle
+    gates the exact form)."""
+    return m.events.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def events_user_cardinality_approx(m: Model) -> DataFrame:
+    """HLL-sketch cardinality (the scale path for A4-style distinct
+    counting): single pass, mergeable, bounded error."""
+    return m.events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+    )

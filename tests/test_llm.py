@@ -128,3 +128,24 @@ def test_multimodal_real_decode_gated(spark):
         media.mapInPandas(_resize(8, 8, decode_stub=False), RESIZE_SCHEMA).collect()
     with pytest.raises(Exception, match="NotImplementedError|ffmpeg"):
         media.mapInPandas(_frame_sample(decode_stub=False), FRAME_SCHEMA).collect()
+
+
+def test_approx_cardinality_within_tolerance(spark):
+    from hbase_tools_spark.catalog import load_model
+    from hbase_tools_spark.operators.analyzer import (
+        events_user_cardinality,
+        events_user_cardinality_approx,
+    )
+
+    m = load_model(spark, SF_DIR)
+    exact = {
+        r["event_type"]: r["exact_users"]
+        for r in events_user_cardinality(m).collect()
+    }
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in events_user_cardinality_approx(m).collect()
+    }
+    assert set(exact) == set(approx)
+    for k, ex in exact.items():
+        assert abs(approx[k] - ex) <= max(0.05 * ex, 2), (k, ex, approx[k])
