@@ -235,3 +235,69 @@ def test_asof_join_property_vs_pandas_merge_asof(spark):
             (r.k, r.ts, r.lval, int(r.rval)) for r in mp.itertuples()
         }
         assert got == expect, f"trial {trial}"
+
+
+def test_watermark_finalizes_windows_and_drops_late_rows(spark, tmp_path):
+    """Append-mode windowed aggregation with a watermark: a window is
+    emitted once the watermark passes its end, and events arriving
+    after the watermark has moved past their window are dropped — the
+    late-data contract (S8/S9).  Batch order is forced via distinct
+    file mtimes."""
+    import os
+    import time as _time
+
+    src = str(tmp_path / "late")
+    os.makedirs(src)
+    # Batch plan (watermark delay 30 min; Spark's late-event filter
+    # uses the PREVIOUS batch's eviction watermark):
+    #   b1: on-time rows, max ts 11:40 -> eviction wm becomes 11:10,
+    #       which finalizes the 10:00 window (n=2) at b2.
+    #   b2: a fresh 12:05 event; late-event wm now >= 11:10.
+    #   b3: the 10:25 straggler — its window expired, row DROPPED.
+    on_time = [
+        (1, "2024-01-01 10:05:00"),
+        (2, "2024-01-01 10:20:00"),
+        (3, "2024-01-01 11:40:00"),
+    ]
+    fresh = [(5, "2024-01-01 12:05:00")]
+    late = [(4, "2024-01-01 10:25:00")]
+    f1 = os.path.join(src, "b1.parquet")
+    f2 = os.path.join(src, "b2.parquet")
+    f3 = os.path.join(src, "b3.parquet")
+    for f, rows in ((f1, on_time), (f2, fresh), (f3, late)):
+        spark.createDataFrame(rows, "event_id bigint, ts_s string").selectExpr(
+            "event_id", "CAST(ts_s AS TIMESTAMP) AS ts"
+        ).coalesce(1).write.parquet(f)
+    now = _time.time()
+    for i, f in enumerate((f1, f2, f3)):
+        for root, _, files in os.walk(f):
+            for name in files:
+                os.utime(os.path.join(root, name), (now + i * 10, now + i * 10))
+        os.utime(f, (now + i * 10, now + i * 10))
+
+    stream = (
+        spark.readStream.schema("event_id bigint, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*.parquet")
+    )
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").cast("string").alias("ws"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_windows")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(batches) == 3, "expected one micro-batch per file"
+    got = {(r["ws"], r["n"]) for r in spark.table("late_windows").collect()}
+    # Emitted: the finalized 10:00 window with ONLY the on-time rows
+    # (late event 4 dropped).  The 11:00 and 12:00 windows are not yet
+    # final when the stream drains, and never emit in append mode.
+    assert got == {("2024-01-01 10:00:00", 2)}, got
