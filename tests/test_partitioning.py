@@ -63,3 +63,40 @@ def test_two_phase_agg_equals_direct(spark):
         n_salts=7,
     )
     assert sorted(map(tuple, direct.collect())) == sorted(map(tuple, two.collect()))
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """On a 90%-hot-key dataset the salt must actually spread the hot
+    key's rows across reducers: after salting, no single (key, salt)
+    group holds more than ~1/n_salts of the hot key (+slack), while the
+    join still equals the plain join."""
+    from pyspark.sql import functions as F
+
+    n = 20000
+    big = spark.range(n).select(
+        F.when(F.col("id") % 10 < 9, "hot").otherwise(
+            F.concat(F.lit("k"), (F.col("id") % 97).cast("string"))
+        ).alias("k"),
+        F.col("id").alias("v"),
+    )
+    small = spark.createDataFrame(
+        [("hot", 1)] + [(f"k{i}", i) for i in range(97)], "k string, w int"
+    )
+    plain = big.join(small, "k").agg(F.count(F.lit(1)), F.sum("v"), F.sum("w"))
+    salted = salted_join(big, small, "k", n_salts=8).agg(
+        F.count(F.lit(1)), F.sum("v"), F.sum("w")
+    )
+    assert plain.collect() == salted.collect()
+
+    # distribution check: per-salt share of the hot key
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(8))
+    per_salt = (
+        big.filter(F.col("k") == "hot")
+        .withColumn("s", salt)
+        .groupBy("s")
+        .count()
+        .collect()
+    )
+    hot_total = sum(r["count"] for r in per_salt)
+    assert len(per_salt) == 8, "hot key not spread over all salts"
+    assert max(r["count"] for r in per_salt) < hot_total * 0.25, per_salt
