@@ -193,9 +193,7 @@ def _minhash_signatures(m: Model) -> DataFrame:
     )
 
 
-@query(
-    "minhash_band_pairs",
-    oracle=f"""
+_MINHASH_PAIRS_SQL = f"""
 WITH sig AS ({_SIG_SQL}),
 bands AS (
   SELECT doc_id, b AS band,
@@ -207,9 +205,10 @@ SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a
 JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
             AND a.doc_id < b.doc_id
-""",
-    views=[],
-)
+"""
+
+
+@query("minhash_band_pairs", oracle=_MINHASH_PAIRS_SQL, views=[])
 def minhash_band_pairs(m: Model) -> DataFrame:
     """MinHash-LSH candidate pairs: {16} md5-minhashes, {4} bands of
     {4}; docs sharing any band hash are candidates.  The band-hash join
@@ -261,3 +260,77 @@ def minhash_band_pairs(m: Model) -> DataFrame:
         .select("p.doc_a", "p.doc_b")
         .distinct()
     )
+
+
+_LP_STEPS = 4  # label-propagation rounds (cluster diameter bound)
+
+
+def _lp_oracle() -> str:
+    """Unrolled k-step min-label propagation in DuckDB SQL: step s+1
+    labels = min(own label, neighbors' labels)."""
+    base = f"""
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION ALL SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+nodes AS (SELECT DISTINCT u AS doc_id FROM edges),
+s0 AS (SELECT doc_id, doc_id AS label FROM nodes)"""
+    steps = []
+    for i in range(_LP_STEPS):
+        steps.append(f"""
+s{i + 1} AS (
+  SELECT n.doc_id,
+         least(n.label, coalesce(min(m.label), n.label)) AS label
+  FROM s{i} n
+  LEFT JOIN edges e ON e.u = n.doc_id
+  LEFT JOIN s{i} m ON m.doc_id = e.v
+  GROUP BY n.doc_id, n.label
+)""")
+    return base + "," + ",".join(steps) + f"""
+SELECT doc_id, label AS cluster_id FROM s{_LP_STEPS}
+"""
+
+
+@query(
+    "neardup_clusters",
+    # continues the CTE list opened by the registry's view prefix; the
+    # minhash-pairs oracle nests as a sub-WITH inside the pairs CTE
+    oracle=",\npairs AS (\n" + _MINHASH_PAIRS_SQL + "\n),\n" + _lp_oracle(),
+    views=["servers"],
+)
+def neardup_clusters(m: Model) -> DataFrame:
+    """Near-duplicate cluster formation: MinHash-LSH candidate pairs
+    become dedup groups via {4}-round min-label propagation (bounded
+    by LSH cluster diameter — duplicate groups are cliques-ish, so a
+    few rounds reach the fixpoint; the bound makes the operator
+    deterministic and oracle-expressible without recursion).  Each
+    round is one self-join keyed on doc_id — the classic
+    iterative-join form of connected components; at 100 TB rounds are
+    checkpointed and the edge list is the small relation (pairs only,
+    never documents)."""
+    pairs = minhash_band_pairs(m).select("doc_a", "doc_b")
+    edges = pairs.selectExpr("doc_a AS u", "doc_b AS v").unionByName(
+        pairs.selectExpr("doc_b AS u", "doc_a AS v")
+    )
+    labels = edges.select(F.col("u").alias("doc_id")).distinct().withColumn(
+        "label", F.col("doc_id")
+    )
+    edges = edges.localCheckpoint(eager=True)  # reused every round
+    for _ in range(_LP_STEPS):
+        neigh = (
+            edges.join(labels.withColumnRenamed("doc_id", "v"), "v")
+            .groupBy("u")
+            .agg(F.min("label").alias("nmin"))
+            .withColumnRenamed("u", "doc_id")
+        )
+        labels = (
+            labels.join(neigh, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)  # truncate the iterative lineage
+        )
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))
