@@ -290,3 +290,43 @@ def compaction_plan_stream(
         list(plan_schema.fields) + [StructField("batch_id", LongType(), False)]
     )
     return spark.createDataFrame(sink_rows, schema)
+
+
+# ---------------------------------------------------------------------------
+# Stream-static enrichment — the streaming face of J1
+# ---------------------------------------------------------------------------
+
+@query(
+    "stream_enriched_server_load",
+    oracle="""
+SELECT mr.server,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(round(sum(CAST(e.value AS DECIMAL(18,4))), 4) AS DOUBLE) AS total_value
+FROM (SELECT event_id % 1000 AS region_id, value FROM events) e
+JOIN meta_regions mr ON mr.region_id = e.region_id
+GROUP BY mr.server
+""",
+    views=["meta_regions"],
+)
+def stream_enriched_server_load(m: Model) -> DataFrame:
+    """Stream-static join (the streaming face of J1): each event is
+    enriched against the static region catalog — broadcast per
+    micro-batch, so the stream side never shuffles for the join — and
+    aggregated per hosting server.  At 100 TB the static side is the
+    region dim (small by construction); re-broadcast per batch keeps
+    it fresh without restarting the query."""
+    from ..functions.exprs import dsum
+
+    ev = events_stream(m.spark, m.sf_dir).select(
+        (F.col("event_id") % 1000).alias("region_id"), "value"
+    )
+    dim = m.meta_regions.select("region_id", "server")
+    agg = (
+        ev.join(F.broadcast(dim), "region_id")
+        .groupBy("server")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("total_value"),
+        )
+    )
+    return run_to_table(agg, "stream_enriched_server_load", "complete")
