@@ -365,3 +365,52 @@ def docs_dedup_canonical(m: Model) -> DataFrame:
         canonical.alias("canonical_id"),
         (F.col("doc_id") == canonical).alias("is_canonical"),
     )
+
+
+@query(
+    "token_count_hist",
+    oracle="""
+SELECT CAST(floor(len(string_split(text, ' ')) / 10) AS BIGINT) * 10 AS token_bucket,
+       CAST(count(*) AS BIGINT) AS docs
+FROM documents
+GROUP BY 1
+""",
+    views=[],
+)
+def token_count_hist(m: Model) -> DataFrame:
+    """Token-count histogram over the corpus (10-token buckets) — the
+    documents-table analog of the reference's size histogram (A2,
+    analyze/TableAnalyzer.java:85-103): narrow bucket expression +
+    low-cardinality groupBy."""
+    bucket = (
+        F.floor(F.size(F.split(F.col("text"), " ")) / 10).cast("bigint") * 10
+    )
+    return m.documents.groupBy(bucket.alias("token_bucket")).agg(
+        F.count(F.lit(1)).alias("docs")
+    )
+
+
+@query(
+    "corpus_stats_by_lang",
+    oracle="""
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS docs,
+       CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS total_tokens,
+       CAST(min(length(text)) AS BIGINT) AS min_chars,
+       CAST(max(length(text)) AS BIGINT) AS max_chars
+FROM documents
+GROUP BY lang
+""",
+    views=[],
+)
+def corpus_stats_by_lang(m: Model) -> DataFrame:
+    """Per-language corpus rollup (docs, token volume, length extremes)
+    — the summary a data pipeline reports per shard before mixing."""
+    return m.documents.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(F.size(F.split(F.col("text"), " ")).cast("bigint")).alias(
+            "total_tokens"
+        ),
+        F.min(F.length("text").cast("bigint")).alias("min_chars"),
+        F.max(F.length("text").cast("bigint")).alias("max_chars"),
+    )

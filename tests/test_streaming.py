@@ -301,3 +301,38 @@ def test_watermark_finalizes_windows_and_drops_late_rows(spark, tmp_path):
     # (late event 4 dropped).  The 11:00 and 12:00 windows are not yet
     # final when the stream drains, and never emit in append mode.
     assert got == {("2024-01-01 10:00:00", 2)}, got
+
+
+def test_checkpoint_resume_processes_only_new_files(spark, tmp_path):
+    """Offset checkpointing: a restarted query with the same checkpoint
+    resumes after the already-committed files — the second run reads
+    ONLY the newly arrived file (exactly-once source semantics), and
+    the file sink accumulates both runs' output."""
+    import os
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    f1 = os.path.join(src, "a.parquet")
+    f2 = os.path.join(src, "b.parquet")
+    spark.createDataFrame([(1,), (2,)], "v bigint").coalesce(1).write.parquet(f1)
+
+    def run_once():
+        stream = spark.readStream.schema("v bigint").parquet(src + "/*.parquet")
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sum(p["numInputRows"] for p in q.recentProgress)
+
+    assert run_once() == 2
+    spark.createDataFrame([(3,), (4,), (5,)], "v bigint").coalesce(1).write.parquet(f2)
+    assert run_once() == 3, "restart reprocessed already-committed files"
+    got = sorted(r["v"] for r in spark.read.parquet(out).collect())
+    assert got == [1, 2, 3, 4, 5]
