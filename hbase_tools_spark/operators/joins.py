@@ -207,3 +207,35 @@ def server_prefix_resolve(m: Model) -> DataFrame:
         F.min("server").alias("resolved_server"),
         (F.count(F.lit(1)) == 1).alias("unambiguous"),
     )
+
+
+@query(
+    "region_edge_rows",
+    oracle="""
+SELECT table_name,
+       min(start_key) AS first_key,
+       min_by(region_id, start_key) AS first_region,
+       min_by(server, start_key) AS first_server,
+       max(start_key) AS last_key,
+       max_by(region_id, start_key) AS last_region,
+       max_by(server, start_key) AS last_server
+FROM meta_regions
+GROUP BY table_name
+""",
+    views=["meta_regions"],
+)
+def region_edge_rows(m: Model) -> DataFrame:
+    """SC3 full-row form — the reference's first/last-row probes return
+    whole rows, not just keys (forward scan limit 1 + reversed scan,
+    common/HBaseRegionChecker.java:44-71); ``min_by``/``max_by`` fetch
+    the complete edge rows in ONE aggregation pass, replacing the
+    reference's physical reversed scan (SURVEY §4: no reverse scan
+    needed under an aggregate)."""
+    return m.meta_regions.groupBy("table_name").agg(
+        F.min("start_key").alias("first_key"),
+        F.min_by("region_id", "start_key").alias("first_region"),
+        F.min_by("server", "start_key").alias("first_server"),
+        F.max("start_key").alias("last_key"),
+        F.max_by("region_id", "start_key").alias("last_region"),
+        F.max_by("server", "start_key").alias("last_server"),
+    )
