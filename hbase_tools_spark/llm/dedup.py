@@ -67,9 +67,7 @@ def _shingles_with_size(m: Model) -> DataFrame:
     )
 
 
-@query(
-    "ngram_jaccard_pairs",
-    oracle=f"""
+_JACCARD_PAIRS_SQL = f"""
 WITH sh AS ({_SHINGLES_SQL}),
 sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
 common AS (
@@ -83,9 +81,10 @@ FROM common
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE c * 1.0 / (sa.n + sb.n - c) >= {_JACCARD_T}
-""",
-    views=[],
-)
+"""
+
+
+@query("ngram_jaccard_pairs", oracle=_JACCARD_PAIRS_SQL, views=[])
 def ngram_jaccard_pairs(m: Model) -> DataFrame:
     """Word-{5}-gram Jaccard near-dup pairs >= {0.5}: inverted index on
     distinct shingles, then |A∩B| / (|A|+|B|-|A∩B|).
@@ -334,3 +333,102 @@ def neardup_clusters(m: Model) -> DataFrame:
             .localCheckpoint(eager=True)  # truncate the iterative lineage
         )
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Converge-until-stable connected components over an undirected
+    edge relation: returns (doc_id, cluster_id) with cluster_id = the
+    minimum node id in the component — the production form of
+    ``neardup_clusters`` with no diameter bound.
+
+    Each round does (a) neighbor-min propagation (one join on the edge
+    list) and (b) pointer jumping — label := label(label) — which
+    halves label-chain depth, so convergence is O(log diameter) rounds
+    rather than O(diameter); dup-chains A~B~C~... of any length reach
+    one cluster id.  Every round is ``localCheckpoint``-truncated (at
+    cluster scale: ``checkpoint`` to a reliable store) and ends with a
+    single ``count`` action on the changed rows — the loop is driver-
+    orchestrated control flow, but ALL data stays distributed; only
+    the per-round changed-count scalar ever reaches the driver.
+
+    Raises if ``max_rounds`` is hit without a fixpoint (50 rounds
+    covers components of diameter ~2^50 under pointer jumping)."""
+    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = sym.unionByName(
+        sym.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("u").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        neigh = (
+            sym.join(labels.withColumnRenamed("doc_id", "v"), "v")
+            .groupBy("u")
+            .agg(F.min("label").alias("nmin"))
+            .withColumnRenamed("u", "doc_id")
+        )
+        stepped = labels.join(neigh, "doc_id", "left").select(
+            "doc_id",
+            F.col("label").alias("old"),
+            F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label"),
+        )
+        # pointer jump: label := label(label); label(x) <= x invariant
+        # guarantees the inner lookup always finds a row.  The old label
+        # rides along so the changed-count needs no extra join, and the
+        # lazy checkpoint is materialized by that count — one Spark job
+        # per round.
+        parents = stepped.select(
+            F.col("doc_id").alias("label"), F.col("label").alias("plabel")
+        )
+        jumped = (
+            stepped.join(parents, "label")
+            .select("doc_id", F.col("plabel").alias("label"), "old")
+            .localCheckpoint(eager=False)
+        )
+        changed = jumped.filter(F.col("label") < F.col("old")).count()
+        labels = jumped.select("doc_id", "label")
+        if changed == 0:
+            return labels.select("doc_id", F.col("label").alias("cluster_id"))
+    raise RuntimeError(f"connected_components: no fixpoint in {max_rounds} rounds")
+
+
+@query(
+    "neardup_clusters_converged",
+    # standalone body: the recursive CTE lives in a subquery so the
+    # registry's view-prefixed WITH is not needed (views=[])
+    oracle=f"""
+SELECT doc_id, cluster_id FROM (
+  WITH RECURSIVE
+  pairs AS (
+{_JACCARD_PAIRS_SQL}
+  ),
+  edges AS (
+    SELECT doc_a AS u, doc_b AS v FROM pairs
+    UNION ALL SELECT doc_b AS u, doc_a AS v FROM pairs
+  ),
+  nodes AS (SELECT DISTINCT u FROM edges),
+  reach AS (
+    SELECT u, u AS v FROM nodes
+    UNION
+    SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v
+  )
+  SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u
+) cc
+""",
+    views=[],
+)
+def neardup_clusters_converged(m: Model) -> DataFrame:
+    """Converged near-dup clusters: n-gram Jaccard pairs (>= {0.5})
+    grouped into components by :func:`connected_components` — the
+    unbounded-diameter production form (the bounded ``neardup_clusters``
+    stays as the fixed-round oracle variant).  Oracle: DuckDB recursive
+    CTE transitive closure, so the driver hash-checks the fixpoint."""
+    return connected_components(ngram_jaccard_pairs(m))

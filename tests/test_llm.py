@@ -149,3 +149,32 @@ def test_approx_cardinality_within_tolerance(spark):
     assert set(exact) == set(approx)
     for k, ex in exact.items():
         assert abs(approx[k] - ex) <= max(0.05 * ex, 2), (k, ex, approx[k])
+
+
+def test_connected_components_long_chain(spark):
+    # a 12-hop duplicate chain: the bounded 4-round variant CANNOT
+    # collapse this; the convergent operator must
+    from hbase_tools_spark.llm.dedup import connected_components
+
+    chain = [(f"d{i:02d}", f"d{i + 1:02d}") for i in range(12)]
+    isolated = [("x1", "x2"), ("y1", "y2")]
+    edges = spark.createDataFrame(chain + isolated, ["doc_a", "doc_b"])
+    got = {r.doc_id: r.cluster_id for r in connected_components(edges).collect()}
+    assert {got[f"d{i:02d}"] for i in range(13)} == {"d00"}
+    assert got["x1"] == got["x2"] == "x1"
+    assert got["y1"] == got["y2"] == "y1"
+
+
+def test_connected_components_matches_bounded_on_fixture(spark):
+    # where diameter <= 4 the two variants must agree exactly
+    import hbase_tools_spark.llm.dedup as dd
+
+    m = load_model(spark, SF_DIR)
+    bounded = {
+        (r.doc_id, r.cluster_id) for r in dd.neardup_clusters(m).collect()
+    }
+    conv = {
+        (r.doc_id, r.cluster_id)
+        for r in dd.connected_components(dd.minhash_band_pairs(m)).collect()
+    }
+    assert conv == bounded
