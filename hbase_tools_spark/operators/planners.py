@@ -192,41 +192,205 @@ def merge_plan(m: Model) -> DataFrame:
     (RegionInfo.areAdjacent ≙ end_key == next start_key), size rules from
     QualityMerge; odd-rank pairing mirrors the reference's sequential
     non-overlapping pass."""
-    joined = (
+    return _merge_pairs(_merge_state(m)).select(
+        "table_name",
+        "region_a",
+        "region_b",
+        F.round("size_a", 4).alias("size_a"),
+        F.round("size_b", 4).alias("size_b"),
+        F.round(F.col("size_a") + F.col("size_b"), 4).alias("merged_size"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-pass merge (merger/Merger.java:131-150: loop while work remains,
+# re-reading mutated region state each pass)
+# ---------------------------------------------------------------------------
+
+_MERGE_PASSES = 8  # pass bound keeps the operator oracle-expressible;
+                   # fixtures reach the empty-plan fixpoint well before
+                   # it (asserted in tests/test_simulation.py)
+
+
+def _merge_state(m: Model) -> DataFrame:
+    """Region state relation the merger loop mutates: bounds + size."""
+    return (
         m.meta_regions.join(
             m.region_metrics.select("region_id", "size_mb"), "region_id", "left"
         )
-        .withColumn("size_a", F.coalesce(F.col("size_mb"), F.lit(0.0)))
+        .select(
+            "region_id",
+            "table_name",
+            "start_key",
+            "end_key",
+            F.coalesce("size_mb", F.lit(0.0)).alias("size_mb"),
+        )
     )
+
+
+def _merge_pairs(state: DataFrame) -> DataFrame:
+    """One merge pass over a state relation: adjacent odd-rank pairs
+    passing the QualityMerge size rules.  Carries ``end_b`` (absorbed
+    region's end) so the pass can be applied without a second lookup."""
     w = Window.partitionBy("table_name").orderBy("start_key")
-    paired = joined.select(
+    paired = state.select(
         "table_name",
         F.col("region_id").alias("region_a"),
         F.lead("region_id").over(w).alias("region_b"),
-        "size_a",
-        F.lead("size_a").over(w).alias("size_b"),
+        F.col("size_mb").alias("size_a"),
+        F.lead("size_mb").over(w).alias("size_b"),
         "end_key",
         F.lead("start_key").over(w).alias("next_start"),
+        F.lead("end_key").over(w).alias("end_b"),
         F.row_number().over(w).alias("rn"),
     )
+    return paired.filter(
+        F.col("region_b").isNotNull()
+        & (F.col("end_key") == F.col("next_start"))
+        & (F.col("rn") % 2 == 1)
+        & ((F.col("size_a") <= _MERGE_MIN_MB) | (F.col("size_b") <= _MERGE_MIN_MB))
+        & (F.col("size_a") <= _MERGE_MAX_MB)
+        & (F.col("size_b") <= _MERGE_MAX_MB)
+        & (F.col("size_a") + F.col("size_b") <= _MERGED_MAX_MB)
+    )
+
+
+def apply_merge_plan(state: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Apply one pass: region_a absorbs region_b (end key extends, sizes
+    add), region_b disappears — the DataFrame form of what
+    admin.mergeRegions does to hbase:meta."""
+    upd = pairs.select(
+        F.col("region_a").alias("region_id"),
+        "end_b",
+        (F.col("size_a") + F.col("size_b")).alias("new_size"),
+    )
     return (
-        paired.filter(
-            F.col("region_b").isNotNull()
-            & (F.col("end_key") == F.col("next_start"))
-            & (F.col("rn") % 2 == 1)
-            & ((F.col("size_a") <= _MERGE_MIN_MB) | (F.col("size_b") <= _MERGE_MIN_MB))
-            & (F.col("size_a") <= _MERGE_MAX_MB)
-            & (F.col("size_b") <= _MERGE_MAX_MB)
-            & (F.col("size_a") + F.col("size_b") <= _MERGED_MAX_MB)
+        state.join(
+            pairs.select(F.col("region_b").alias("region_id")),
+            "region_id",
+            "left_anti",
         )
+        .join(upd, "region_id", "left")
         .select(
+            "region_id",
             "table_name",
-            "region_a",
-            "region_b",
-            F.round("size_a", 4).alias("size_a"),
-            F.round("size_b", 4).alias("size_b"),
-            F.round(F.col("size_a") + F.col("size_b"), 4).alias("merged_size"),
+            "start_key",
+            F.coalesce("end_b", "end_key").alias("end_key"),
+            F.coalesce("new_size", "size_mb").alias("size_mb"),
         )
+    )
+
+
+def multipass_merge_plans(
+    state: DataFrame, max_passes: int = _MERGE_PASSES
+) -> tuple[DataFrame, DataFrame]:
+    """Driver loop of the reference's merger (merger/Merger.java:131-150):
+    emit a pass plan, apply it to the state, repeat until a pass is
+    empty or ``max_passes`` is hit.  Returns (all pass plans with a
+    ``pass_id`` column, final state).
+
+    The loop is driver-orchestrated control flow only — state and plans
+    stay distributed; each pass checkpoint-truncates its lineage and the
+    only driver value is the per-pass plan count (the loop condition,
+    exactly the reference's ``while (mergedCount > border)``)."""
+    plans = None
+    for pass_id in range(1, max_passes + 1):
+        pairs = _merge_pairs(state).localCheckpoint(eager=False)
+        if pairs.count() == 0:
+            break
+        emitted = pairs.withColumn("pass_id", F.lit(pass_id))
+        plans = emitted if plans is None else plans.unionByName(emitted)
+        state = apply_merge_plan(state, pairs).localCheckpoint(eager=True)
+    if plans is None:
+        plans = _merge_pairs(state).withColumn("pass_id", F.lit(1)).limit(0)
+    return plans, state
+
+
+def _merge_pass_oracle(n_passes: int) -> str:
+    """Unrolled n-pass merge loop in portable SQL (the bounded oracle
+    form, same device as the label-propagation oracle)."""
+    # leading comma: continues the CTE list opened by the registry's
+    # view prefix (same device as the neardup_clusters oracle)
+    # AS MATERIALIZED: each state/plan level is referenced 2-3 times by
+    # the next level; without it DuckDB inlines the CTE chain and the
+    # oracle blows up exponentially (observed OOM at 8 passes).
+    parts = [f""",
+state0 AS MATERIALIZED (
+  SELECT mr.region_id, mr.table_name, mr.start_key, mr.end_key,
+         coalesce(rm.size_mb, 0.0) AS size_mb
+  FROM meta_regions mr
+  LEFT JOIN region_metrics rm ON mr.region_id = rm.region_id
+)"""]
+    for i in range(1, n_passes + 1):
+        parts.append(f"""
+plan{i} AS MATERIALIZED (
+  SELECT table_name, region_a, region_b, size_a, size_b, end_b
+  FROM (
+    SELECT table_name, region_id AS region_a,
+           lead(region_id) OVER w AS region_b,
+           size_mb AS size_a,
+           lead(size_mb) OVER w AS size_b,
+           end_key,
+           lead(start_key) OVER w AS next_start,
+           lead(end_key) OVER w AS end_b,
+           row_number() OVER w AS rn
+    FROM state{i - 1}
+    WINDOW w AS (PARTITION BY table_name ORDER BY start_key)
+  ) p
+  WHERE region_b IS NOT NULL
+    AND end_key = next_start
+    AND rn % 2 = 1
+    AND (size_a <= {_MERGE_MIN_MB} OR size_b <= {_MERGE_MIN_MB})
+    AND size_a <= {_MERGE_MAX_MB} AND size_b <= {_MERGE_MAX_MB}
+    AND size_a + size_b <= {_MERGED_MAX_MB}
+),
+state{i} AS MATERIALIZED (
+  SELECT s.region_id, s.table_name, s.start_key,
+         coalesce(p.end_b, s.end_key) AS end_key,
+         coalesce(p.size_a + p.size_b, s.size_mb) AS size_mb
+  FROM state{i - 1} s
+  LEFT JOIN plan{i} p ON s.region_id = p.region_a
+  WHERE s.region_id NOT IN (SELECT region_b FROM plan{i})
+)""")
+        # NOT IN is null-safe here: plan rows always have region_b
+    union = "\nUNION ALL\n".join(
+        f"SELECT {i} AS pass_id, table_name, region_a, region_b, size_a, size_b"
+        f" FROM plan{i}"
+        for i in range(1, n_passes + 1)
+    )
+    return (
+        ",".join(parts)
+        + f"""
+SELECT pass_id, table_name, region_a, region_b,
+       round(size_a, 4) AS size_a, round(size_b, 4) AS size_b,
+       round(size_a + size_b, 4) AS merged_size
+FROM (
+{union}
+) allp
+"""
+    )
+
+
+@query(
+    "merge_plan_multipass",
+    oracle=_merge_pass_oracle(_MERGE_PASSES),
+    views=["meta_regions", "region_metrics"],
+)
+def merge_plan_multipass(m: Model) -> DataFrame:
+    """Multi-pass merge plan: the reference's fixed-point merger loop
+    (merger/Merger.java:131-150) as emit→apply→re-emit over the region
+    state, bounded at {8} passes for oracle parity (the loop exits at
+    the first empty pass; fixtures converge earlier — the unbounded
+    form is :func:`multipass_merge_plans` with a larger cap)."""
+    plans, _ = multipass_merge_plans(_merge_state(m))
+    return plans.select(
+        "pass_id",
+        "table_name",
+        "region_a",
+        "region_b",
+        F.round("size_a", 4).alias("size_a"),
+        F.round("size_b", 4).alias("size_b"),
+        F.round(F.col("size_a") + F.col("size_b"), 4).alias("merged_size"),
     )
 
 
