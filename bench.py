@@ -121,19 +121,41 @@ def main() -> None:
     # oracle and would inflate the Spark side).
     common = round(sum(spark_secs[n] for n in duck_secs), 4)
     duck_total = round(sum(duck_secs.values()), 4) or None
+    ratios = {
+        n: round(spark_secs[n] / d, 3) if d else None
+        for n, d in duck_secs.items()
+    }
+    over_2x = sorted(
+        (n for n, r in ratios.items() if r is not None and r > 2.0),
+        key=lambda n: -ratios[n],
+    )
+    # Key order matters: the driver artifact has been observed truncated
+    # to the TAIL of the line, so the big per-query dicts go first and
+    # the headline aggregates last (they survive truncation); the full
+    # object is also written to BENCH_FULL.json alongside this script.
     out = {
+        "queries": spark_secs,
+        "duckdb": duck_secs,
+        "vs_duckdb_per_query": ratios,
+        "over_2x": over_2x,
+        "sf": _sf_of(sf_dir),
+        "cpus": cpus,
+        "n_queries": len(spark_secs),
+        "duckdb_total": duck_total,
+        "vs_duckdb": round(common / duck_total, 3) if duck_total else None,
         "metric": "total_wall",
         "value": total,
         "unit": "sec",
-        "queries": spark_secs,
-        "sf": _sf_of(sf_dir),
-        "duckdb": duck_secs,
-        "duckdb_total": duck_total,
-        "vs_duckdb": round(common / duck_total, 3) if duck_total else None,
-        "cpus": cpus,
-        "n_queries": len(spark_secs),
     }
-    print(json.dumps(out))
+    line = json.dumps(out)
+    try:
+        full = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_FULL.json")
+        with open(full, "w") as f:
+            json.dump(out, f, indent=1)
+    except OSError as exc:
+        print(f"BENCH_FULL.json not written: {exc}", file=sys.stderr)
+    print(line)
 
 
 if __name__ == "__main__":

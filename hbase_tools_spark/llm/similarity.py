@@ -352,12 +352,19 @@ def embedding_ivf_topk(m: Model) -> DataFrame:
                 Window.partitionBy("vec_id").orderBy(F.desc("cc"), F.asc("cell_label"))
             ),
         )
+        # both assign (rnk==1) and probe_cells (rnk<=nprobe) read this;
+        # materialize once — the N×C quantizer pass with higher-order
+        # cosine is the expensive leg, and at scale the assignment IS a
+        # persisted index table, not a per-query recompute
+        .filter(F.col("rnk") <= max(_NPROBE, 1))
+        .select("vec_id", "embedding", "cell_label", "rnk")
+        .localCheckpoint(eager=False)
     )
     assign = ranked_cells.filter(F.col("rnk") == 1).select(
         "vec_id", "embedding", F.col("cell_label").alias("cell")
     )
     probe_cells = (
-        ranked_cells.filter((F.col("vec_id") < _NQUERIES) & (F.col("rnk") <= _NPROBE))
+        ranked_cells.filter(F.col("vec_id") < _NQUERIES)
         .select(F.col("vec_id").alias("query_id"), F.col("cell_label").alias("cell"))
     )
     probes = emb.filter(F.col("vec_id") < _NQUERIES).select(

@@ -379,10 +379,68 @@ FROM (
 def merge_plan_multipass(m: Model) -> DataFrame:
     """Multi-pass merge plan: the reference's fixed-point merger loop
     (merger/Merger.java:131-150) as emit→apply→re-emit over the region
-    state, bounded at {8} passes for oracle parity (the loop exits at
-    the first empty pass; fixtures converge earlier — the unbounded
-    form is :func:`multipass_merge_plans` with a larger cap)."""
-    plans, _ = multipass_merge_plans(_merge_state(m))
+    state, bounded at {8} passes for oracle parity.
+
+    The fixpoint has NO cross-table dependency (every pass windows by
+    table_name), so the whole loop runs partition-locally: one shuffle
+    on table_name, then `applyInPandas` iterates passes inside each
+    group — one stage total, vs 2 driver-synced jobs per pass for the
+    generic loop.  This is the 100 TB shape too: tables are the
+    parallelism unit (thousands of groups), and a group is one table's
+    region list (~1e5 rows max), comfortably in-memory.  The
+    cross-state driver loop (the reference's literal
+    ``while (mergedCount > border)``) is :func:`multipass_merge_plans`,
+    for state too wide for a single group."""
+    import pandas as pd
+
+    min_mb, max_mb, merged_max = _MERGE_MIN_MB, _MERGE_MAX_MB, _MERGED_MAX_MB
+    n_passes = _MERGE_PASSES
+
+    def table_passes(pdf: pd.DataFrame) -> pd.DataFrame:
+        regions = pdf.sort_values("start_key", kind="mergesort")
+        rows = list(
+            regions[["region_id", "start_key", "end_key", "size_mb"]]
+            .itertuples(index=False, name=None)
+        )
+        table = pdf["table_name"].iat[0]
+        out = []
+        for pass_id in range(1, n_passes + 1):
+            merged, nxt = [], []
+            # strict stride-2 pairing over start_key order (rn % 2 == 1):
+            # an ineligible pair does NOT shift later pairs
+            for i in range(0, len(rows), 2):
+                if i + 1 < len(rows):
+                    (ra, sa, ea, za), (rb, sb, eb, zb) = rows[i], rows[i + 1]
+                    if (
+                        ea == sb
+                        and (za <= min_mb or zb <= min_mb)
+                        and za <= max_mb
+                        and zb <= max_mb
+                        and za + zb <= merged_max
+                    ):
+                        merged.append((pass_id, table, ra, rb, za, zb))
+                        nxt.append((ra, sa, eb, za + zb))
+                        continue
+                nxt.extend(rows[i : i + 2])
+            rows = sorted(nxt, key=lambda r: r[1])
+            out.extend(merged)
+            if not merged:
+                break
+        return pd.DataFrame(
+            out,
+            columns=[
+                "pass_id", "table_name", "region_a", "region_b",
+                "size_a", "size_b",
+            ],
+        )
+
+    plans = _merge_state(m).groupBy("table_name").applyInPandas(
+        table_passes,
+        schema=(
+            "pass_id int, table_name string, region_a long, "
+            "region_b long, size_a double, size_b double"
+        ),
+    )
     return plans.select(
         "pass_id",
         "table_name",

@@ -39,6 +39,12 @@ from ..registry import query
 
 _GAP_MIN = 10  # session-window gap (minutes)
 
+# Ephemeral one-shot checkpoints go to tmpfs when available (offset/
+# commit/state logs are many tiny fsynced files).
+_CKPT_BASE = "/dev/shm" if os.path.isdir("/dev/shm") else None
+
+_SCHEMA_CACHE: dict[str, object] = {}  # fixture path -> StructType
+
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``readStream`` over the events fixture with the same timestamp
@@ -59,7 +65,9 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.symlink(path, link)
     except FileExistsError:
         pass  # another session staged it already
-    schema = spark.read.parquet(path).schema
+    schema = _SCHEMA_CACHE.get(path)
+    if schema is None:
+        schema = _SCHEMA_CACHE[path] = spark.read.parquet(path).schema
     df = spark.readStream.schema(schema).parquet(stage)
     dtype = dict(df.dtypes)["ts"]
     if dtype == "bigint":
@@ -80,20 +88,30 @@ def run_to_table(
     per stateful operator per batch; 32 of them dominate sub-second
     streams).  A production deployment sizes it to cluster parallelism
     before the FIRST run — it is fixed into the checkpoint."""
+    import shutil
+    import tempfile
+
     spark = stream_df.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    # One-shot drains write offset/commit/state logs as many tiny
+    # fsynced files; tmpfs cuts that to memory speed.  Fresh dir per
+    # run — reusing a committed checkpoint would make availableNow a
+    # no-op and leave the memory sink empty.
+    ckpt = tempfile.mkdtemp(prefix="hbase_tools_ckpt_", dir=_CKPT_BASE)
     try:
         q = (
             stream_df.writeStream.format("memory")
             .queryName(name)
             .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
 
 
