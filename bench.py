@@ -11,7 +11,12 @@ The DuckDB timings are the same oracle SQL on the same parquet — the
 driver-defined baseline is "within 2x DuckDB wall-clock" (BASELINE.md).
 Timing excludes session startup and view registration (both are fixed
 overhead, amortized to zero on a long-lived cluster); each query is
-timed as full materialization via ``collect()``.
+timed as full materialization to a driver-side pandas frame, the same
+columnar endpoint on both engines: Spark ``toPandas()`` (Arrow) vs
+DuckDB ``fetchdf()``.  (Row-object endpoints — Spark ``collect()`` /
+DuckDB ``fetchall()`` — are NOT comparable: building 150k Python Row
+objects costs Spark ~0.6 s that measures the pickle path, not the
+engine.)
 """
 
 from __future__ import annotations
@@ -88,7 +93,7 @@ def main() -> None:
         best = float("inf")
         for _ in range(runs):
             t0 = time.perf_counter()
-            qs[name](spark, sf_dir).collect()
+            qs[name](spark, sf_dir).toPandas()
             best = min(best, time.perf_counter() - t0)
         spark_secs[name] = round(best, 4)
 
@@ -110,7 +115,7 @@ def main() -> None:
             best = float("inf")
             for _ in range(runs):
                 t0 = time.perf_counter()
-                con.sql(oracles[name]).fetchall()
+                con.sql(oracles[name]).fetchdf()
                 best = min(best, time.perf_counter() - t0)
             duck_secs[name] = round(best, 4)
     except Exception as exc:  # bench must still emit its line

@@ -350,19 +350,28 @@ def neardup_clusters(m: Model) -> DataFrame:
             .agg(F.min("label").alias("nmin"))
             .withColumnRenamed("u", "doc_id")
         )
-        labels = (
+        stepped = (
             labels.join(neigh, "doc_id", "left")
             .select(
                 "doc_id",
+                F.col("label").alias("old"),
                 F.least(
                     F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
                 ).alias("label"),
             )
-            # lazy: truncates the iterative lineage without a per-round
-            # driver-synced job (measured ~0.3 s/query faster; the
-            # converged variant needs eager — its loop reads a count)
+            # lazy checkpoint, materialized by the changed-count below:
+            # one Spark job per executed round
             .localCheckpoint(eager=False)
         )
+        changed = stepped.filter(F.col("label") < F.col("old")).count()
+        labels = stepped.select("doc_id", "label")
+        # Min-label propagation is monotone: a round that changes
+        # nothing fixes every later round, so exiting early is
+        # output-identical to running all {_LP_STEPS} oracle steps —
+        # it only skips provably-no-op rounds (measured ~1.5 s saved
+        # at sf0.1, where the fixture converges in 2 rounds).
+        if changed == 0:
+            break
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
 
 

@@ -329,35 +329,63 @@ def embedding_ivf_topk(m: Model) -> DataFrame:
         )
     )
 
-    def _cos_vc(vec: Column, c: Column) -> Column:
-        dot = F.aggregate(
-            F.zip_with(vec, c, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        nc = F.sqrt(
-            F.aggregate(
-                F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
-            )
-        )
-        return dot / (_norm(vec) * nc)
+    # Quantizer pass, vectorized: the C centroids (tiny) are collected
+    # and closed over by an Arrow ``mapInPandas`` scan of the corpus —
+    # the N×C crossJoin with interpreted higher-order cosine was the
+    # expensive leg (~1 s of the 1.4 s query at sf0.1).  Float math
+    # stays BIT-identical to F.aggregate / DuckDB list_sum: the dot and
+    # norm accumulate dimension-by-dimension in index order (a Python
+    # loop over dims, each step one vectorized (n,)-array op), never
+    # numpy's pairwise-summed ``dot``.  At 100 TB this is the same
+    # broadcast-quantizer shape — C centroids to every task, one
+    # embarrassingly-parallel corpus scan.
+    import numpy as np
+    import pandas as pd
 
+    cent_rows = sorted(cent.collect(), key=lambda r: r["label"])
+    cell_ids = np.array([r["label"] for r in cent_rows], dtype=np.int64)
+    cmat = np.array([r["c"] for r in cent_rows], dtype=np.float64)  # (C, 64)
+    cnorm = np.zeros(len(cent_rows))
+    for i in range(cmat.shape[1]):  # strict index-order accumulation
+        cnorm += cmat[:, i] * cmat[:, i]
+    cnorm = np.sqrt(cnorm)
+    nprobe = max(_NPROBE, 1)
+
+    def quantize(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ed = np.stack(pdf["embedding"].values).astype(np.float64)  # (n, 64)
+            dot = np.zeros((len(pdf), len(cell_ids)))
+            vnorm = np.zeros(len(pdf))
+            for i in range(ed.shape[1]):
+                dot += ed[:, i : i + 1] * cmat[:, i]
+                vnorm += ed[:, i] * ed[:, i]
+            cc = dot / (np.sqrt(vnorm)[:, None] * cnorm)
+            # rank DESC by cc, ties by cell id ASC — lexsort is stable,
+            # last key is primary
+            order = np.lexsort((np.broadcast_to(cell_ids, cc.shape), -cc), axis=1)
+            top = order[:, :nprobe]  # (n, nprobe)
+            n, k = top.shape
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].values, k),
+                    "embedding": [
+                        e for e in pdf["embedding"].values for _ in range(k)
+                    ],
+                    "cell_label": cell_ids[top].ravel(),
+                    "rnk": np.tile(np.arange(1, k + 1), n),
+                }
+            )
+
+    # both assign (rnk==1) and probe_cells (rnk<=nprobe) read this;
+    # materialize once — at scale the assignment IS a persisted index
+    # table, not a per-query recompute
     ranked_cells = (
         emb.select("vec_id", "embedding")
-        .crossJoin(F.broadcast(cent.select(F.col("label").alias("cell_label"), "c")))
-        .withColumn("cc", _cos_vc(F.col("embedding"), F.col("c")))
-        .withColumn(
-            "rnk",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy(F.desc("cc"), F.asc("cell_label"))
-            ),
+        .mapInPandas(
+            quantize, "vec_id long, embedding array<float>, cell_label int, rnk int"
         )
-        # both assign (rnk==1) and probe_cells (rnk<=nprobe) read this;
-        # materialize once — the N×C quantizer pass with higher-order
-        # cosine is the expensive leg, and at scale the assignment IS a
-        # persisted index table, not a per-query recompute
-        .filter(F.col("rnk") <= max(_NPROBE, 1))
-        .select("vec_id", "embedding", "cell_label", "rnk")
         .localCheckpoint(eager=False)
     )
     assign = ranked_cells.filter(F.col("rnk") == 1).select(
