@@ -74,6 +74,14 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--rows", type=int, default=20, help="rows to show")
     parser.add_argument("--src", help="source path (table_copy/table_replace)")
     parser.add_argument("--dst", help="destination path")
+    parser.add_argument(
+        "--mode",
+        choices=["relations", "console", "html"],
+        default="relations",
+        help="report tool: rendered CONSOLE/HTML report instead of raw relations",
+    )
+    parser.add_argument("--full", action="store_true", help="report: no 15-event cap")
+    parser.add_argument("--out-dir", default=".", help="report: output directory")
     args = parser.parse_args(argv)
 
     from .session import get_spark
@@ -97,6 +105,25 @@ def main(argv: list[str] | None = None) -> int:
     from .registry import QUERIES
 
     model = load_model(spark, args.sf_dir)
+    if args.tool == "report" and args.mode != "relations":
+        import time as _time
+
+        from .reporting import make_report
+
+        stamp = _time.strftime("%Y-%m-%d_%H-%M-%S")
+        out = make_report(
+            model,
+            mode=args.mode,
+            partial=not args.full,
+            out_dir=args.out_dir,
+            stamp=stamp,
+        )
+        if "console" in out:
+            print(out["console"])
+        for k in ("html", "fixes"):
+            if k in out:
+                print(f"{k}: {out[k]}")
+        return 0
     for name in TOOL_QUERIES[args.tool]:
         print(f"\n=== {name} ===")
         QUERIES[name].fn(model).show(args.rows, truncate=False)

@@ -46,6 +46,29 @@ _CKPT_BASE = "/dev/shm" if os.path.isdir("/dev/shm") else None
 _SCHEMA_CACHE: dict[str, object] = {}  # fixture path -> StructType
 
 
+#: Production state-store configuration (large state): RocksDB keeps
+#: per-partition state off-heap and on local disk with incremental
+#: (changelog) checkpointing — an executor's state no longer has to fit
+#: in memory, which is the 100 TB requirement for session windows and
+#: streaming dedup whose key space grows with the corpus.  The HDFS-
+#: backed default (in-memory maps + full snapshots) is fine for the
+#: fixture-sized drains in this repo and faster to start, so these are
+#: opt-in; tests/test_streaming.py runs the stateful operators under
+#: this provider to prove behavior is provider-independent.
+ROCKSDB_STATE_CONF: dict[str, str] = {
+    "spark.sql.streaming.stateStore.providerClass": (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    ),
+    # bound memory: all RocksDB instances on an executor share one block
+    # cache / write-buffer pool instead of growing per-partition
+    "spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage": "true",
+    # changelog checkpointing ships per-batch deltas, not full SST sets
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": (
+        "true"
+    ),
+}
+
+
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``readStream`` over the events fixture with the same timestamp
     normalization as the batch catalog (ns-long at small SFs, µs NTZ at
@@ -285,24 +308,30 @@ def stream_dedup_keys(m: Model) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def compaction_plan_stream(
-    spark: SparkSession, sf_dir: str, sink_name: str = "stream_plan_sink"
+    spark: SparkSession, sf_dir: str, sink_path: str | None = None
 ) -> DataFrame:
     """S1 — the compactor's refresh cycle: every micro-batch of new
     metric events triggers a full plan recompute (re-scan → re-weight →
-    re-sort, CompactorServer.java:127-155), appended to the sink with
-    its batch id.  ``foreachBatch`` is the idiomatic home for this
-    snapshot-replace (not windowed-append) semantics."""
+    re-sort, CompactorServer.java:127-155), appended to a parquet table
+    sink with its batch id.  ``foreachBatch`` is the idiomatic home for
+    this snapshot-replace (not windowed-append) semantics; the plan
+    never touches the driver — each batch's recompute is written
+    distributed (executor → sink), so sink size scales with the plan
+    relation, not driver memory."""
+    import tempfile
+
     from ..catalog import load_model
     from ..registry import QUERIES
 
-    sink_rows: list = []
+    if sink_path is None:
+        sink_path = tempfile.mkdtemp(prefix="hbase_tools_plan_sink_")
 
     def refresh(batch_df: DataFrame, batch_id: int) -> None:
         model = load_model(batch_df.sparkSession, sf_dir)
         plan = QUERIES["compaction_plan"].fn(model).withColumn(
             "batch_id", F.lit(batch_id)
         )
-        sink_rows.extend(plan.collect())
+        plan.write.mode("append").parquet(sink_path)
 
     ev = events_stream(spark, sf_dir)
     q = (
@@ -311,13 +340,7 @@ def compaction_plan_stream(
         .start()
     )
     q.awaitTermination()
-    plan_schema = QUERIES["compaction_plan"].fn(load_model(spark, sf_dir)).schema
-    from pyspark.sql.types import LongType, StructField, StructType
-
-    schema = StructType(
-        list(plan_schema.fields) + [StructField("batch_id", LongType(), False)]
-    )
-    return spark.createDataFrame(sink_rows, schema)
+    return spark.read.parquet(sink_path)
 
 
 # ---------------------------------------------------------------------------

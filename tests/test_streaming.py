@@ -303,6 +303,112 @@ def test_watermark_finalizes_windows_and_drops_late_rows(spark, tmp_path):
     assert got == {("2024-01-01 10:00:00", 2)}, got
 
 
+def test_stateful_ops_under_rocksdb_provider(spark, tmp_path):
+    """Provider-independence: the stateful operators (windowed agg +
+    streaming dedup) produce identical results under the RocksDB state
+    store (the large-state production provider, bounded-memory +
+    changelog checkpointing) as under the default HDFS-backed one."""
+    from hbase_tools_spark.streaming.jobs import ROCKSDB_STATE_CONF
+
+    src = _split_events(spark, tmp_path)
+    schema = spark.read.parquet(src).schema
+    prev = {
+        k: spark.conf.get(k, None) for k in ROCKSDB_STATE_CONF
+    }
+    for k, v in ROCKSDB_STATE_CONF.items():
+        spark.conf.set(k, v)
+    try:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        agg = (
+            stream.groupBy(F.window("ts", "1 hour"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("window.start").alias("ws"), "n")
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("rocks_windows")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # the provider actually engaged: stateful progress reports rows
+        assert any(
+            op["numRowsTotal"] > 0
+            for p in q.recentProgress
+            for op in p["stateOperators"]
+        )
+        dd = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .select("user_id", "event_type")
+            .dropDuplicates(["user_id", "event_type"])
+        )
+        qd = (
+            dd.writeStream.format("memory")
+            .queryName("rocks_dedup")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        qd.awaitTermination()
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    got = {(r["ws"], r["n"]) for r in spark.table("rocks_windows").collect()}
+    expect = {
+        (r["ws"], r["n"])
+        for r in spark.read.parquet(src)
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("ws"), "n")
+        .collect()
+    }
+    assert got == expect
+    n_dedup = spark.table("rocks_dedup").count()
+    assert (
+        n_dedup
+        == spark.read.parquet(src).select("user_id", "event_type").distinct().count()
+    )
+
+
+def test_max_bytes_per_trigger_rate_limits(spark, tmp_path):
+    """Source admission control by bytes (maxBytesPerTrigger): with a
+    cap smaller than one file, each micro-batch admits ~one file — the
+    backpressure knob for bulk-arrival catch-up (a restarted stream
+    facing days of backlog must not load it as one giant batch)."""
+    src = _split_events(spark, tmp_path)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxBytesPerTrigger", "1")  # < any file => 1 file/batch
+        .parquet(src)
+    )
+    q = (
+        stream.select("event_id")
+        .writeStream.format("memory")
+        .queryName("rate_limited")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(batches) >= 3, "byte cap did not split the backlog"
+    assert (
+        spark.table("rate_limited").count()
+        == spark.read.parquet(src).count()
+    )
+
+
 def test_checkpoint_resume_processes_only_new_files(spark, tmp_path):
     """Offset checkpointing: a restarted query with the same checkpoint
     resumes after the already-committed files — the second run reads
