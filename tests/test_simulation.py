@@ -150,6 +150,55 @@ def test_split_points_bisect_their_region(spark):
         assert s < mv < e, (r["start_key"], r["end_key"], r["split_point_hex"])
 
 
+def test_split_multipass_obeys_loop_invariants(spark):
+    """The emitted passes must replay TableSplitter's loop
+    (TableSplitter.java:40-91): per (table, pass) exactly one branch —
+    'full' only while doubling still undershoots the target
+    (count * 2 * splitMultiplier < newSize, and then EVERY region
+    splits), 'biggest' capped at the remaining deficit — and applying
+    each pass (+1 region per split) reaches count >= newSize within the
+    pass bound."""
+    from hbase_tools_spark.operators.planners import (
+        _SPLIT_MULT,
+        _SPLIT_PASSES,
+        _SPLIT_TARGET_FACTOR,
+    )
+
+    m = load_model(spark, SF_DIR)
+    rows = _collect(spark, "split_plan_multipass")
+    assert rows
+    modes = {r["mode"] for r in rows}
+    assert modes == {"full", "biggest"}, modes
+    c0 = {
+        r["table_name"]: r["count"]
+        for r in m.meta_regions.groupBy("table_name").count().collect()
+    }
+    by_table: dict[str, dict[int, list]] = {}
+    for r in rows:
+        by_table.setdefault(r["table_name"], {}).setdefault(
+            r["pass_id"], []
+        ).append(r)
+    for table, passes in by_table.items():
+        assert sorted(passes) == list(range(1, len(passes) + 1))
+        assert len(passes) <= _SPLIT_PASSES
+        count, target = c0[table], _SPLIT_TARGET_FACTOR * c0[table]
+        for pass_id in sorted(passes):
+            batch = passes[pass_id]
+            mode = {r["mode"] for r in batch}
+            assert len(mode) == 1, f"mixed branches in {table}/{pass_id}"
+            assert count < target, "split emitted past the target"
+            if mode == {"full"}:
+                assert count * 2 * _SPLIT_MULT < target
+                assert len(batch) == count, "full split must hit every region"
+            else:
+                assert not (count * 2 * _SPLIT_MULT < target)
+                assert len(batch) <= target - count, "deficit cap violated"
+            for r in batch:
+                assert abs(r["child_size"] * 2 - r["parent_size"]) < 2e-4
+            count += len(batch)
+        assert count >= target, f"{table} did not reach newSize in-bound"
+
+
 def test_distribution_weight_reaches_balance(spark):
     """Simulating exactly `weight` greedy moves (max server -> min
     server) must land the per-server counts within spread <= 1 — the
