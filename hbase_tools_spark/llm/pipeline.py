@@ -1,0 +1,339 @@
+"""Training-data pipeline operators (M8 extension): deterministic
+train/val/test splitting, stratified sampling, intra-document repetition
+quality, benchmark-contamination checking, and the MinHash-LSH banding
+S-curve — the corpus-assembly half of an LLM data pipeline (the dedup /
+similarity half lives in :mod:`.dedup` / :mod:`.similarity`).
+
+Scale notes (100 TB):
+  * split assignment and repetition scoring are narrow per-doc
+    transforms (split assignment literally one hash + substring);
+  * stratified sampling gates on a hash-prefix BEFORE the per-stratum
+    window, so the window input is a tunable fraction of the corpus and
+    the per-language partitions stay bounded;
+  * contamination checking broadcasts the benchmark shingle set (the
+    benchmark is the small dim by construction) — candidates stream
+    through a map-side hash probe, and the only shuffle is the per-doc
+    aggregate with map-side partial aggregation;
+  * the banding sweep is pure math over a constant grid (no data scan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import Model
+from ..functions.exprs import fround, fround_sql
+from ..registry import query
+
+#: Hash-prefix split boundaries over the md5(doc_id) keyspace: 256
+#: two-hex-digit buckets; ['00','cc') -> train (204/256 = 79.7%),
+#: ['cc','e6') -> val (26/256 = 10.2%), ['e6','ff'] -> test (10.2%).
+#: Prefix-range splitting on a content-independent key hash is the
+#: standard reproducible-split device: membership is a pure function of
+#: the id, stable under corpus growth and re-partitioning.
+_TRAIN_HI = "cc"
+_VAL_HI = "e6"
+
+_SAMPLE_GATE = "8"  # stratified sample pre-filter: first hex digit < '8'
+_SAMPLE_K = 5       # docs kept per language
+
+_REP_DISTINCT_MIN = 0.45  # repetition flags (Gopher-style): distinct
+_REP_TOP_MAX = 0.12       # word ratio floor / top-word frequency cap
+
+_CONTAM_SHINGLE = 4    # word n-gram width for the contamination check
+_CONTAM_BENCH = "src0"  # fixture source treated as the held-out benchmark
+_CONTAM_T = 0.5         # shared-shingle ratio above which a doc is flagged
+
+
+def _doc_hash() -> Column:
+    return F.md5(F.col("doc_id").cast("string").cast("binary"))
+
+
+@query(
+    "docs_split_assign",
+    oracle=f"""
+SELECT doc_id, lang, bucket,
+       CASE WHEN bucket < '{_TRAIN_HI}' THEN 'train'
+            WHEN bucket < '{_VAL_HI}' THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id, lang,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+  FROM documents
+) t
+""",
+    views=[],
+)
+def docs_split_assign(m: Model) -> DataFrame:
+    """Deterministic train/val/test assignment by hash-prefix range
+    (~80/10/10): ``md5(doc_id)`` first byte partitions the keyspace, so
+    membership is reproducible across runs, engines, and shard layouts.
+    Narrow per-row transform — zero shuffles at any scale."""
+    bucket = F.substring(_doc_hash(), 1, 2)
+    return m.documents.select(
+        "doc_id",
+        "lang",
+        bucket.alias("bucket"),
+        F.when(bucket < _TRAIN_HI, "train")
+        .when(bucket < _VAL_HI, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+@query(
+    "docs_stratified_sample",
+    oracle=f"""
+SELECT doc_id, lang, CAST(rn AS BIGINT) AS sample_rank
+FROM (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
+  FROM (
+    SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '{_SAMPLE_GATE}'
+  ) gated
+) r
+WHERE rn <= {_SAMPLE_K}
+""",
+    views=[],
+)
+def docs_stratified_sample(m: Model) -> DataFrame:
+    """Deterministic stratified sample: top-{5} docs per language in
+    hash order.  The hash-prefix gate (first hex digit < '{8}', i.e. a
+    50% pre-filter here, tuned so expected survivors >> k per stratum)
+    runs BEFORE the per-language window — at 100 TB the window input is
+    a small corpus fraction and the low-cardinality ``lang`` partitions
+    stay bounded instead of pulling whole languages to single tasks."""
+    h = _doc_hash()
+    gated = m.documents.where(F.substring(h, 1, 1) < _SAMPLE_GATE).select(
+        "doc_id", "lang", h.alias("h")
+    )
+    rn = F.row_number().over(Window.partitionBy("lang").orderBy("h", "doc_id"))
+    return (
+        gated.select("doc_id", "lang", rn.alias("sample_rank"))
+        .where(F.col("sample_rank") <= _SAMPLE_K)
+        .select("doc_id", "lang", F.col("sample_rank").cast("bigint"))
+    )
+
+
+@query(
+    "docs_repetition_ratio",
+    oracle=f"""
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT)   AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       {fround_sql('count(*) * 1.0 / sum(c)', 6)} AS distinct_ratio,
+       {fround_sql('max(c) * 1.0 / sum(c)', 6)}   AS top_word_ratio,
+       (count(*) * 1.0 / sum(c) < {_REP_DISTINCT_MIN}
+        OR max(c) * 1.0 / sum(c) > {_REP_TOP_MAX}) AS repetitive
+FROM (
+  SELECT doc_id, word, count(*) AS c
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents) w
+  GROUP BY 1, 2
+) wc
+GROUP BY doc_id
+""",
+    views=[],
+)
+def docs_repetition_ratio(m: Model) -> DataFrame:
+    """Intra-document repetition quality signal (Gopher-style filters):
+    distinct-word fraction and top-word frequency per doc, flagged when
+    the text is repetitive.  Two-level aggregate — per-(doc, word)
+    counts first, then per-doc — so the shuffle carries one row per
+    distinct word per doc with map-side partial aggregation; no skew
+    (keys are (doc_id, word), high cardinality by construction)."""
+    wc = (
+        m.documents.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+        )
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_tokens, n_distinct, top = F.sum("c"), F.count(F.lit(1)), F.max("c")
+    return wc.groupBy("doc_id").agg(
+        n_tokens.cast("bigint").alias("n_tokens"),
+        n_distinct.cast("bigint").alias("n_distinct"),
+        fround(n_distinct * 1.0 / n_tokens, 6).alias("distinct_ratio"),
+        fround(top * 1.0 / n_tokens, 6).alias("top_word_ratio"),
+        (
+            (n_distinct * 1.0 / n_tokens < _REP_DISTINCT_MIN)
+            | (top * 1.0 / n_tokens > _REP_TOP_MAX)
+        ).alias("repetitive"),
+    )
+
+
+_CONTAM_SHINGLES_SQL = f"""
+SELECT doc_id, unnest(list_distinct(
+         list_transform(range(1, greatest(len(toks) - {_CONTAM_SHINGLE - 2}, 1)),
+                        i -> array_to_string(toks[i:i+{_CONTAM_SHINGLE - 1}], ' '))
+       )) AS shingle
+FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t
+WHERE len(toks) >= {_CONTAM_SHINGLE}
+"""
+
+
+@query(
+    "ngram_contamination",
+    oracle=f"""
+WITH sh AS ({_CONTAM_SHINGLES_SQL}),
+src AS (SELECT doc_id, source FROM documents),
+bench AS (
+  SELECT DISTINCT shingle FROM sh JOIN src USING (doc_id)
+  WHERE source = '{_CONTAM_BENCH}'
+),
+cand AS (
+  SELECT sh.doc_id, sh.shingle FROM sh JOIN src USING (doc_id)
+  WHERE source <> '{_CONTAM_BENCH}'
+)
+SELECT cand.doc_id,
+       CAST(count(*) AS BIGINT)             AS n_shingles,
+       CAST(count(bench.shingle) AS BIGINT) AS n_shared,
+       {fround_sql('count(bench.shingle) * 1.0 / count(*)', 6)} AS contamination,
+       count(bench.shingle) * 1.0 / count(*) >= {_CONTAM_T} AS contaminated
+FROM cand LEFT JOIN bench ON cand.shingle = bench.shingle
+GROUP BY cand.doc_id
+""",
+    views=[],
+)
+def ngram_contamination(m: Model) -> DataFrame:
+    """Benchmark-contamination check: fraction of each candidate doc's
+    distinct word {4}-grams that appear anywhere in the benchmark set
+    (here: the '{src0}' source, standing in for a held-out eval set).
+    The benchmark shingle set is the SMALL dim by construction, so it is
+    broadcast — candidates stream through a map-side hash probe and the
+    only shuffle is the per-doc aggregate (map-side partials).  This is
+    the textbook decontamination plan: corpus-side work is one narrow
+    pass + one broadcast probe regardless of corpus size."""
+    import pandas as pd
+
+    width = _CONTAM_SHINGLE
+
+    def shingler(batches):
+        for pdf in batches:
+            ids, shs = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = text.split(" ")
+                if len(toks) < width:
+                    continue
+                seen = dict.fromkeys(
+                    " ".join(toks[i : i + width])
+                    for i in range(len(toks) - width + 1)
+                )
+                ids.extend([doc_id] * len(seen))
+                shs.extend(seen)
+            yield pd.DataFrame({"doc_id": ids, "shingle": shs})
+
+    n_parts = m.spark.sparkContext.defaultParallelism
+    sh = (
+        m.documents.select("doc_id", "text")
+        .repartition(n_parts, "doc_id")
+        .mapInPandas(shingler, "doc_id long, shingle string")
+    )
+    src = m.documents.select("doc_id", "source")
+    bench = (
+        sh.join(
+            src.where(F.col("source") == _CONTAM_BENCH).select("doc_id"),
+            "doc_id",
+        )
+        .select("shingle")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    cand = sh.join(
+        src.where(F.col("source") != _CONTAM_BENCH).select("doc_id"), "doc_id"
+    )
+    n_sh, n_hit = F.count(F.lit(1)), F.count("hit")
+    return (
+        cand.join(F.broadcast(bench), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            n_sh.cast("bigint").alias("n_shingles"),
+            n_hit.cast("bigint").alias("n_shared"),
+            fround(n_hit * 1.0 / n_sh, 6).alias("contamination"),
+            (n_hit * 1.0 / n_sh >= _CONTAM_T).alias("contaminated"),
+        )
+    )
+
+
+#: (bands, rows_per_band) configurations with b*r = 16, matching the
+#: 16-permutation MinHash in :mod:`.dedup`.  r restricted to powers of
+#: two so the balance threshold (1/b)^(1/r) unrolls to an exact sqrt
+#: chain (cross-engine bit-identical; pow() is not).
+_SWEEP_CONFIGS = [(16, 1), (8, 2), (4, 4), (2, 8)]
+_SWEEP_STEPS = 19  # s = 0.05 .. 0.95
+
+
+def _chain_sql(expr: str, n: int) -> str:
+    return " * ".join([f"({expr})"] * n)
+
+
+def _sweep_branch_sql(b: int, r: int) -> str:
+    sr = _chain_sql("s", r)
+    thr = f"CAST(1 AS DOUBLE) / {b}"
+    for _ in range(r.bit_length() - 1):  # r = 2^k -> k nested sqrts
+        thr = f"sqrt({thr})"
+    # s is forced to DOUBLE before the multiply: DuckDB parses `0.05`
+    # as DECIMAL and would compute an exact-decimal grid that differs
+    # from Spark's double grid in the last ULP.
+    return f"""
+SELECT {b} AS bands, {r} AS rows_per_band, s,
+       {fround_sql(f'1.0 - {_chain_sql(f"1.0 - {sr}", b)}', 6)} AS p_candidate,
+       {fround_sql(thr, 6)} AS balance_threshold
+FROM (SELECT CAST(i AS DOUBLE) * CAST(0.05 AS DOUBLE) AS s
+      FROM range(1, {_SWEEP_STEPS + 1}) t(i)) g
+"""
+
+
+@query(
+    "lsh_band_sweep",
+    oracle="\nUNION ALL\n".join(
+        _sweep_branch_sql(b, r) for b, r in _SWEEP_CONFIGS
+    ),
+    views=[],
+)
+def lsh_band_sweep(m: Model) -> DataFrame:
+    """MinHash-LSH banding parameter sweep: the S-curve
+    ``P(candidate) = 1 - (1 - s^r)^b`` over a similarity grid for every
+    (bands, rows-per-band) factorization of the 16-permutation
+    signature, plus the balance threshold ``(1/b)^(1/r)`` where the
+    curve inflects.  This is the tuning table for choosing the banding
+    in :func:`~hbase_tools_spark.llm.dedup.minhash_band_pairs`: pick the
+    config whose threshold brackets the target Jaccard.  Constant-space
+    math on a literal grid — no data scan; powers unroll to literal
+    multiplication chains so both engines do the identical IEEE op
+    sequence."""
+
+    def chain(col: Column, n: int) -> Column:
+        out = col
+        for _ in range(n - 1):
+            out = out * col
+        return out
+
+    grid = m.spark.range(1, _SWEEP_STEPS + 1).select(
+        (F.col("id") * 0.05).alias("s")
+    )
+    branches = []
+    for b, r in _SWEEP_CONFIGS:
+        s = F.col("s")
+        thr = F.lit(1.0) / b
+        for _ in range(r.bit_length() - 1):
+            thr = F.sqrt(thr)
+        branches.append(
+            grid.select(
+                F.lit(b).cast("int").alias("bands"),
+                F.lit(r).cast("int").alias("rows_per_band"),
+                s.alias("s"),
+                fround(
+                    F.lit(1.0) - chain(F.lit(1.0) - chain(s, r), b), 6
+                ).alias("p_candidate"),
+                fround(thr, 6).alias("balance_threshold"),
+            )
+        )
+    out = branches[0]
+    for br in branches[1:]:
+        out = out.unionByName(br)
+    return out

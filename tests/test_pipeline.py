@@ -1,0 +1,125 @@
+"""Semantic tests for the training-data pipeline operators
+(llm/pipeline.py): split determinism and proportions, stratified-sample
+bounds, repetition math, contamination self-consistency, banding-curve
+properties, and the broadcast plan shape of the contamination join."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from conftest import SF_DIR
+
+import hbase_tools_spark.llm  # noqa: F401 — registers the queries
+from hbase_tools_spark.catalog import load_model
+from hbase_tools_spark.registry import QUERIES
+
+
+def _run(spark, name):
+    return QUERIES[name].fn(load_model(spark, SF_DIR)).collect()
+
+
+def test_split_assign_deterministic_and_proportional(spark):
+    """Membership is a pure function of doc_id (matches a Python md5
+    port) and the realized fractions sit near 80/10/10."""
+    rows = _run(spark, "docs_split_assign")
+    assert rows
+    for r in rows:
+        b = hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:2]
+        expect = "train" if b < "cc" else ("val" if b < "e6" else "test")
+        assert r["split"] == expect and r["bucket"] == b
+    n = len(rows)
+    frac = {
+        s: sum(1 for r in rows if r["split"] == s) / n
+        for s in ("train", "val", "test")
+    }
+    assert 0.72 < frac["train"] < 0.88
+    assert 0.04 < frac["val"] < 0.17
+    assert 0.04 < frac["test"] < 0.17
+
+
+def test_stratified_sample_bounds_and_determinism(spark):
+    """<= k docs per language, ranks contiguous from 1, and every kept
+    doc passes the hash gate; a second run returns the identical set."""
+    from hbase_tools_spark.llm.pipeline import _SAMPLE_GATE, _SAMPLE_K
+
+    rows = _run(spark, "docs_stratified_sample")
+    per_lang: dict[str, list[int]] = {}
+    for r in rows:
+        assert hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[0] < _SAMPLE_GATE
+        per_lang.setdefault(r["lang"], []).append(r["sample_rank"])
+    for lang, ranks in per_lang.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), lang
+        assert len(ranks) <= _SAMPLE_K
+    again = {(r["doc_id"], r["sample_rank"]) for r in _run(spark, "docs_stratified_sample")}
+    assert again == {(r["doc_id"], r["sample_rank"]) for r in rows}
+
+
+def test_repetition_ratio_matches_python(spark):
+    """Per-doc token counts and ratios equal a pure-Python recount."""
+    m = load_model(spark, SF_DIR)
+    got = {r["doc_id"]: r for r in _run(spark, "docs_repetition_ratio")}
+    for doc in m.documents.select("doc_id", "text").collect():
+        toks = doc["text"].split(" ")
+        from collections import Counter
+
+        c = Counter(toks)
+        r = got[doc["doc_id"]]
+        assert r["n_tokens"] == len(toks)
+        assert r["n_distinct"] == len(c)
+        assert abs(r["distinct_ratio"] - len(c) / len(toks)) < 1e-6
+        assert abs(r["top_word_ratio"] - max(c.values()) / len(toks)) < 1e-6
+
+
+def test_contamination_self_and_plan_shape(spark):
+    """A doc whose text duplicates a benchmark doc must be ~fully
+    contaminated; benchmark docs never appear as candidates; the
+    benchmark side of the join is broadcast (no shuffle on the big
+    side's probe)."""
+    from hbase_tools_spark.llm.pipeline import _CONTAM_BENCH, ngram_contamination
+
+    m = load_model(spark, SF_DIR)
+    df = ngram_contamination(m)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, "bench probe degraded to SMJ"
+    rows = {r["doc_id"]: r for r in df.collect()}
+    bench_ids = {
+        r["doc_id"]
+        for r in m.documents.where(f"source = '{_CONTAM_BENCH}'").collect()
+    }
+    assert not (set(rows) & bench_ids), "benchmark docs leaked into candidates"
+    # synthesize ground truth for a handful of docs in pure Python
+    texts = {r["doc_id"]: r["text"] for r in m.documents.collect()}
+    bench_sh = {
+        " ".join(t.split(" ")[i : i + 4])
+        for b in bench_ids
+        for t, i in (
+            (texts[b], j) for j in range(len(texts[b].split(" ")) - 3)
+        )
+    }
+    for doc_id in list(rows)[:25]:
+        toks = texts[doc_id].split(" ")
+        sh = {" ".join(toks[i : i + 4]) for i in range(len(toks) - 3)}
+        expect = len(sh & bench_sh) / len(sh)
+        assert abs(rows[doc_id]["contamination"] - expect) < 1e-6, doc_id
+
+
+def test_band_sweep_curve_properties(spark):
+    """The S-curve is monotone in s, hits the analytic closed form, and
+    each config's balance threshold equals (1/b)^(1/r)."""
+    rows = _run(spark, "lsh_band_sweep")
+    by_cfg: dict[tuple, list] = {}
+    for r in rows:
+        by_cfg.setdefault((r["bands"], r["rows_per_band"]), []).append(r)
+    assert set(by_cfg) == {(16, 1), (8, 2), (4, 4), (2, 8)}
+    for (b, rr), pts in by_cfg.items():
+        pts.sort(key=lambda r: r["s"])
+        assert len(pts) == 19
+        last = -1.0
+        for p in pts:
+            analytic = 1.0 - (1.0 - p["s"] ** rr) ** b
+            assert abs(p["p_candidate"] - analytic) < 1e-5
+            assert p["p_candidate"] >= last
+            last = p["p_candidate"]
+            assert abs(p["balance_threshold"] - (1.0 / b) ** (1.0 / rr)) < 1e-5
