@@ -24,9 +24,16 @@ from pyspark.sql import functions as F
 from ..catalog import Model
 from ..registry import query
 
+# Feature vector flattened to scalar columns (f_len/f_first/f_last/
+# f_sum16) rather than array<double>: scalars keep the output hashable
+# for order-insensitive comparison and make the byte-math stub fully
+# SQL-expressible; a real extractor appending an opaque embedding would
+# emit it alongside these as a separate array column for the ANN path
+# (llm/similarity.py), where arrays are consumed, not compared.
 FEATURE_SCHEMA = (
     "doc_id bigint, media_type string, n_bytes bigint, "
-    "width int, height int, feature array<double>"
+    "width int, height int, f_len double, f_first double, f_last double, "
+    "f_sum16 double"
 )
 
 
@@ -38,7 +45,7 @@ def _decode_and_featurize(decode_stub: bool):
                     "real media decode requires PIL/ffmpeg; not in this container"
                 )
             n = pdf["payload"].map(len)
-            # deterministic fake decode: dims + an 4-dim byte-stat feature
+            # deterministic fake decode: dims + 4 byte-stat features
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -46,15 +53,35 @@ def _decode_and_featurize(decode_stub: bool):
                     "n_bytes": n.astype("int64"),
                     "width": (n % 640).astype("int32"),
                     "height": (n % 480).astype("int32"),
-                    "feature": [
-                        [float(len(p)), float(p[0]) if len(p) else 0.0,
-                         float(p[-1]) if len(p) else 0.0, float(sum(p[:16]) % 256)]
-                        for p in pdf["payload"]
-                    ],
+                    "f_len": n.astype("float64"),
+                    "f_first": pdf["payload"].map(
+                        lambda p: float(p[0]) if len(p) else 0.0
+                    ),
+                    "f_last": pdf["payload"].map(
+                        lambda p: float(p[-1]) if len(p) else 0.0
+                    ),
+                    "f_sum16": pdf["payload"].map(
+                        lambda p: float(sum(p[:16]) % 256)
+                    ),
                 }
             )
 
     return fn
+
+
+# DuckDB-side media table: payload = encode(text) (UTF-8).  The
+# document corpus is ASCII by construction (verified octet_length ==
+# length over the fixtures), so byte i of the payload equals
+# ascii(substring(text, i, 1)) — which keeps the byte-math oracle in
+# plain string SQL.
+_MEDIA_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+            WHEN doc_id % 3 = 1 THEN 'audio/wav'
+            ELSE 'video/mp4' END AS media_type,
+       text
+FROM documents
+"""
 
 
 def media_table(m: Model) -> DataFrame:
@@ -71,18 +98,46 @@ def media_table(m: Model) -> DataFrame:
     )
 
 
-@query("multimodal_features", oracle=None)
+@query(
+    "multimodal_features",
+    oracle=f"""
+WITH media AS ({_MEDIA_SQL})
+SELECT doc_id, media_type,
+       CAST(length(text) AS BIGINT)        AS n_bytes,
+       CAST(length(text) % 640 AS INTEGER) AS width,
+       CAST(length(text) % 480 AS INTEGER) AS height,
+       CAST(length(text) AS DOUBLE)        AS f_len,
+       CAST(CASE WHEN length(text) > 0
+                 THEN ascii(substring(text, 1, 1)) ELSE 0 END AS DOUBLE)
+         AS f_first,
+       CAST(CASE WHEN length(text) > 0
+                 THEN ascii(substring(text, length(text), 1)) ELSE 0 END AS DOUBLE)
+         AS f_last,
+       CAST(coalesce(list_sum(list_transform(
+              range(1, least(length(text), 16) + 1),
+              i -> ascii(substring(text, i, 1)))), 0) % 256 AS DOUBLE)
+         AS f_sum16
+FROM media
+""",
+    views=[],
+)
 def multimodal_features(m: Model) -> DataFrame:
     """Binary-column feature extraction via mapInPandas (stubbed decode,
-    real plumbing).  Rows-only checked by the driver; batch-shape and
+    real plumbing).  The stub features are pure byte math, so the
+    driver hash-checks them against the DuckDB oracle; batch-shape and
     schema asserted in tests/test_llm.py."""
     media = media_table(m)
     return media.mapInPandas(_decode_and_featurize(decode_stub=True), FEATURE_SCHEMA)
 
 
+# Resized payload emitted as lower-case hex: the binary stays binary
+# inside the pipeline (payload in, bytes transformed per batch); hex is
+# the comparison-safe *output* encoding — DuckDB BLOB results may
+# surface as unhashable bytearray in pandas, which breaks the driver's
+# order-insensitive canonicalization the same way array<double> did.
 RESIZE_SCHEMA = (
     "doc_id bigint, media_type string, target_w int, target_h int, "
-    "out_bytes bigint, resized binary"
+    "out_bytes bigint, resized_hex string"
 )
 
 
@@ -108,25 +163,45 @@ def _resize(target_w: int, target_h: int, decode_stub: bool):
                     "target_w": target_w,
                     "target_h": target_h,
                     "out_bytes": [len(r) for r in resized],
-                    "resized": resized,
+                    "resized_hex": [r.hex() for r in resized],
                 }
             )
 
     return fn
 
 
-@query("multimodal_resize", oracle=None)
+@query(
+    "multimodal_resize",
+    oracle=f"""
+WITH media AS ({_MEDIA_SQL})
+SELECT doc_id, media_type,
+       CAST(64 AS INTEGER) AS target_w,
+       CAST(64 AS INTEGER) AS target_h,
+       CAST(length(resized) AS BIGINT) AS out_bytes,
+       lower(hex(encode(resized))) AS resized_hex
+FROM (
+  SELECT doc_id, media_type,
+         CASE WHEN length(text) >= 64 THEN substring(text, 1, 64)
+              ELSE substring(repeat(text, 64 // greatest(length(text), 1) + 1), 1, 64)
+         END AS resized
+  FROM media
+  WHERE media_type = 'image/png'
+) t
+""",
+    views=[],
+)
 def multimodal_resize(m: Model) -> DataFrame:
     """Image-resize plumbing via mapInPandas (stubbed decode): binary
-    in, binary out, typed target metadata.  The Arrow batch never
-    leaves the task, so at 100 TB this is a pure map stage whose cost
-    scales with bytes, not rows."""
+    in, bytes transformed per Arrow batch, typed target metadata out.
+    The batch never leaves the task, so at 100 TB this is a pure map
+    stage whose cost scales with bytes, not rows.  The truncate-or-tile
+    stub is deterministic byte math, hash-checked vs the oracle."""
     media = media_table(m).filter(F.col("media_type") == "image/png")
     return media.mapInPandas(_resize(64, 64, decode_stub=True), RESIZE_SCHEMA)
 
 
 FRAME_SCHEMA = (
-    "doc_id bigint, frame_idx int, frame_ts_ms bigint, frame binary"
+    "doc_id bigint, frame_idx int, frame_ts_ms bigint, frame_hex string"
 )
 
 _FRAME_BYTES = 32   # fake frame payload size
@@ -141,22 +216,40 @@ def _frame_sample(decode_stub: bool):
                 raise NotImplementedError(
                     "real frame extraction requires ffmpeg; not in this container"
                 )
-            out = {"doc_id": [], "frame_idx": [], "frame_ts_ms": [], "frame": []}
+            out = {"doc_id": [], "frame_idx": [], "frame_ts_ms": [], "frame_hex": []}
             for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
                 n_frames = max(len(p) // _FRAME_BYTES, 1)
                 for idx in range(0, n_frames, _SAMPLE_EVERY):
                     out["doc_id"].append(doc_id)
                     out["frame_idx"].append(idx)
                     out["frame_ts_ms"].append(idx * 1000 // _FPS)
-                    out["frame"].append(
-                        bytes(p[idx * _FRAME_BYTES : (idx + 1) * _FRAME_BYTES])
+                    out["frame_hex"].append(
+                        bytes(p[idx * _FRAME_BYTES : (idx + 1) * _FRAME_BYTES]).hex()
                     )
             yield pd.DataFrame(out)
 
     return fn
 
 
-@query("multimodal_frame_sample", oracle=None)
+@query(
+    "multimodal_frame_sample",
+    oracle=f"""
+WITH media AS ({_MEDIA_SQL})
+SELECT doc_id,
+       CAST(idx AS INTEGER) AS frame_idx,
+       CAST(idx * 1000 // {_FPS} AS BIGINT) AS frame_ts_ms,
+       lower(hex(encode(substring(text, idx * {_FRAME_BYTES} + 1, {_FRAME_BYTES}))))
+         AS frame_hex
+FROM (
+  SELECT doc_id, text,
+         unnest(range(0, greatest(length(text) // {_FRAME_BYTES}, 1),
+                      {_SAMPLE_EVERY})) AS idx
+  FROM media
+  WHERE media_type = 'video/mp4'
+) t
+""",
+    views=[],
+)
 def multimodal_frame_sample(m: Model) -> DataFrame:
     """Video frame sampling via mapInPandas (stubbed decode): one input
     row fans out to its sampled frames — the UDTF-shaped multimodal op.

@@ -40,7 +40,10 @@ def test_multimodal_features_schema_and_values(spark):
 
     m = load_model(spark, SF_DIR)
     df = multimodal_features(m)
-    assert df.columns == ["doc_id", "media_type", "n_bytes", "width", "height", "feature"]
+    assert df.columns == [
+        "doc_id", "media_type", "n_bytes", "width", "height",
+        "f_len", "f_first", "f_last", "f_sum16",
+    ]
     rows = {r["doc_id"]: r for r in df.collect()}
     src = {r["doc_id"]: r for r in media_table(m).collect()}
     assert set(rows) == set(src)
@@ -48,8 +51,10 @@ def test_multimodal_features_schema_and_values(spark):
         payload = bytes(src[doc_id]["payload"])
         assert r["n_bytes"] == len(payload)
         assert r["width"] == len(payload) % 640
-        assert len(r["feature"]) == 4
-        assert r["feature"][0] == float(len(payload))
+        assert r["f_len"] == float(len(payload))
+        assert r["f_first"] == float(payload[0])
+        assert r["f_last"] == float(payload[-1])
+        assert r["f_sum16"] == float(sum(payload[:16]) % 256)
 
 
 def test_multimodal_decode_stub_raises(spark):
@@ -76,10 +81,11 @@ def test_multimodal_resize_shapes(spark):
     for r in rows[:20]:
         assert r["target_w"] == 64 and r["target_h"] == 64
         assert r["out_bytes"] == budget
-        assert len(r["resized"]) == budget
+        assert len(r["resized_hex"]) == 2 * budget
+        bytes.fromhex(r["resized_hex"])  # valid lower-case hex
     # deterministic: re-run yields identical bytes
-    again = {r["doc_id"]: bytes(r["resized"]) for r in QUERIES["multimodal_resize"].fn(m).collect()}
-    assert all(bytes(r["resized"]) == again[r["doc_id"]] for r in rows)
+    again = {r["doc_id"]: r["resized_hex"] for r in QUERIES["multimodal_resize"].fn(m).collect()}
+    assert all(r["resized_hex"] == again[r["doc_id"]] for r in rows)
 
 
 def test_multimodal_frame_sample_fanout(spark):
