@@ -160,6 +160,10 @@ FROM (
 
 
 def _minhash_signatures(m: Model) -> DataFrame:
+    return _signatures_for(m.documents)
+
+
+def _signatures_for(docs: DataFrame) -> DataFrame:
     """MinHash signatures: each distinct shingle is md5-hashed ONCE and
     parsed to a 32-bit int; sig[i] = min over shingles of the i-th
     integer permutation ((2i+1)·h + i·K) mod P.  md5-hex parse and
@@ -212,15 +216,24 @@ def _minhash_signatures(m: Model) -> DataFrame:
                 sigs.append(((mul * hv[None, :] + add) % prime).min(axis=1))
             yield pd.DataFrame({"doc_id": ids, "sig": sigs})
 
-    n_parts = m.spark.sparkContext.defaultParallelism
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
     return (
-        m.documents.select("doc_id", "text")
+        docs.select("doc_id", "text")
         .repartition(n_parts, "doc_id")
         .mapInPandas(signer, "doc_id long, sig array<long>")
     )
 
 
-_MINHASH_PAIRS_SQL = f"""
+# Hot-bucket cap: a bucket with more than this many docs is EXCLUDED
+# from pair enumeration (its O(n^2) fan-out would dominate the job; a
+# bucket that hot means a near-identical cluster, which exact dedup
+# catches far more cheaply).  The cap is applied identically in the
+# oracle SQL so the parity gate covers the capped semantics; dropped
+# buckets are observable via :func:`lsh_hot_buckets` /
+# ``lsh_bucket_stats`` rather than silently vanishing.
+_BUCKET_CAP = 100
+
+_BANDS_SQL = f"""
 WITH sig AS ({_SIG_SQL}),
 bands AS (
   SELECT doc_id, b AS band,
@@ -228,22 +241,30 @@ bands AS (
   FROM sig
   CROSS JOIN (SELECT unnest(range(0, {_BANDS})) AS b)
 )
+"""
+
+_MINHASH_PAIRS_SQL = f"""
+{_BANDS_SQL},
+ok_buckets AS (
+  SELECT band, band_hash
+  FROM bands
+  GROUP BY band, band_hash
+  HAVING count(*) BETWEEN 2 AND {_BUCKET_CAP}
+)
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a
+JOIN ok_buckets ob ON a.band = ob.band AND a.band_hash = ob.band_hash
 JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
             AND a.doc_id < b.doc_id
 """
 
 
-@query("minhash_band_pairs", oracle=_MINHASH_PAIRS_SQL, views=[])
-def minhash_band_pairs(m: Model) -> DataFrame:
-    """MinHash-LSH candidate pairs: {16} md5-minhashes, {4} bands of
-    {4}; docs sharing any band hash are candidates.  The band-hash join
-    replaces the O(shingle-fanout) pair join — the 100 TB dedup path."""
-    sig = _minhash_signatures(m)
+def _bands_for(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, band_hash) relation — the LSH bucketing key."""
+    sig = _signatures_for(docs)
     rows_per_band = _MINHASHES // _BANDS
     band_ids = F.sequence(F.lit(0), F.lit(_BANDS - 1))
-    bands = sig.select(
+    return sig.select(
         "doc_id",
         F.explode(
             F.transform(
@@ -261,15 +282,22 @@ def minhash_band_pairs(m: Model) -> DataFrame:
             )
         ).alias("bh"),
     ).select("doc_id", "bh.band", "bh.band_hash")
+
+
+def minhash_pairs_for(docs: DataFrame, cap: int = _BUCKET_CAP) -> DataFrame:
+    """Candidate pairs over any (doc_id, text) relation with the
+    hot-bucket cap applied — the reusable core of
+    ``minhash_band_pairs``."""
+    bands = _bands_for(docs)
     # Pair generation by bucket grouping, not a self-join: the signature
     # pipeline runs ONCE and shuffles once on (band, band_hash); pairs
-    # are enumerated inside each bucket (buckets are tiny by LSH
-    # design — a hot bucket means near-identical docs, which AQE-skew
-    # or a bucket-size cap handles at scale).
+    # are enumerated inside each bucket.  Buckets are tiny by LSH
+    # design; the ones that aren't (> cap docs) are dropped here, which
+    # bounds per-bucket fan-out at C(cap, 2) pairs.
     buckets = (
         bands.groupBy("band", "band_hash")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
-        .filter(F.size("ds") >= 2)
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= cap))
     )
     pairs = F.flatten(
         F.transform(
@@ -286,6 +314,75 @@ def minhash_band_pairs(m: Model) -> DataFrame:
         buckets.select(F.explode(pairs).alias("p"))
         .select("p.doc_a", "p.doc_b")
         .distinct()
+    )
+
+
+def lsh_hot_buckets(docs: DataFrame, cap: int = _BUCKET_CAP) -> DataFrame:
+    """The buckets the cap dropped: (band, band_hash, n_docs) — emitted
+    so a pipeline can route them to exact dedup instead of losing them
+    silently."""
+    return (
+        _bands_for(docs)
+        .groupBy("band", "band_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > cap)
+    )
+
+
+@query("minhash_band_pairs", oracle=_MINHASH_PAIRS_SQL, views=[])
+def minhash_band_pairs(m: Model) -> DataFrame:
+    """MinHash-LSH candidate pairs: {16} md5-minhashes, {4} bands of
+    {4}; docs sharing any band hash are candidates.  The band-hash join
+    replaces the O(shingle-fanout) pair join — the 100 TB dedup path.
+    Buckets over {100} docs are excluded (identically in the oracle);
+    see ``lsh_bucket_stats`` for what was dropped."""
+    return minhash_pairs_for(m.documents)
+
+
+@query(
+    "lsh_bucket_stats",
+    oracle=f"""
+{_BANDS_SQL}
+SELECT band,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(max(n) AS BIGINT) AS max_bucket,
+       CAST(coalesce(sum(CASE WHEN n > {_BUCKET_CAP} THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hot,
+       CAST(coalesce(sum(CASE WHEN n BETWEEN 2 AND {_BUCKET_CAP}
+                              THEN n * (n - 1) // 2 ELSE 0 END), 0) AS BIGINT) AS n_pairs
+FROM (
+  SELECT band, band_hash, count(*) AS n
+  FROM bands
+  GROUP BY band, band_hash
+) b
+GROUP BY band
+""",
+    views=[],
+)
+def lsh_bucket_stats(m: Model) -> DataFrame:
+    """LSH bucket-size diagnostics per band: bucket count, max bucket
+    size, hot buckets dropped by the cap, and the pair fan-out the cap
+    admits.  The observability face of the hot-bucket cap — at 100 TB
+    this is the query an operator watches to tune (bands, cap)."""
+    sizes = (
+        _bands_for(m.documents)
+        .groupBy("band", "band_hash")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return sizes.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("n").alias("max_bucket"),
+        F.coalesce(
+            F.sum(F.when(F.col("n") > _BUCKET_CAP, 1).otherwise(0)), F.lit(0)
+        ).alias("n_hot"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("n") >= 2) & (F.col("n") <= _BUCKET_CAP),
+                    F.expr("n * (n - 1) DIV 2"),
+                ).otherwise(F.lit(0))
+            ),
+            F.lit(0),
+        ).alias("n_pairs"),
     )
 
 

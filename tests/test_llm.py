@@ -57,6 +57,29 @@ def test_multimodal_features_schema_and_values(spark):
         assert r["f_sum16"] == float(sum(payload[:16]) % 256)
 
 
+def test_lsh_hot_bucket_cap(spark):
+    """A pathological identical-doc cluster (> cap) must be excluded
+    from pair enumeration — bounding per-bucket fan-out — while small
+    dup groups still pair, and the dropped buckets stay observable."""
+    from hbase_tools_spark.llm.dedup import lsh_hot_buckets, minhash_pairs_for
+
+    rows = [(i, "alpha beta gamma delta epsilon zeta eta") for i in range(150)]
+    rows += [(1000 + i, "one two three four five six seven") for i in range(3)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    pairs = {(r["doc_a"], r["doc_b"]) for r in minhash_pairs_for(docs, cap=100).collect()}
+    assert pairs == {(1000, 1001), (1000, 1002), (1001, 1002)}
+
+    hot = lsh_hot_buckets(docs, cap=100).collect()
+    # identical docs share one bucket per band
+    assert len(hot) == 4
+    assert all(r["n_docs"] == 150 for r in hot)
+
+    # with a cap that admits the cluster, the fan-out appears
+    uncapped = minhash_pairs_for(docs, cap=1000).count()
+    assert uncapped == 150 * 149 // 2 + 3
+
+
 def test_multimodal_decode_stub_raises(spark):
     import pytest
 
@@ -115,6 +138,32 @@ def test_multimodal_frame_sample_fanout(spark):
         assert r["count"] == expect
     one = frames.filter(F.col("frame_idx") == 0).first()
     assert one["frame_ts_ms"] == 0
+
+
+def test_bmp_wav_header_roundtrip():
+    """The honest decode branch: build/parse must roundtrip, and the
+    containers must be structurally valid (magic, sizes)."""
+    from hbase_tools_spark.llm.multimodal import (
+        build_bmp,
+        build_wav,
+        parse_bmp,
+        parse_wav,
+    )
+
+    bmp = build_bmp(641, 479, b"\x01\x02\x03" * 5)
+    assert bmp[:2] == b"BM" and len(bmp) == 54 + 15
+    assert parse_bmp(bmp) == (641, 479, 24)
+
+    wav = build_wav(44100, 2, b"\x00" * 10)
+    assert wav[:4] == b"RIFF" and wav[8:12] == b"WAVE" and len(wav) == 44 + 10
+    assert parse_wav(wav) == (44100, 2, 16)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        parse_bmp(wav)
+    with pytest.raises(ValueError):
+        parse_wav(bmp)
 
 
 def test_multimodal_real_decode_gated(spark):
