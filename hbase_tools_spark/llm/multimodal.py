@@ -15,6 +15,7 @@ repartition by doc_id spreads decode cost; no shuffle after extraction
 
 from __future__ import annotations
 
+import struct
 from typing import Iterator
 
 import pandas as pd
@@ -229,6 +230,163 @@ def _frame_sample(decode_stub: bool):
             yield pd.DataFrame(out)
 
     return fn
+
+
+# ---------------------------------------------------------------------------
+# Honest decode branch: real BMP/WAV containers, parsed from bytes
+# ---------------------------------------------------------------------------
+#
+# PIL/ffmpeg are absent from this container, but BMP and canonical WAV
+# headers are simple fixed layouts a few struct.unpack calls decode —
+# so this branch builds REAL container bytes (valid BITMAPINFOHEADER
+# BMPs / RIFF-WAVE files any external tool could open) and then
+# decodes them by actually parsing the bytes.  The oracle checks the
+# decoded values against the generation formulas: a parser reading the
+# wrong offsets or endianness hash-mismatches immediately.
+
+
+def build_bmp(width: int, height: int, pixel_data: bytes) -> bytes:
+    """Minimal valid 24-bpp BMP: BITMAPFILEHEADER (14 B) +
+    BITMAPINFOHEADER (40 B) + payload as the pixel array."""
+    dib = struct.pack(
+        "<IiiHHIIiiII",
+        40, width, height, 1, 24, 0, len(pixel_data), 2835, 2835, 0, 0
+    )
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(pixel_data), 0, 0, 54)
+    return header + dib + pixel_data
+
+
+def parse_bmp(b: bytes) -> tuple[int, int, int]:
+    """Decode (width, height, bpp) from BMP bytes — real byte parsing,
+    not a stub."""
+    if b[:2] != b"BM":
+        raise ValueError("not a BMP")
+    width, height = struct.unpack_from("<ii", b, 18)
+    (bpp,) = struct.unpack_from("<H", b, 28)
+    return width, height, bpp
+
+
+def build_wav(sample_rate: int, channels: int, pcm_data: bytes) -> bytes:
+    """Canonical 44-byte RIFF/WAVE header (PCM, 16-bit) + payload as
+    the data chunk."""
+    byte_rate = sample_rate * channels * 2
+    block_align = channels * 2
+    return (
+        struct.pack("<4sI4s", b"RIFF", 36 + len(pcm_data), b"WAVE")
+        + struct.pack(
+            "<4sIHHIIHH", b"fmt ", 16, 1, channels, sample_rate,
+            byte_rate, block_align, 16,
+        )
+        + struct.pack("<4sI", b"data", len(pcm_data))
+        + pcm_data
+    )
+
+
+def parse_wav(b: bytes) -> tuple[int, int, int]:
+    """Decode (sample_rate, channels, bits_per_sample) from WAV bytes."""
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    channels, sample_rate = struct.unpack_from("<HI", b, 22)
+    (bits,) = struct.unpack_from("<H", b, 34)
+    return sample_rate, channels, bits
+
+
+def media_container_table(m: Model) -> DataFrame:
+    """Real container bytes per document: even doc_ids become BMPs
+    (dims derived from doc_id), odd doc_ids become WAVs (rate/channels
+    derived from doc_id); the text bytes play the pixel/PCM payload."""
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, containers = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                data = text.encode("utf-8")
+                if doc_id % 2 == 0:
+                    containers.append("bmp")
+                    payloads.append(
+                        build_bmp(doc_id % 640 + 1, doc_id % 480 + 1, data)
+                    )
+                else:
+                    containers.append("wav")
+                    payloads.append(
+                        build_wav(
+                            8000 + (doc_id % 8) * 1000,
+                            (doc_id // 2) % 2 + 1,
+                            data,
+                        )
+                    )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "container": containers,
+                 "payload": payloads}
+            )
+
+    return m.documents.select("doc_id", "text").mapInPandas(
+        pack, "doc_id long, container string, payload binary"
+    )
+
+
+HEADER_SCHEMA = (
+    "doc_id long, container string, n_bytes bigint, "
+    "width int, height int, sample_rate int, channels int"
+)
+
+
+def _decode_headers(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = {k: [] for k in
+               ["doc_id", "container", "n_bytes", "width", "height",
+                "sample_rate", "channels"]}
+        for doc_id, container, p in zip(
+            pdf["doc_id"], pdf["container"], pdf["payload"]
+        ):
+            p = bytes(p)
+            out["doc_id"].append(doc_id)
+            out["container"].append(container)
+            out["n_bytes"].append(len(p))
+            if container == "bmp":
+                w, h, _bpp = parse_bmp(p)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["sample_rate"].append(None)
+                out["channels"].append(None)
+            else:
+                rate, ch, _bits = parse_wav(p)
+                out["width"].append(None)
+                out["height"].append(None)
+                out["sample_rate"].append(rate)
+                out["channels"].append(ch)
+        pdf_out = pd.DataFrame(out)
+        for c in ["width", "height", "sample_rate", "channels"]:
+            pdf_out[c] = pdf_out[c].astype("Int32")
+        yield pdf_out
+
+
+@query(
+    "multimodal_decode_headers",
+    oracle="""
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS container,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 54 + length(text)
+                 ELSE 44 + length(text) END AS BIGINT) AS n_bytes,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 640 + 1 END AS INTEGER) AS width,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 480 + 1 END AS INTEGER) AS height,
+       CAST(CASE WHEN doc_id % 2 = 1 THEN 8000 + (doc_id % 8) * 1000 END AS INTEGER)
+         AS sample_rate,
+       CAST(CASE WHEN doc_id % 2 = 1 THEN (doc_id // 2) % 2 + 1 END AS INTEGER)
+         AS channels
+FROM documents
+""",
+    views=[],
+)
+def multimodal_decode_headers(m: Model) -> DataFrame:
+    """The NON-stubbed multimodal decode path: build real BMP/WAV
+    container bytes, then decode dims / sample-rate / channels by
+    parsing the headers byte-for-byte (struct.unpack — no PIL/ffmpeg
+    needed for these fixed layouts).  The oracle recomputes the values
+    from the generation formulas, so the pack→parse roundtrip is
+    hash-verified end to end.  Both stages are Arrow map stages: at
+    100 TB cost scales with bytes, no shuffle anywhere."""
+    return media_container_table(m).mapInPandas(_decode_headers, HEADER_SCHEMA)
 
 
 @query(

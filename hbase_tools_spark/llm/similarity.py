@@ -222,6 +222,62 @@ def embedding_neardup_pairs(m: Model) -> DataFrame:
 
 _NPROBE = 2          # IVF cells searched per probe
 
+
+def _rank_cells(emb: DataFrame, cent_rows, nprobe: int) -> DataFrame:
+    """Broadcast-quantizer scan: rank the ``nprobe`` nearest centroids
+    (by cosine, ties to the lower cell id) for every vector.
+
+    ``cent_rows`` is a list of (cell_id, centroid list[float]) — tiny
+    (C rows), collected driver-side and closed over by an Arrow
+    ``mapInPandas`` pass; the N×C crossJoin with interpreted
+    higher-order cosine was measured ~1 s slower at sf0.1.  Float math
+    stays BIT-identical to F.aggregate / DuckDB list_sum: dot and norm
+    accumulate dimension-by-dimension in index order (a Python loop
+    over dims, each step one vectorized (n,)-array op), never numpy's
+    pairwise-summed ``dot``."""
+    import numpy as np
+    import pandas as pd
+
+    cent_rows = sorted(cent_rows)
+    cell_ids = np.array([c for c, _ in cent_rows], dtype=np.int64)
+    cmat = np.array([v for _, v in cent_rows], dtype=np.float64)  # (C, dims)
+    cnorm = np.zeros(len(cent_rows))
+    for i in range(cmat.shape[1]):  # strict index-order accumulation
+        cnorm += cmat[:, i] * cmat[:, i]
+    cnorm = np.sqrt(cnorm)
+    nprobe = max(nprobe, 1)
+
+    def quantize(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ed = np.stack(pdf["embedding"].values).astype(np.float64)  # (n, dims)
+            dot = np.zeros((len(pdf), len(cell_ids)))
+            vnorm = np.zeros(len(pdf))
+            for i in range(ed.shape[1]):
+                dot += ed[:, i : i + 1] * cmat[:, i]
+                vnorm += ed[:, i] * ed[:, i]
+            cc = dot / (np.sqrt(vnorm)[:, None] * cnorm)
+            # rank DESC by cc, ties by cell id ASC — lexsort is stable,
+            # last key is primary
+            order = np.lexsort((np.broadcast_to(cell_ids, cc.shape), -cc), axis=1)
+            top = order[:, :nprobe]  # (n, nprobe)
+            n, k = top.shape
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].values, k),
+                    "embedding": [
+                        e for e in pdf["embedding"].values for _ in range(k)
+                    ],
+                    "cell_label": cell_ids[top].ravel(),
+                    "rnk": np.tile(np.arange(1, k + 1), n),
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        quantize, "vec_id long, embedding array<float>, cell_label int, rnk int"
+    )
+
 # Cosine between two DOUBLE lists (DuckDB side).
 _DOTDD_SQL = "list_sum(list_transform(range(1, 65), i -> {a}[i] * {b}[i]))"
 _NORMDD_SQL = "sqrt(list_sum(list_transform(range(1, 65), i -> {a}[i] * {a}[i])))"
@@ -329,65 +385,25 @@ def embedding_ivf_topk(m: Model) -> DataFrame:
         )
     )
 
-    # Quantizer pass, vectorized: the C centroids (tiny) are collected
-    # and closed over by an Arrow ``mapInPandas`` scan of the corpus —
-    # the N×C crossJoin with interpreted higher-order cosine was the
-    # expensive leg (~1 s of the 1.4 s query at sf0.1).  Float math
-    # stays BIT-identical to F.aggregate / DuckDB list_sum: the dot and
-    # norm accumulate dimension-by-dimension in index order (a Python
-    # loop over dims, each step one vectorized (n,)-array op), never
-    # numpy's pairwise-summed ``dot``.  At 100 TB this is the same
-    # broadcast-quantizer shape — C centroids to every task, one
-    # embarrassingly-parallel corpus scan.
-    import numpy as np
-    import pandas as pd
-
-    cent_rows = sorted(cent.collect(), key=lambda r: r["label"])
-    cell_ids = np.array([r["label"] for r in cent_rows], dtype=np.int64)
-    cmat = np.array([r["c"] for r in cent_rows], dtype=np.float64)  # (C, 64)
-    cnorm = np.zeros(len(cent_rows))
-    for i in range(cmat.shape[1]):  # strict index-order accumulation
-        cnorm += cmat[:, i] * cmat[:, i]
-    cnorm = np.sqrt(cnorm)
-    nprobe = max(_NPROBE, 1)
-
-    def quantize(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            ed = np.stack(pdf["embedding"].values).astype(np.float64)  # (n, 64)
-            dot = np.zeros((len(pdf), len(cell_ids)))
-            vnorm = np.zeros(len(pdf))
-            for i in range(ed.shape[1]):
-                dot += ed[:, i : i + 1] * cmat[:, i]
-                vnorm += ed[:, i] * ed[:, i]
-            cc = dot / (np.sqrt(vnorm)[:, None] * cnorm)
-            # rank DESC by cc, ties by cell id ASC — lexsort is stable,
-            # last key is primary
-            order = np.lexsort((np.broadcast_to(cell_ids, cc.shape), -cc), axis=1)
-            top = order[:, :nprobe]  # (n, nprobe)
-            n, k = top.shape
-            yield pd.DataFrame(
-                {
-                    "vec_id": np.repeat(pdf["vec_id"].values, k),
-                    "embedding": [
-                        e for e in pdf["embedding"].values for _ in range(k)
-                    ],
-                    "cell_label": cell_ids[top].ravel(),
-                    "rnk": np.tile(np.arange(1, k + 1), n),
-                }
-            )
+    # Quantizer pass, vectorized (see _rank_cells): the C centroids are
+    # collected and closed over by an Arrow ``mapInPandas`` scan — at
+    # 100 TB this is the broadcast-quantizer shape, C centroids to every
+    # task, one embarrassingly-parallel corpus scan.
+    cent_rows = [
+        (r["label"], r["c"]) for r in sorted(cent.collect(), key=lambda r: r["label"])
+    ]
 
     # both assign (rnk==1) and probe_cells (rnk<=nprobe) read this;
     # materialize once — at scale the assignment IS a persisted index
     # table, not a per-query recompute
-    ranked_cells = (
-        emb.select("vec_id", "embedding")
-        .mapInPandas(
-            quantize, "vec_id long, embedding array<float>, cell_label int, rnk int"
-        )
-        .localCheckpoint(eager=False)
-    )
+    ranked_cells = _rank_cells(emb, cent_rows, _NPROBE).localCheckpoint(eager=False)
+    return _ivf_search(emb, ranked_cells)
+
+
+def _ivf_search(emb: DataFrame, ranked_cells: DataFrame) -> DataFrame:
+    """Shared IVF tail: inverted-list lookup + exact cosine rank.
+    ``ranked_cells`` holds every vector's nprobe nearest cells (rnk==1
+    is its assignment)."""
     assign = ranked_cells.filter(F.col("rnk") == 1).select(
         "vec_id", "embedding", F.col("cell_label").alias("cell")
     )
@@ -416,3 +432,148 @@ def embedding_ivf_topk(m: Model) -> DataFrame:
     return ranked.filter(F.col("rank") <= _TOPK).select(
         "query_id", "vec_id", fround(F.col("cos_raw"), 6).alias("cosine"), "rank"
     )
+
+
+# ---------------------------------------------------------------------------
+# Unsupervised IVF: fixed-seed k-means quantizer (no label reads)
+# ---------------------------------------------------------------------------
+
+_KM_INIT_IDS = [3, 17, 29, 41, 53, 67, 79, 97]  # deterministic seed vectors
+_KM_ITERS = 2                                   # fixed Lloyd iterations
+
+# vector-vs-centroid cosine (FLOAT[] x DOUBLE[]), DuckDB side
+_COSVC_SQL = (
+    f"{_DOTVC_SQL.format(a='e.embedding', b='c.c')}"
+    f" / ({_NORM_SQL.format(a='e.embedding')} * {_NORMDD_SQL.format(a='c.c')})"
+)
+
+
+def _km_oracle() -> str:
+    """Chained-CTE k-means: init from literal seed vectors, then
+    ``_KM_ITERS`` x (assign via argmax cosine, re-center via exact
+    DECIMAL means) — deterministic in both engines, so the final
+    IVF search is hash-comparable."""
+    init_vals = ",".join(
+        f"({cell}, {vid})" for cell, vid in enumerate(_KM_INIT_IDS)
+    )
+    parts = [f"""
+WITH init AS (
+  SELECT v.cell, list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS c
+  FROM (VALUES {init_vals}) v(cell, vid)
+  JOIN embeddings e ON e.vec_id = v.vid
+)"""]
+    prev = "init"
+    for i in range(_KM_ITERS):
+        parts.append(f""",
+a{i} AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT e.vec_id, e.embedding, c.cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id ORDER BY {_COSVC_SQL} DESC, c.cell
+           ) AS rnk
+    FROM embeddings e CROSS JOIN {prev} c
+  ) t WHERE rnk = 1
+),
+c{i} AS (
+  SELECT cell, list(CAST(s AS DOUBLE) / n ORDER BY dim) AS c
+  FROM (
+    SELECT cell, dim,
+           sum(CAST(embedding[dim] AS DECIMAL(20,9))) AS s,
+           count(*) AS n
+    FROM a{i}
+    CROSS JOIN (SELECT unnest(range(1, 65)) AS dim)
+    GROUP BY cell, dim
+  ) d
+  GROUP BY cell
+)""")
+        prev = f"c{i}"
+    parts.append(f""",
+assign AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT e.vec_id, e.embedding, c.cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id ORDER BY {_COSVC_SQL} DESC, c.cell
+           ) AS rnk
+    FROM embeddings e CROSS JOIN {prev} c
+  ) t WHERE rnk = 1
+),
+probe_cells AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id ORDER BY {_COSVC_SQL} DESC, c.cell
+           ) AS rnk
+    FROM (SELECT * FROM embeddings WHERE vec_id < {_NQUERIES}) e
+    CROSS JOIN {prev} c
+  ) t WHERE rnk <= {_NPROBE}
+)
+SELECT query_id, vec_id, cosine, rank
+FROM (
+  SELECT p.query_id, a.vec_id,
+         floor(({_DOT_SQL.format(a='q.embedding', b='a.embedding')}
+                / ({_NORM_SQL.format(a='q.embedding')} * {_NORM_SQL.format(a='a.embedding')}))
+               * 1000000.0 + 0.5) / 1000000.0 AS cosine,
+         row_number() OVER (
+           PARTITION BY p.query_id
+           ORDER BY {_DOT_SQL.format(a='q.embedding', b='a.embedding')}
+                    / ({_NORM_SQL.format(a='q.embedding')} * {_NORM_SQL.format(a='a.embedding')})
+                    DESC, a.vec_id
+         ) AS rank
+  FROM probe_cells p
+  JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
+  JOIN embeddings q ON q.vec_id = p.query_id
+) t
+WHERE rank <= {_TOPK}
+""")
+    return "".join(parts)
+
+
+@query("embedding_ivf_kmeans_topk", oracle=_km_oracle(), views=[])
+def embedding_ivf_kmeans_topk(m: Model) -> DataFrame:
+    """IVF ANN with an UNSUPERVISED coarse quantizer: k-means over the
+    embeddings themselves (fixed literal seed vectors, {2} Lloyd
+    iterations, exact-decimal re-centering) — no ground-truth ``label``
+    reads, unlike ``embedding_ivf_topk``'s per-label demo quantizer.
+
+    Scale shape per iteration: one broadcast-quantizer corpus scan
+    (C centroids to every task via mapInPandas) + one narrow
+    posexplode/groupBy re-center whose output is C×64 cells; only the
+    C-row centroid relation ever reaches the driver.  Deterministic by
+    construction (fixed seeds, fixed iterations, decimal means), so the
+    DuckDB oracle replays it exactly."""
+    emb = m.embeddings
+    seeds = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id").isin(_KM_INIT_IDS)).collect()
+    }
+    cent_rows = [(cell, seeds[vid]) for cell, vid in enumerate(_KM_INIT_IDS)]
+    for _ in range(_KM_ITERS):
+        assigned = _rank_cells(emb, cent_rows, 1).filter(F.col("rnk") == 1)
+        cent = (
+            assigned.select(
+                F.col("cell_label").alias("cell"),
+                F.posexplode("embedding").alias("dim", "v"),
+            )
+            .groupBy("cell", "dim")
+            .agg(
+                F.sum(F.col("v").cast("decimal(20,9)")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                "dim",
+                                (F.col("s").cast("double") / F.col("n")).alias("m"),
+                            )
+                        )
+                    ),
+                    lambda x: x["m"],
+                ).alias("c")
+            )
+        )
+        cent_rows = [(r["cell"], list(r["c"])) for r in cent.collect()]
+    ranked_cells = _rank_cells(emb, cent_rows, _NPROBE).localCheckpoint(eager=False)
+    return _ivf_search(emb, ranked_cells)

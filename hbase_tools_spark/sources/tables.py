@@ -106,10 +106,35 @@ def expire_topology(
 
 def read_topology_asof(spark: SparkSession, out_dir: str, at_ts: int) -> DataFrame:
     """J7 over the snapshot store: the floor-entry lookup
-    (meta/TechnicalMeta.java:156) as a partition-pruned max-≤-t read."""
-    df = spark.read.parquet(out_dir)
-    best = (
-        df.filter(F.col("snapshot_epoch") <= at_ts)
-        .agg(F.max("snapshot_epoch").alias("snapshot_epoch"))
+    (meta/TechnicalMeta.java:156) as a partition-pruned max-≤-t read.
+
+    The ``snapshot_epoch <= at_ts`` predicate is applied to BOTH legs so
+    it reaches the scan as a static PartitionFilter — partitions newer
+    than ``at_ts`` are never listed, let alone read (asserted in
+    tests/test_plan_shape.py).  The broadcast join then keeps only the
+    floor partition; at 100 TB that is one partition read out of
+    thousands retained."""
+    eligible = spark.read.parquet(out_dir).filter(F.col("snapshot_epoch") <= at_ts)
+    best = eligible.agg(F.max("snapshot_epoch").alias("snapshot_epoch"))
+    return eligible.join(F.broadcast(best), "snapshot_epoch")
+
+
+def write_bucketed_table(
+    df: DataFrame, name: str, key: str, n_buckets: int
+) -> None:
+    """Write ``df`` as a bucketed+sorted parquet table: the storage-side
+    half of a shuffle-free J1/J2 join.  Two tables bucketed on the same
+    key with the same bucket count co-locate matching keys in matching
+    buckets, so Catalyst plans their equi-join with ZERO Exchange (and,
+    with ``sortBy``, no per-task Sort) — the bucketing analog of HBase's
+    region-aligned storage, and the layout the 100 TB deployment uses
+    for the region_metrics ⋈ meta_regions hot path
+    (analyze/TableAnalyzer.java:174-203).  Asserted as a plan-shape
+    regression test in tests/test_plan_shape.py."""
+    (
+        df.write.format("parquet")
+        .mode("overwrite")
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .saveAsTable(name)
     )
-    return df.join(F.broadcast(best), "snapshot_epoch")

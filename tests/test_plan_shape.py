@@ -46,3 +46,53 @@ def test_narrow_text_ops_have_no_exchange(spark, name):
 def test_embedding_topk_pushes_probe_filter_to_scan(spark):
     plan = _plan(spark, "embedding_topk")
     assert "LessThan(vec_id" in plan, "probe filter no longer pushed to parquet"
+
+
+def test_bucketed_join_has_zero_exchange(spark):
+    """Storage-scale claim, frozen as a test: two tables bucketed on
+    region_id with equal bucket counts join with NO shuffle (and no
+    broadcast needed) — the co-located J1 layout for the 100 TB hot
+    path."""
+    from hbase_tools_spark.sources.tables import write_bucketed_table
+
+    m = load_model(spark, SF_DIR)
+    write_bucketed_table(m.meta_regions, "mr_bucketed", "region_id", 8)
+    write_bucketed_table(m.region_metrics, "rm_bucketed", "region_id", 8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("mr_bucketed").join(
+            spark.table("rm_bucketed"), "region_id"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, "bucketed join gained a shuffle"
+        assert "SortMergeJoin" in plan
+        # sortBy metadata removes the per-task sorts too
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS mr_bucketed")
+        spark.sql("DROP TABLE IF EXISTS rm_bucketed")
+
+
+def test_topology_asof_read_is_partition_pruned(spark, tmp_path):
+    """The as-of floor read must reach the scan as a static partition
+    filter: snapshots newer than the as-of instant are never read."""
+    from hbase_tools_spark.sources.tables import (
+        read_topology_asof,
+        snapshot_topology,
+    )
+
+    m = load_model(spark, SF_DIR)
+    topo = m.topology.limit(50)
+    store = str(tmp_path / "topo_store")
+    for epoch in (1000, 2000, 3000):
+        snapshot_topology(topo, store, epoch)
+    asof = read_topology_asof(spark, store, 2500)
+    plan = asof._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters", 1)[1][:200]
+    assert "snapshot_epoch" in pf and "2500" in pf, pf
+    # floor semantics: only the 2000 snapshot survives
+    epochs = {r["snapshot_epoch"] for r in asof.select("snapshot_epoch").distinct().collect()}
+    assert epochs == {2000}
