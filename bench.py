@@ -42,14 +42,37 @@ def main() -> None:
 
     from pyspark.sql import SparkSession
 
+    # AQE is the production posture (skew-join splitting, partition
+    # coalescing on real shuffles) but pure overhead at fixture scale:
+    # every shuffle stage pays a driver re-planning round, measured
+    # ~25-35% of wall on sub-second queries AND on the heavy LLM
+    # pipeline at sf0.1 (e.g. ngram_jaccard_pairs 1.8 s -> 0.8 s,
+    # split_plan_multipass 3.0 s -> 1.2 s with AQE off + 8 shuffle
+    # partitions at local[32]).  None of our plans RELY on AQE — every
+    # dimension join is explicitly broadcast and plan-shape tests pin
+    # that — so the bench measures engine work with AQE off; flip
+    # SPARK_GRAFT_AQE=true to measure the adaptive posture.
+    aqe = os.environ.get("SPARK_GRAFT_AQE", "false")
+    # Post-shuffle group counts at sf0.1 are tiny (per-server/bucket/
+    # band); 8 fixed shuffle partitions beat cpus-many (coalescing is
+    # AQE's job, and it's off here).  Map-side parallelism is governed
+    # by input partitions, not this.
+    shuffle_parts = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "8")
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("hbase-tools-spark-bench")
-        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", shuffle_parts)
+        .config("spark.sql.adaptive.enabled", aqe)
+        .config("spark.sql.adaptive.coalescePartitions.enabled", aqe)
+        .config("spark.sql.adaptive.skewJoin.enabled", aqe)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # 87 queries in one JVM: localCheckpoint blocks from earlier
+        # queries linger until a driver GC lets ContextCleaner drop
+        # them (default periodic GC is 30 MIN — far longer than this
+        # run), and the accumulated block-manager pressure was measured
+        # inflating a mid-list query 6x.  Tight periodic GC + an
+        # explicit per-query gc.collect() keep the working set flat.
+        .config("spark.cleaner.periodicGC.interval", "20s")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
@@ -89,6 +112,8 @@ def main() -> None:
     qs = entrymod.queries()
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     spark_secs: dict[str, float] = {}
+    import gc
+
     for name in names:
         best = float("inf")
         for _ in range(runs):
@@ -96,6 +121,9 @@ def main() -> None:
             qs[name](spark, sf_dir).toPandas()
             best = min(best, time.perf_counter() - t0)
         spark_secs[name] = round(best, 4)
+        # free py4j refs so ContextCleaner can unpersist this query's
+        # checkpoint blocks before the next one runs (see conf above)
+        gc.collect()
 
     # DuckDB side: identical SQL, identical parquet, all cores.
     duck_secs: dict[str, float] = {}

@@ -259,9 +259,27 @@ JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
 """
 
 
+def materialize_signatures(docs: DataFrame, out_dir: str) -> None:
+    """Persist the MinHash signature relation (doc_id, sig) as parquet —
+    the production shape: signatures are an INDEX computed once per
+    corpus snapshot, not a per-query recompute.  Incremental ingest
+    appends new docs' signatures; banding/pairing then reads the index
+    (``pairs_from_signatures``)."""
+    _signatures_for(docs).write.mode("overwrite").parquet(out_dir)
+
+
+def pairs_from_signatures(sig: DataFrame, cap: int = _BUCKET_CAP) -> DataFrame:
+    """Candidate pairs from a (doc_id, sig) relation — e.g. the
+    persisted index written by :func:`materialize_signatures`."""
+    return _pairs_from_bands(_bands_from_sig(sig), cap)
+
+
 def _bands_for(docs: DataFrame) -> DataFrame:
     """(doc_id, band, band_hash) relation — the LSH bucketing key."""
-    sig = _signatures_for(docs)
+    return _bands_from_sig(_signatures_for(docs))
+
+
+def _bands_from_sig(sig: DataFrame) -> DataFrame:
     rows_per_band = _MINHASHES // _BANDS
     band_ids = F.sequence(F.lit(0), F.lit(_BANDS - 1))
     return sig.select(
@@ -288,7 +306,10 @@ def minhash_pairs_for(docs: DataFrame, cap: int = _BUCKET_CAP) -> DataFrame:
     """Candidate pairs over any (doc_id, text) relation with the
     hot-bucket cap applied — the reusable core of
     ``minhash_band_pairs``."""
-    bands = _bands_for(docs)
+    return _pairs_from_bands(_bands_for(docs), cap)
+
+
+def _pairs_from_bands(bands: DataFrame, cap: int) -> DataFrame:
     # Pair generation by bucket grouping, not a self-join: the signature
     # pipeline runs ONCE and shuffles once on (band, band_hash); pairs
     # are enumerated inside each bucket.  Buckets are tiny by LSH

@@ -204,3 +204,43 @@ def events_user_cardinality_approx(m: Model) -> DataFrame:
     return m.events.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
     )
+
+
+@query(
+    "events_salted_rollup",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(round(sum(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS total_value
+FROM events
+GROUP BY event_type
+""",
+    views=[],
+)
+def events_salted_rollup(m: Model) -> DataFrame:
+    """Skew-safe two-phase aggregation, end to end: event_type is a
+    genuinely hot grouping key (a handful of values over the whole fact
+    table), so the rollup salts phase 1 onto (event_type, salt) —
+    spreading each hot key over 8 reducers — and merges partials by
+    event_type in phase 2 (functions/partitioning.two_phase_agg; the
+    explicit form of what the reference gets from one-queue-per-server
+    sharding).  Decimal partials keep the sum exact under any salt
+    split, so the oracle is the PLAIN group-by: salting must be
+    output-invisible.  Plan shape (both exchanges, salted first)
+    asserted in tests/test_plan_shape.py."""
+    from ..functions.exprs import fround
+    from ..functions.partitioning import two_phase_agg
+
+    rolled = two_phase_agg(
+        m.events,
+        ["event_type"],
+        {
+            "n_events": (F.lit(1), "count"),
+            "total_value": (F.col("value").cast("decimal(18,4)"), "sum"),
+        },
+    )
+    return rolled.select(
+        "event_type",
+        "n_events",
+        F.round(F.col("total_value"), 4).cast("double").alias("total_value"),
+    )

@@ -101,7 +101,7 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def run_to_table(
-    stream_df: DataFrame, name: str, output_mode: str, state_partitions: int = 4
+    stream_df: DataFrame, name: str, output_mode: str, state_partitions: int = 2
 ) -> DataFrame:
     """Drain a streaming DataFrame with AvailableNow into a memory sink
     and return the materialized result as a batch DataFrame.
@@ -109,8 +109,10 @@ def run_to_table(
     State-partition count is pinned low for these run-to-completion
     fixture drains (each state partition costs a state-store instance
     per stateful operator per batch; 32 of them dominate sub-second
-    streams).  A production deployment sizes it to cluster parallelism
-    before the FIRST run — it is fixed into the checkpoint."""
+    streams — measured at sf0.1: 4 partitions cost ~0.2 s more per
+    drain than 2, and 1 regresses the high-cardinality session query).
+    A production deployment sizes it to cluster parallelism before the
+    FIRST run — it is fixed into the checkpoint."""
     import shutil
     import tempfile
 

@@ -80,6 +80,24 @@ def test_lsh_hot_bucket_cap(spark):
     assert uncapped == 150 * 149 // 2 + 3
 
 
+def test_signature_index_roundtrip(spark, tmp_path):
+    """materialize_signatures is the persisted-index shape: pairing
+    from the parquet index must equal pairing from the raw corpus."""
+    from hbase_tools_spark.llm.dedup import (
+        materialize_signatures,
+        minhash_pairs_for,
+        pairs_from_signatures,
+    )
+
+    m = load_model(spark, SF_DIR)
+    out = str(tmp_path / "sig_index")
+    materialize_signatures(m.documents, out)
+    sig = spark.read.parquet(out)
+    from_index = {(r["doc_a"], r["doc_b"]) for r in pairs_from_signatures(sig).collect()}
+    direct = {(r["doc_a"], r["doc_b"]) for r in minhash_pairs_for(m.documents).collect()}
+    assert from_index == direct and from_index
+
+
 def test_multimodal_decode_stub_raises(spark):
     import pytest
 

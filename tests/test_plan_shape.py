@@ -75,6 +75,15 @@ def test_bucketed_join_has_zero_exchange(spark):
         spark.sql("DROP TABLE IF EXISTS rm_bucketed")
 
 
+def test_salted_rollup_is_two_phase(spark):
+    """The skew-safe rollup must really aggregate in two phases keyed
+    through the salt: the salt column appears in the plan and there are
+    (at least) the salted and the final exchange."""
+    plan = _plan(spark, "events_salted_rollup")
+    assert "__salt" in plan, "salt column vanished — not a salted aggregation"
+    assert plan.count("Exchange") >= 2, "two-phase agg collapsed to one exchange"
+
+
 def test_topology_asof_read_is_partition_pruned(spark, tmp_path):
     """The as-of floor read must reach the scan as a static partition
     filter: snapshots newer than the as-of instant are never read."""
