@@ -54,6 +54,25 @@ TOOL_QUERIES: dict[str, list[str]] = {
         "topology_retention", "regions_by_server", "table_mask_selection",
     ],
     "table_checker": ["region_bounds"],
+    # Beyond the reference's 15 tools: the training-data pipeline
+    # extensions (SURVEY.md §7 M8), grouped as CLI surfaces so a
+    # pipeline user gets the same one-command ergonomics.
+    "llm_dedup": [
+        "docs_exact_dedup", "minhash_band_pairs", "lsh_bucket_stats",
+        "neardup_clusters_converged",
+    ],
+    "llm_text": [
+        "text_stats", "lang_id_heuristic", "docs_quality_filter",
+        "token_count_hist", "corpus_stats_by_lang",
+    ],
+    "llm_embed": [
+        "embedding_topk", "embedding_ivf_kmeans_topk",
+        "embedding_neardup_pairs",
+    ],
+    "llm_multimodal": [
+        "multimodal_decode_headers", "multimodal_features",
+        "multimodal_frame_sample",
+    ],
 }
 
 LIFECYCLE_TOOLS = {"table_copy", "table_replace"}
@@ -65,7 +84,10 @@ def main(argv: list[str] | None = None) -> int:
         description="PySpark-native analogs of the hbase-tools CLI tools",
     )
     parser.add_argument(
-        "tool", choices=sorted(TOOL_QUERIES) + sorted(LIFECYCLE_TOOLS)
+        "tool", choices=sorted(TOOL_QUERIES) + sorted(LIFECYCLE_TOOLS) + ["query"]
+    )
+    parser.add_argument(
+        "--name", help="query tool: run one registered query by name"
     )
     parser.add_argument(
         "--sf-dir",
@@ -123,6 +145,13 @@ def main(argv: list[str] | None = None) -> int:
         for k in ("html", "fixes"):
             if k in out:
                 print(f"{k}: {out[k]}")
+        return 0
+    if args.tool == "query":
+        if not args.name or args.name not in QUERIES:
+            parser.error(
+                f"--name must be one of: {', '.join(sorted(QUERIES))}"
+            )
+        QUERIES[args.name].fn(model).show(args.rows, truncate=False)
         return 0
     for name in TOOL_QUERIES[args.tool]:
         print(f"\n=== {name} ===")

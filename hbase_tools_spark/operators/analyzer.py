@@ -206,6 +206,27 @@ def events_user_cardinality_approx(m: Model) -> DataFrame:
     )
 
 
+def analyzer_weight_stats_approx(m: Model) -> DataFrame:
+    """A9's 100 TB variant: ``percentile_approx`` (KLL-style sketch —
+    single pass, mergeable partials, bounded rank error) in place of the
+    exact median.  The exact form (`analyzer_weight_stats`) keeps
+    reference parity (CompactorServer.java:298-315 computes a true
+    median) and remains the oracle-gated query; this one is asserted
+    within tolerance of it in tests/test_llm.py — sketches are
+    engine-specific, so a DuckDB hash-oracle cannot gate it."""
+    w = (
+        (1 - F.col("locality")) * 115
+        + ((F.col("size_mb") - F.col("max_file_mb")) / 1024.0)
+        * (F.col("file_count") * 1.33)
+    )
+    return (
+        m.region_metrics.select("server", w.alias("w"))
+        .groupBy("server")
+        .agg(F.expr("percentile_approx(w, 0.5, 1000)").alias("approx_median"))
+        .orderBy("server")
+    )
+
+
 @query(
     "events_salted_rollup",
     oracle="""

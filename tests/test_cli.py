@@ -16,9 +16,28 @@ from hbase_tools_spark.registry import QUERIES
 from tests.conftest import SF_DIR
 
 
+_REFERENCE_TOOLS = {
+    "table_analyzer", "report", "compactor", "compaction_cleaner",
+    "distributor", "flusher", "merger", "splitter", "key_generator",
+    "key_finder", "health_check", "meta", "table_checker",
+    "table_copy", "table_replace",
+}
+
+
 def test_all_15_reference_tools_covered():
-    # Tool.java:18-341 lists 15 tools; every one must dispatch here.
-    assert len(TOOL_QUERIES) + len(LIFECYCLE_TOOLS) == 15
+    # Tool.java:18-341 lists 15 tools; every one must dispatch here
+    # (plus the llm_* extension tools beyond the reference surface).
+    assert _REFERENCE_TOOLS <= set(TOOL_QUERIES) | LIFECYCLE_TOOLS
+    assert len(_REFERENCE_TOOLS) == 15
+    extras = set(TOOL_QUERIES) - _REFERENCE_TOOLS
+    assert all(t.startswith("llm_") for t in extras)
+
+
+def test_cli_generic_query_runner(capsys):
+    rc = main(["query", "--name", "analyzer_table_size", "--sf-dir", SF_DIR,
+               "--rows", "3"])
+    assert rc == 0
+    assert "table_name" in capsys.readouterr().out
 
 
 def test_tool_queries_all_registered():

@@ -203,6 +203,28 @@ def test_multimodal_real_decode_gated(spark):
         media.mapInPandas(_frame_sample(decode_stub=False), FRAME_SCHEMA).collect()
 
 
+def test_approx_median_within_tolerance(spark):
+    """The percentile_approx scale variant must track the exact median
+    (rank error bounded by the accuracy parameter)."""
+    from hbase_tools_spark.catalog import load_model
+    from hbase_tools_spark.operators.analyzer import analyzer_weight_stats_approx
+    from hbase_tools_spark.registry import QUERIES
+
+    m = load_model(spark, SF_DIR)
+    exact = {
+        r["server"]: r["median_weight"]
+        for r in QUERIES["analyzer_weight_stats"].fn(m).collect()
+    }
+    approx = {
+        r["server"]: r["approx_median"]
+        for r in analyzer_weight_stats_approx(m).collect()
+    }
+    assert set(exact) == set(approx)
+    for server, med in exact.items():
+        spread = abs(med) * 0.25 + 1.0
+        assert abs(approx[server] - med) <= spread, (server, med, approx[server])
+
+
 def test_approx_cardinality_within_tolerance(spark):
     from hbase_tools_spark.catalog import load_model
     from hbase_tools_spark.operators.analyzer import (
