@@ -28,6 +28,56 @@ def test_streaming_query_matches_oracle(spark, ducksql, name):
     assert_query_matches_oracle(spark, ducksql, name)
 
 
+def test_stream_asof_enrichment_against_topology_store(spark, tmp_path):
+    """S9 end to end through the storage layer: a stream enriched
+    against the partition-pruned as-of read of the topology SNAPSHOT
+    STORE (not the in-memory view).  The static side re-resolves the
+    floor snapshot from persisted partitions — the production shape for
+    'enrich live events with the topology as of time t' — and the
+    streamed result must equal the batch join."""
+    from hbase_tools_spark.catalog import load_model
+    from hbase_tools_spark.sources.tables import (
+        read_topology_asof,
+        snapshot_topology,
+    )
+    from hbase_tools_spark.streaming.jobs import events_stream, run_to_table
+
+    m = load_model(spark, SF_DIR)
+    dim = m.topology.groupBy("region_id").agg(F.max("server").alias("server"))
+    store = str(tmp_path / "topo_store")
+    for epoch in (1000, 2000, 3000):
+        # distinct server mapping per snapshot so a wrong floor pick
+        # changes the result
+        snapshot_topology(
+            dim.withColumn("server", F.concat(F.lit(f"e{epoch}_"), "server")),
+            store,
+            epoch,
+        )
+    asof = read_topology_asof(spark, store, 2500).select("region_id", "server")
+
+    enriched = (
+        events_stream(spark, SF_DIR)
+        .select((F.col("event_id") % 500).alias("region_id"))
+        .join(F.broadcast(asof), "region_id")
+        .groupBy("server")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    got = {
+        r["server"]: r["n"]
+        for r in run_to_table(enriched, "stream_asof_enriched", "complete").collect()
+    }
+    expect = {
+        r["server"]: r["n"]
+        for r in m.events.select((F.col("event_id") % 500).alias("region_id"))
+        .join(asof, "region_id")
+        .groupBy("server")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == expect and got
+    assert all(s.startswith("e2000_") for s in got), "floor snapshot not picked"
+
+
 def _split_events(spark, tmp_path, n_files=3):
     """Write the events fixture as n separate files so the file source
     can deliver them as distinct micro-batches."""
