@@ -274,6 +274,54 @@ def pairs_from_signatures(sig: DataFrame, cap: int = _BUCKET_CAP) -> DataFrame:
     return _pairs_from_bands(_bands_from_sig(sig), cap)
 
 
+def incremental_pairs(
+    index_sig: DataFrame, new_docs: DataFrame, cap: int = _BUCKET_CAP
+) -> DataFrame:
+    """Incremental ingest dedup: candidate pairs INVOLVING a new doc —
+    new×indexed plus new×new — without re-enumerating the indexed
+    corpus against itself.
+
+    The join keys new band rows against the union'd band relation and
+    keeps pairs with at least one new doc, so the per-batch cost scales
+    with |new| × bucket width, not |corpus|²; combined with the pairs
+    already recorded for the index, the result equals a full
+    re-pairing of index+new (asserted in tests/test_llm.py).  The
+    hot-bucket cap applies to the UNION bucket size, so a bucket that
+    crosses the cap at ingest emits no new pairs — same as a full
+    recompute (its historical pairs, already recorded, are the one
+    divergence from recompute-from-scratch, and the right call for an
+    append-only pipeline)."""
+    new_sig = _signatures_for(new_docs)
+    all_bands = _bands_from_sig(index_sig.unionByName(new_sig)).localCheckpoint(
+        eager=False
+    )
+    new_ids = new_sig.select("doc_id").distinct()
+    ok = (
+        all_bands.groupBy("band", "band_hash")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter((F.col("n") >= 2) & (F.col("n") <= cap))
+        .select("band", "band_hash")
+    )
+    new_bands = all_bands.join(
+        F.broadcast(new_ids), "doc_id"
+    ).join(ok, ["band", "band_hash"])
+    pairs = (
+        new_bands.alias("a")
+        .join(
+            all_bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+            F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    return pairs
+
+
 def _bands_for(docs: DataFrame) -> DataFrame:
     """(doc_id, band, band_hash) relation — the LSH bucketing key."""
     return _bands_from_sig(_signatures_for(docs))

@@ -98,6 +98,38 @@ def test_signature_index_roundtrip(spark, tmp_path):
     assert from_index == direct and from_index
 
 
+def test_incremental_dedup_matches_full_recompute(spark, tmp_path):
+    """Incremental ingest over the persisted index must reconstruct the
+    full-corpus pairing: recorded-index pairs ∪ incremental pairs ==
+    pairs over the whole corpus, and every incremental pair involves a
+    new doc."""
+    from pyspark.sql import functions as F
+
+    from hbase_tools_spark.llm.dedup import (
+        incremental_pairs,
+        materialize_signatures,
+        minhash_pairs_for,
+        pairs_from_signatures,
+    )
+
+    m = load_model(spark, SF_DIR)
+    old = m.documents.filter(F.col("doc_id") % 5 != 0)
+    new = m.documents.filter(F.col("doc_id") % 5 == 0)
+    out = str(tmp_path / "sig_index")
+    materialize_signatures(old, out)
+    sig = spark.read.parquet(out)
+
+    as_pairs = lambda df: {(r["doc_a"], r["doc_b"]) for r in df.collect()}
+    recorded = as_pairs(pairs_from_signatures(sig))
+    inc = as_pairs(incremental_pairs(sig, new))
+    full = as_pairs(minhash_pairs_for(m.documents))
+
+    new_ids = {r["doc_id"] for r in new.select("doc_id").collect()}
+    assert all(a in new_ids or b in new_ids for a, b in inc)
+    assert recorded | inc == full
+    assert inc, "no incremental pairs — split produced a degenerate case"
+
+
 def test_multimodal_decode_stub_raises(spark):
     import pytest
 
