@@ -20,12 +20,12 @@ from hbase_tools_spark.registry import QUERIES
 SF0001 = "/root/testdata/sf0.001"
 
 # The driver checks at most ~50 queries per round (time/count budget),
-# in the order this module emits them.  Round 2 verified everything
-# OUTSIDE the round-1 set, so the round-1-only certificates are now the
-# stale ones: rotate them to the FRONT (cheapest families first so a
-# time budget covers as many as possible), previously-r2-verified
-# queries follow, and brand-new queries (no driver row yet) go in
-# between so they get certified on their debut round.
+# in the order this module emits them.  Priority: (1) queries with NO
+# green row ever (round-3 debuts + the formerly error/no_oracle
+# multimodal rows) go FIRST, (2) the round-1-only certificates —
+# stale after the round-2 refactors — next (cheapest families first so
+# the budget covers as many as possible), (3) the freshest
+# (round-2-verified) set last.
 _STALE_R1 = [
     # analyzer + health + joins — sub-0.3 s each
     "analyzer_table_size", "analyzer_size_hist", "analyzer_locality_hist",
@@ -57,7 +57,7 @@ def _ordered_names() -> list[str]:
     stale = [n for n in _STALE_R1 if n in QUERIES]
     new = [n for n in QUERIES if n not in stale and n not in _R2_VERIFIED]
     rest = [n for n in QUERIES if n in _R2_VERIFIED and n not in stale]
-    return stale + new + rest
+    return new + stale + rest
 
 
 # Green rows dated r2 (CORRECTNESS_r02.json) — freshest certificates,
