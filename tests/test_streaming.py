@@ -78,6 +78,52 @@ def test_stream_asof_enrichment_against_topology_store(spark, tmp_path):
     assert all(s.startswith("e2000_") for s in got), "floor snapshot not picked"
 
 
+def test_dedup_ingest_stream_reconstructs_full_pairing(spark, tmp_path):
+    """Continuous-ingest dedup: documents streamed in 3 micro-batches
+    through the foreachBatch index loop must discover exactly the
+    full-corpus candidate pairs, each exactly once, and leave the index
+    holding every signature."""
+    from hbase_tools_spark.catalog import load_model
+    from hbase_tools_spark.llm.dedup import minhash_pairs_for
+    from hbase_tools_spark.streaming.ingest import dedup_ingest_stream
+
+    m = load_model(spark, SF_DIR)
+    src = str(tmp_path / "docs_in")
+    os.makedirs(src)
+    # three arrival files (deterministic split by doc_id)
+    for i in range(3):
+        (
+            m.documents.filter(F.col("doc_id") % 3 == i)
+            .select("doc_id", "text")
+            .coalesce(1)
+            .write.parquet(os.path.join(src, f"arrival-{i}.parquet"))
+        )
+    index_dir = str(tmp_path / "sig_index")
+    pairs_dir = str(tmp_path / "pairs_log")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*.parquet")
+    )
+    q = dedup_ingest_stream(
+        stream, index_dir, pairs_dir, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+    assert len(q.recentProgress) >= 3, "expected one micro-batch per arrival file"
+
+    logged = spark.read.parquet(pairs_dir).select("doc_a", "doc_b").collect()
+    got = [(r["doc_a"], r["doc_b"]) for r in logged]
+    full = {
+        (r["doc_a"], r["doc_b"]) for r in minhash_pairs_for(m.documents).collect()
+    }
+    assert set(got) == full and full
+    assert len(got) == len(set(got)), "a pair was discovered twice"
+    n_sigs = spark.read.parquet(index_dir).count()
+    from hbase_tools_spark.llm.dedup import _signatures_for
+
+    assert n_sigs == _signatures_for(m.documents).count()
+
+
 def _split_events(spark, tmp_path, n_files=3):
     """Write the events fixture as n separate files so the file source
     can deliver them as distinct micro-batches."""
