@@ -337,3 +337,69 @@ def lsh_band_sweep(m: Model) -> DataFrame:
     for br in branches[1:]:
         out = out.unionByName(br)
     return out
+
+
+from .text import _QF_MAX_TOKENS, _QF_MIN_STOPWORD, _QF_MIN_TOKENS, _STOPWORDS  # noqa: E402
+
+
+@query(
+    "training_set_assembly",
+    oracle=f"""
+SELECT doc_id, lang, n_tokens, bucket
+FROM (
+  SELECT doc_id, lang, text, n_tokens, bucket,
+         min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
+  FROM (
+    SELECT doc_id, lang, text,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           floor((len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) * 1.0
+                  / len(string_split(text, ' '))) * 10000.0 + 0.5) / 10000.0 AS stopword_ratio,
+           substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+    FROM documents
+  ) gated
+  WHERE n_tokens BETWEEN {_QF_MIN_TOKENS} AND {_QF_MAX_TOKENS}
+    AND stopword_ratio >= {_QF_MIN_STOPWORD}
+) d
+WHERE doc_id = canonical_id AND bucket < '{_TRAIN_HI}'
+""",
+    views=[],
+)
+def training_set_assembly(m: Model) -> DataFrame:
+    """The end-to-end training-set pipeline as ONE declarative plan:
+    quality gate -> exact-dedup canonical survivors -> deterministic
+    train-split membership.  Catalyst fuses the narrow gates into the
+    scan; the only shuffle is the content-hash window (the dedup key).
+    The quality gate runs BEFORE the dedup window — exact duplicates
+    share their quality metrics, so the two stages commute, and
+    filtering first shrinks the 100 TB shuffle to the post-gate
+    survivor set."""
+    from pyspark.sql.window import Window as W
+
+    from ..functions.exprs import fround
+
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks).cast("bigint")
+    ratio = fround(
+        F.size(F.filter(toks, lambda x: x.isin(*_STOPWORDS))) * 1.0 / F.size(toks), 4
+    )
+    bucket = F.substring(_doc_hash(), 1, 2)
+    gated = m.documents.select(
+        "doc_id", "lang", "text",
+        n_tokens.alias("n_tokens"),
+        ratio.alias("stopword_ratio"),
+        bucket.alias("bucket"),
+    ).filter(
+        F.col("n_tokens").between(_QF_MIN_TOKENS, _QF_MAX_TOKENS)
+        & (F.col("stopword_ratio") >= _QF_MIN_STOPWORD)
+    )
+    canonical = F.min("doc_id").over(
+        W.partitionBy(F.md5(F.col("text").cast("binary")))
+    )
+    return (
+        gated.withColumn("canonical_id", canonical)
+        .filter(
+            (F.col("doc_id") == F.col("canonical_id"))
+            & (F.col("bucket") < _TRAIN_HI)
+        )
+        .select("doc_id", "lang", "n_tokens", "bucket")
+    )
