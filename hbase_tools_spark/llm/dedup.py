@@ -290,7 +290,12 @@ def incremental_pairs(
     crosses the cap at ingest emits no new pairs — same as a full
     recompute (its historical pairs, already recorded, are the one
     divergence from recompute-from-scratch, and the right call for an
-    append-only pipeline)."""
+    append-only pipeline).
+
+    The new-batch ID set is broadcast: ingest batches are bounded by
+    the source rate limits (maxFilesPerTrigger/maxBytesPerTrigger in
+    streaming/ingest.py), so the broadcast is trigger-config-sized,
+    never corpus-sized."""
     new_sig = _signatures_for(new_docs)
     all_bands = _bands_from_sig(index_sig.unionByName(new_sig)).localCheckpoint(
         eager=False
