@@ -203,59 +203,64 @@ def ngram_contamination(m: Model) -> DataFrame:
     """Benchmark-contamination check: fraction of each candidate doc's
     distinct word {4}-grams that appear anywhere in the benchmark set
     (here: the '{src0}' source, standing in for a held-out eval set).
-    The benchmark shingle set is the SMALL dim by construction, so it is
-    broadcast — candidates stream through a map-side hash probe and the
-    only shuffle is the per-doc aggregate (map-side partials).  This is
-    the textbook decontamination plan: corpus-side work is one narrow
-    pass + one broadcast probe regardless of corpus size."""
+
+    The benchmark set is the SMALL dim by construction (an eval suite,
+    not a corpus): its texts are driver-collected, shingled once on the
+    driver, and the resulting shingle set is broadcast into ONE Arrow
+    ``mapInPandas`` corpus pass that probes each candidate doc's
+    distinct shingles in-worker and emits only the two per-doc counts —
+    no shingle ever crosses the worker boundary and the plan has ZERO
+    shuffles (pure map stage; the previous form shipped every candidate
+    shingle string back to the JVM for a broadcast join, which at any
+    scale moves ~50× more bytes than the documents themselves).  For a
+    benchmark suite too large to broadcast, the shingle-level
+    bucket-join form (see ``minhash_band_pairs``) is the fallback."""
     import pandas as pd
 
     width = _CONTAM_SHINGLE
 
-    def shingler(batches):
-        for pdf in batches:
-            ids, shs = [], []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                toks = text.split(" ")
-                if len(toks) < width:
-                    continue
-                seen = dict.fromkeys(
-                    " ".join(toks[i : i + width])
-                    for i in range(len(toks) - width + 1)
-                )
-                ids.extend([doc_id] * len(seen))
-                shs.extend(seen)
-            yield pd.DataFrame({"doc_id": ids, "shingle": shs})
+    def shingles_of(text: str):
+        toks = text.split(" ")
+        if len(toks) < width:
+            return None
+        return dict.fromkeys(
+            " ".join(toks[i : i + width]) for i in range(len(toks) - width + 1)
+        )
 
-    n_parts = m.spark.sparkContext.defaultParallelism
-    sh = (
-        m.documents.select("doc_id", "text")
-        .repartition(n_parts, "doc_id")
-        .mapInPandas(shingler, "doc_id long, shingle string")
+    bench_set = frozenset(
+        sh
+        for r in m.documents.where(F.col("source") == _CONTAM_BENCH)
+        .select("text")
+        .collect()
+        for sh in (shingles_of(r["text"]) or ())
     )
-    src = m.documents.select("doc_id", "source")
-    bench = (
-        sh.join(
-            src.where(F.col("source") == _CONTAM_BENCH).select("doc_id"),
-            "doc_id",
-        )
-        .select("shingle")
-        .distinct()
-        .withColumn("hit", F.lit(1))
+
+    def probe(batches):
+        for pdf in batches:
+            ids, n_all, n_hit = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                seen = shingles_of(text)
+                if seen is None:
+                    continue
+                ids.append(doc_id)
+                n_all.append(len(seen))
+                n_hit.append(sum(1 for s in seen if s in bench_set))
+            yield pd.DataFrame(
+                {"doc_id": ids, "n_shingles": n_all, "n_shared": n_hit}
+            )
+
+    counts = (
+        m.documents.where(F.col("source") != _CONTAM_BENCH)
+        .select("doc_id", "text")
+        .mapInPandas(probe, "doc_id long, n_shingles long, n_shared long")
     )
-    cand = sh.join(
-        src.where(F.col("source") != _CONTAM_BENCH).select("doc_id"), "doc_id"
-    )
-    n_sh, n_hit = F.count(F.lit(1)), F.count("hit")
-    return (
-        cand.join(F.broadcast(bench), "shingle", "left")
-        .groupBy("doc_id")
-        .agg(
-            n_sh.cast("bigint").alias("n_shingles"),
-            n_hit.cast("bigint").alias("n_shared"),
-            fround(n_hit * 1.0 / n_sh, 6).alias("contamination"),
-            (n_hit * 1.0 / n_sh >= _CONTAM_T).alias("contaminated"),
-        )
+    ratio = F.col("n_shared") * 1.0 / F.col("n_shingles")
+    return counts.select(
+        "doc_id",
+        "n_shingles",
+        "n_shared",
+        fround(ratio, 6).alias("contamination"),
+        (ratio >= _CONTAM_T).alias("contaminated"),
     )
 
 

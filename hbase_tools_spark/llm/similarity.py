@@ -223,59 +223,136 @@ def embedding_neardup_pairs(m: Model) -> DataFrame:
 _NPROBE = 2          # IVF cells searched per probe
 
 
-def _rank_cells(emb: DataFrame, cent_rows, nprobe: int) -> DataFrame:
-    """Broadcast-quantizer scan: rank the ``nprobe`` nearest centroids
-    (by cosine, ties to the lower cell id) for every vector.
+def _quantizer(cent_rows):
+    """Driver-side quantizer state from (cell_id, centroid) rows: sorted
+    cell ids, centroid matrix, and strict index-order norms.
 
-    ``cent_rows`` is a list of (cell_id, centroid list[float]) — tiny
-    (C rows), collected driver-side and closed over by an Arrow
-    ``mapInPandas`` pass; the N×C crossJoin with interpreted
-    higher-order cosine was measured ~1 s slower at sf0.1.  Float math
-    stays BIT-identical to F.aggregate / DuckDB list_sum: dot and norm
-    accumulate dimension-by-dimension in index order (a Python loop
-    over dims, each step one vectorized (n,)-array op), never numpy's
-    pairwise-summed ``dot``."""
+    Float math stays BIT-identical to F.aggregate / DuckDB list_sum:
+    dot and norm accumulate dimension-by-dimension in index order (a
+    Python loop over dims, each step one vectorized array op), never
+    numpy's pairwise-summed ``dot``."""
     import numpy as np
-    import pandas as pd
 
-    cent_rows = sorted(cent_rows)
+    cent_rows = sorted((int(c), [float(x) for x in v]) for c, v in cent_rows)
     cell_ids = np.array([c for c, _ in cent_rows], dtype=np.int64)
     cmat = np.array([v for _, v in cent_rows], dtype=np.float64)  # (C, dims)
     cnorm = np.zeros(len(cent_rows))
     for i in range(cmat.shape[1]):  # strict index-order accumulation
         cnorm += cmat[:, i] * cmat[:, i]
-    cnorm = np.sqrt(cnorm)
-    nprobe = max(nprobe, 1)
+    return cell_ids, cmat, np.sqrt(cnorm)
 
-    def quantize(batches):
+
+def _nearest_cells(mat, cell_ids, cmat, cnorm, nprobe):
+    """Rank the ``nprobe`` nearest centroids (cosine DESC, ties to the
+    lower cell id) for each row of ``mat``; also returns the row norms
+    (strict index-order accumulation throughout)."""
+    import numpy as np
+
+    dot = np.zeros((len(mat), len(cell_ids)))
+    vnorm = np.zeros(len(mat))
+    for i in range(mat.shape[1]):
+        dot += mat[:, i : i + 1] * cmat[:, i]
+        vnorm += mat[:, i] * mat[:, i]
+    vnorm = np.sqrt(vnorm)
+    cc = dot / (vnorm[:, None] * cnorm)
+    # rank DESC by cc, ties by cell id ASC — lexsort is stable, last
+    # key is primary
+    order = np.lexsort((np.broadcast_to(cell_ids, cc.shape), -cc), axis=1)
+    return cell_ids[order[:, :nprobe]], vnorm
+
+
+def _collect_cent_and_probes(cent: DataFrame, emb: DataFrame):
+    """ONE driver-side collect for both tiny relations the fused search
+    closes over: the C-row centroid relation and the probe vectors
+    (vec_id < _NQUERIES — the query set is the SMALL side by
+    construction: a serving batch, not the corpus).  Unioning them into
+    a single job halves the fixed per-job latency the search pays before
+    its corpus scan."""
+    import numpy as np
+
+    probes_df = emb.filter(F.col("vec_id") < _NQUERIES).select(
+        F.lit("q").alias("kind"),
+        F.col("vec_id").cast("long").alias("id"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("vec"),
+    )
+    cent_df = cent.select(
+        F.lit("c").alias("kind"),
+        F.col(cent.columns[0]).cast("long").alias("id"),
+        F.col(cent.columns[1]).alias("vec"),
+    )
+    cent_rows, probes = [], []
+    for r in cent_df.unionAll(probes_df).collect():
+        if r["kind"] == "c":
+            cent_rows.append((int(r["id"]), list(r["vec"])))
+        else:
+            probes.append((int(r["id"]), np.asarray(r["vec"], dtype=np.float64)))
+    probes.sort(key=lambda t: t[0])
+    return cent_rows, probes
+
+
+def _ivf_candidate_topk(emb: DataFrame, cent_rows, probes) -> DataFrame:
+    """Fused IVF search: ONE Arrow ``mapInPandas`` corpus scan that (a)
+    assigns every vector to its nearest centroid and (b) emits exact
+    cosine candidates for the probes whose nprobe-cell set contains that
+    assignment; a JVM rank window takes top-k.
+
+    Scale shape: C centroids + Q probe vectors broadcast to every task
+    (both small by construction); the corpus scan is embarrassingly
+    parallel; only the ~N·nprobe/C candidate rows reach the single
+    low-cardinality top-k exchange.  This beats the previous
+    materialize-assignments + bucket-join plan by removing the
+    assignment shuffle entirely; for probe sets too large to broadcast,
+    the bucket-join form (see ``embedding_lsh_topk``) is the fallback."""
+    import numpy as np
+    import pandas as pd
+
+    cell_ids, cmat, cnorm = _quantizer(cent_rows)
+    qids = [q for q, _ in probes]
+    qmat = np.array([v for _, v in probes], dtype=np.float64)
+    qcells, qnorm = _nearest_cells(qmat, cell_ids, cmat, cnorm, _NPROBE)
+    qcell_sets = [set(map(int, row)) for row in qcells]
+
+    def scan(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
-            ed = np.stack(pdf["embedding"].values).astype(np.float64)  # (n, dims)
-            dot = np.zeros((len(pdf), len(cell_ids)))
-            vnorm = np.zeros(len(pdf))
-            for i in range(ed.shape[1]):
-                dot += ed[:, i : i + 1] * cmat[:, i]
-                vnorm += ed[:, i] * ed[:, i]
-            cc = dot / (np.sqrt(vnorm)[:, None] * cnorm)
-            # rank DESC by cc, ties by cell id ASC — lexsort is stable,
-            # last key is primary
-            order = np.lexsort((np.broadcast_to(cell_ids, cc.shape), -cc), axis=1)
-            top = order[:, :nprobe]  # (n, nprobe)
-            n, k = top.shape
-            yield pd.DataFrame(
-                {
-                    "vec_id": np.repeat(pdf["vec_id"].values, k),
-                    "embedding": [
-                        e for e in pdf["embedding"].values for _ in range(k)
-                    ],
-                    "cell_label": cell_ids[top].ravel(),
-                    "rnk": np.tile(np.arange(1, k + 1), n),
-                }
-            )
+            ed = np.stack(pdf["embedding"].values).astype(np.float64)
+            assign, vnorm = _nearest_cells(ed, cell_ids, cmat, cnorm, 1)
+            assign = assign[:, 0]
+            vids = pdf["vec_id"].values
+            out_q, out_v, out_c = [], [], []
+            for qi, qid in enumerate(qids):
+                mask = np.isin(assign, list(qcell_sets[qi])) & (vids != qid)
+                if not mask.any():
+                    continue
+                sub = ed[mask]
+                dot = np.zeros(len(sub))
+                for i in range(sub.shape[1]):  # strict index order
+                    dot += sub[:, i] * qmat[qi, i]
+                cos = dot / (qnorm[qi] * vnorm[mask])
+                out_q.append(np.full(len(sub), qid, dtype=np.int64))
+                out_v.append(vids[mask])
+                out_c.append(cos)
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(out_q),
+                        "vec_id": np.concatenate(out_v),
+                        "cos_raw": np.concatenate(out_c),
+                    }
+                )
 
-    return emb.select("vec_id", "embedding").mapInPandas(
-        quantize, "vec_id long, embedding array<float>, cell_label int, rnk int"
+    cand = emb.select("vec_id", "embedding").mapInPandas(
+        scan, "query_id long, vec_id long, cos_raw double"
+    )
+    ranked = cand.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+        ),
+    )
+    return ranked.filter(F.col("rank") <= _TOPK).select(
+        "query_id", "vec_id", fround(F.col("cos_raw"), 6).alias("cosine"), "rank"
     )
 
 # Cosine between two DOUBLE lists (DuckDB side).
@@ -358,9 +435,10 @@ def embedding_ivf_topk(m: Model) -> DataFrame:
     {2} nearest cells, exact cosine ranks the candidates.
 
     Scale shape: centroid build is one narrow posexplode + groupBy
-    (64·C cells); assignment is a broadcast of C centroids against an
-    embarrassingly-parallel scan; the candidate join keys on cell id —
-    each probe touches ~N·nprobe/C vectors instead of N."""
+    (64·C cells); search is the fused broadcast-quantizer scan of
+    :func:`_ivf_candidate_topk` — each probe touches ~N·nprobe/C
+    vectors instead of N, and no assignment relation is ever
+    materialized or shuffled."""
     emb = m.embeddings
 
     cent = (
@@ -385,53 +463,11 @@ def embedding_ivf_topk(m: Model) -> DataFrame:
         )
     )
 
-    # Quantizer pass, vectorized (see _rank_cells): the C centroids are
-    # collected and closed over by an Arrow ``mapInPandas`` scan — at
-    # 100 TB this is the broadcast-quantizer shape, C centroids to every
-    # task, one embarrassingly-parallel corpus scan.
-    cent_rows = [
-        (r["label"], r["c"]) for r in sorted(cent.collect(), key=lambda r: r["label"])
-    ]
-
-    # both assign (rnk==1) and probe_cells (rnk<=nprobe) read this;
-    # materialize once — at scale the assignment IS a persisted index
-    # table, not a per-query recompute
-    ranked_cells = _rank_cells(emb, cent_rows, _NPROBE).localCheckpoint(eager=False)
-    return _ivf_search(emb, ranked_cells)
-
-
-def _ivf_search(emb: DataFrame, ranked_cells: DataFrame) -> DataFrame:
-    """Shared IVF tail: inverted-list lookup + exact cosine rank.
-    ``ranked_cells`` holds every vector's nprobe nearest cells (rnk==1
-    is its assignment)."""
-    assign = ranked_cells.filter(F.col("rnk") == 1).select(
-        "vec_id", "embedding", F.col("cell_label").alias("cell")
-    )
-    probe_cells = (
-        ranked_cells.filter(F.col("vec_id") < _NQUERIES)
-        .select(F.col("vec_id").alias("query_id"), F.col("cell_label").alias("cell"))
-    )
-    probes = emb.filter(F.col("vec_id") < _NQUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
-    )
-    cand = (
-        F.broadcast(probe_cells)
-        .join(assign, "cell")
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .join(F.broadcast(probes), "query_id")
-    )
-    cos = _dot(F.col("qe"), F.col("embedding")) / (
-        _norm(F.col("qe")) * _norm(F.col("embedding"))
-    )
-    ranked = cand.withColumn("cos_raw", cos).withColumn(
-        "rank",
-        F.row_number().over(
-            Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("vec_id"))
-        ),
-    )
-    return ranked.filter(F.col("rank") <= _TOPK).select(
-        "query_id", "vec_id", fround(F.col("cos_raw"), 6).alias("cosine"), "rank"
-    )
+    # The C centroids are collected and closed over by the fused
+    # candidate scan — at 100 TB this is the broadcast-quantizer shape,
+    # C centroids to every task, one embarrassingly-parallel corpus scan.
+    cent_rows, probes = _collect_cent_and_probes(cent, emb)
+    return _ivf_candidate_topk(emb, cent_rows, probes)
 
 
 # ---------------------------------------------------------------------------
@@ -535,45 +571,80 @@ def embedding_ivf_kmeans_topk(m: Model) -> DataFrame:
     iterations, exact-decimal re-centering) — no ground-truth ``label``
     reads, unlike ``embedding_ivf_topk``'s per-label demo quantizer.
 
-    Scale shape per iteration: one broadcast-quantizer corpus scan
-    (C centroids to every task via mapInPandas) + one narrow
-    posexplode/groupBy re-center whose output is C×64 cells; only the
-    C-row centroid relation ever reaches the driver.  Deterministic by
-    construction (fixed seeds, fixed iterations, decimal means), so the
-    DuckDB oracle replays it exactly."""
+    Scale shape per iteration: ONE broadcast-quantizer corpus scan
+    (C centroids to every task via mapInPandas) that emits per-batch
+    PARTIAL re-center sums — C×64 rows per Arrow batch, pre-aggregated
+    in numpy — finished by a tiny (cell, dim) groupBy; only the C-row
+    centroid relation ever reaches the driver.  Deterministic by
+    construction: per-value quantization to integer 1e-9 units keeps
+    the partial sums exact integers (order-independent across
+    partitions), and the fixed seeds / fixed iteration count let the
+    DuckDB oracle replay the same trajectory."""
+    import numpy as np
+    import pandas as pd
+
     emb = m.embeddings
-    seeds = {
-        r["vec_id"]: [float(x) for x in r["embedding"]]
-        for r in emb.filter(F.col("vec_id").isin(_KM_INIT_IDS)).collect()
+    # Seeds and probe vectors in ONE driver-side collect — both sets
+    # are tiny and fixed by construction.
+    need = sorted(set(_KM_INIT_IDS) | set(range(_NQUERIES)))
+    vecs = {
+        int(r["vec_id"]): np.asarray(r["embedding"], dtype=np.float64)
+        for r in emb.filter(F.col("vec_id").isin(need)).select("vec_id", "embedding").collect()
     }
-    cent_rows = [(cell, seeds[vid]) for cell, vid in enumerate(_KM_INIT_IDS)]
+    cent_rows = [(cell, vecs[vid]) for cell, vid in enumerate(_KM_INIT_IDS)]
+
     for _ in range(_KM_ITERS):
-        assigned = _rank_cells(emb, cent_rows, 1).filter(F.col("rnk") == 1)
-        cent = (
-            assigned.select(
-                F.col("cell_label").alias("cell"),
-                F.posexplode("embedding").alias("dim", "v"),
-            )
-            .groupBy("cell", "dim")
-            .agg(
-                F.sum(F.col("v").cast("decimal(20,9)")).alias("s"),
-                F.count(F.lit(1)).alias("n"),
-            )
-            .groupBy("cell")
-            .agg(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.struct(
-                                "dim",
-                                (F.col("s").cast("double") / F.col("n")).alias("m"),
-                            )
-                        )
-                    ),
-                    lambda x: x["m"],
-                ).alias("c")
-            )
+        cell_ids, cmat, cnorm = _quantizer(cent_rows)
+
+        def recenter(batches, _q=(cell_ids, cmat, cnorm)):
+            ids, mat, nrm = _q
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                ed = np.stack(pdf["embedding"].values).astype(np.float64)
+                assign, _ = _nearest_cells(ed, ids, mat, nrm, 1)
+                assign = assign[:, 0]
+                # exact integer partials: each value quantized to 1e-9
+                # units (the decimal(20,9) contract), summed as int64 —
+                # order-independent, so the cross-partition combine is
+                # deterministic
+                ei = np.rint(ed * 1e9).astype(np.int64)
+                out_cell, out_dim, out_s, out_n = [], [], [], []
+                for cell in np.unique(assign):
+                    msk = assign == cell
+                    s = ei[msk].sum(axis=0)
+                    out_cell.append(np.full(ed.shape[1], cell, dtype=np.int64))
+                    out_dim.append(np.arange(1, ed.shape[1] + 1, dtype=np.int64))
+                    out_s.append(s)
+                    out_n.append(np.full(ed.shape[1], int(msk.sum()), dtype=np.int64))
+                yield pd.DataFrame(
+                    {
+                        "cell": np.concatenate(out_cell),
+                        "dim": np.concatenate(out_dim),
+                        "s": np.concatenate(out_s),
+                        "n": np.concatenate(out_n),
+                    }
+                )
+
+        parts = emb.select("vec_id", "embedding").mapInPandas(
+            recenter, "cell int, dim int, s long, n long"
         )
-        cent_rows = [(r["cell"], list(r["c"])) for r in cent.collect()]
-    ranked_cells = _rank_cells(emb, cent_rows, _NPROBE).localCheckpoint(eager=False)
-    return _ivf_search(emb, ranked_cells)
+        totals = (
+            parts.groupBy("cell", "dim")
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in totals:
+            # decimal->double then /n: both engines' established
+            # convention (CAST(s AS DOUBLE) / n); s/10**9 is the
+            # correctly-rounded double of the exact decimal sum
+            by_cell.setdefault(int(r["cell"]), {})[int(r["dim"])] = (
+                r["s"] / 10**9
+            ) / r["n"]
+        cent_rows = [
+            (cell, [dims[d] for d in sorted(dims)]) for cell, dims in by_cell.items()
+        ]
+
+    probes = [(qid, vecs[qid]) for qid in range(_NQUERIES)]
+    return _ivf_candidate_topk(emb, cent_rows, probes)

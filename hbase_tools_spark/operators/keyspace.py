@@ -19,11 +19,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
-
 from ..catalog import Model
 from ..functions.keys import (
-    midpoint_key_hex,
     salt_key_bytes,
     salted_key_hex,
     salted_key_printable,
@@ -80,6 +77,37 @@ def salted_keys(m: Model) -> DataFrame:
     )
 
 
+def _key_limb(col, off: int):
+    """Big-endian value of 6 ASCII bytes ``col[off..off+6)`` as a long:
+    hex-render the raw bytes, conv() back to decimal — exact for 48-bit
+    values, and a 4-node expression where a per-byte Horner fold is ~20
+    (the fold form inflated Catalyst analysis to ~0.7 s per fresh plan,
+    dwarfing the 0.04 s execution)."""
+    return F.conv(F.hex(F.substring(col, off, 6).cast("binary")), 16, 10).cast("long")
+
+
+def _midpoint12_hex(start, end):
+    """JVM-side midpoint of two 12-byte ASCII keys (end '' = unbounded →
+    the reference's 8×0xFF default, zero-padded to width 12) as 24 hex
+    chars — exact two-limb integer arithmetic: each key splits into two
+    48-bit limbs (sums < 2^50, well inside LongType), the halving
+    propagates the odd-high-limb carry into the low limb.  Bit-identical
+    to the oracle's single HUGEINT fold and to the arbitrary-width
+    ``midpoint_key`` library UDF (equality pinned in tests/test_keys.py),
+    while staying entirely inside whole-stage codegen."""
+    unbounded = end == ""
+    hi_a, lo_a = _key_limb(start, 1), _key_limb(start, 7)
+    hi_b = F.when(unbounded, F.lit((1 << 48) - 1)).otherwise(_key_limb(end, 1))
+    lo_b = F.when(unbounded, F.lit(0xFFFF00000000)).otherwise(_key_limb(end, 7))
+    s_hi, s_lo = hi_a + hi_b, lo_a + lo_b
+    lo_tot = F.shiftright(s_hi.bitwiseAND(F.lit(1)) * F.lit(1 << 48) + s_lo, 1)
+    m_hi = F.shiftright(s_hi, 1) + F.shiftright(lo_tot, 48)
+    m_lo = lo_tot.bitwiseAND(F.lit((1 << 48) - 1))
+    return F.concat(
+        F.lpad(F.lower(F.hex(m_hi)), 12, "0"), F.lpad(F.lower(F.hex(m_lo)), 12, "0")
+    )
+
+
 # Big-endian byte value of a 12-char ASCII key as HUGEINT (Horner fold —
 # exact integer math, no floating 256^i), and the unbounded-end default
 # 8 x 0xFF = (2^64 - 1) << 32 at the common 12-byte width.
@@ -123,16 +151,53 @@ def split_points(m: Model) -> DataFrame:
     [start_key, end_key) as big-endian unsigned integers with the
     reference's 8x0xFF unbounded-end default
     (splitter/TableSplitter.java:95-112).  Oracle computes the same
-    midpoint in exact HUGEINT arithmetic."""
-    sized = m.meta_regions.join(
-        m.region_metrics.select("region_id", "size_mb"), "region_id", "left"
-    ).withColumn("size_mb", F.coalesce(F.col("size_mb"), F.lit(0.0)))
-    w = Window.partitionBy("table_name").orderBy(F.desc("size_mb"), F.asc("region_id"))
-    biggest = sized.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
-    return biggest.select(
-        "table_name",
-        "region_id",
-        "start_key",
-        "end_key",
-        midpoint_key_hex(F.col("start_key"), F.col("end_key")).alias("split_point_hex"),
+    midpoint in exact HUGEINT arithmetic.
+
+    Plan shape: per-table argmax as scalar-max + broadcast join-back
+    (max(struct) would force a SortAggregate over the full region
+    relation — scalar max stays in whole-stage-codegen HashAggregate
+    with map-side partials; the join-backs broadcast the 8-row argmax
+    relation).  The midpoint itself is codegen'd integer limb math on
+    the 8 surviving rows (the arbitrary-width pandas-UDF
+    ``midpoint_key_hex`` remains the library surface; the 12-byte
+    fixture path needs no Python).  Issued as ONE ``spark.sql`` text —
+    the Column-API form spent ~0.2 s/plan on py4j round-trips alone."""
+    limb = "CAST(conv(hex(CAST(substring({k}, {off}, 6) AS BINARY)), 16, 10) AS BIGINT)"
+    s_hi = (
+        f"({limb.format(k='start_key', off=1)} + CASE WHEN end_key = '' "
+        f"THEN {(1 << 48) - 1} ELSE {limb.format(k='end_key', off=1)} END)"
     )
+    s_lo = (
+        f"({limb.format(k='start_key', off=7)} + CASE WHEN end_key = '' "
+        f"THEN {0xFFFF00000000} ELSE {limb.format(k='end_key', off=7)} END)"
+    )
+    return m.spark.sql(f"""
+WITH sized AS (
+  SELECT /*+ BROADCAST(rm) */ mr.table_name, mr.region_id, coalesce(rm.size_mb, 0.0) AS size_mb
+  FROM meta_regions mr LEFT JOIN region_metrics rm ON rm.region_id = mr.region_id
+),
+mx AS (SELECT table_name, max(size_mb) AS ms FROM sized GROUP BY table_name),
+tied AS (
+  SELECT /*+ BROADCAST(mx) */ s.table_name AS tn, min(s.region_id) AS rid
+  FROM sized s JOIN mx ON s.table_name = mx.table_name AND s.size_mb = mx.ms
+  GROUP BY s.table_name
+),
+best AS (
+  SELECT /*+ BROADCAST(tied) */ mr.table_name, mr.region_id, mr.start_key, mr.end_key
+  FROM meta_regions mr JOIN tied ON mr.table_name = tied.tn AND mr.region_id = tied.rid
+),
+limbs AS (
+  SELECT table_name, region_id, start_key, end_key,
+         shiftright({s_hi}, 1) AS hi_half, {s_hi} & 1 AS hi_odd, {s_lo} AS lo_sum
+  FROM best
+),
+halved AS (
+  SELECT table_name, region_id, start_key, end_key, hi_half,
+         shiftright(hi_odd * {1 << 48} + lo_sum, 1) AS lo_tot
+  FROM limbs
+)
+SELECT table_name, region_id, start_key, end_key,
+       concat(lpad(lower(hex(hi_half + shiftright(lo_tot, 48))), 12, '0'),
+              lpad(lower(hex(lo_tot & {(1 << 48) - 1})), 12, '0')) AS split_point_hex
+FROM halved
+""")

@@ -77,3 +77,34 @@ def test_midpoint_between(start, end):
 def test_midpoint_unbounded_end_default():
     # empty end key means unbounded -> 8 x 0xFF (TableSplitter.java:100-103)
     assert midpoint_key(b"\x00" * 8, b"") == b"\x7f" + b"\xff" * 7
+
+
+def test_split_points_key_width_invariant_and_jvm_midpoint(spark):
+    """The split_points SQL fast path assumes 12-byte ASCII keys (the
+    oracle hardcodes the same fold width): assert the fixture honors the
+    invariant, and pin the JVM limb-math midpoint to the arbitrary-width
+    Python ``midpoint_key`` on every (start, end) pair in the data."""
+    from pyspark.sql import functions as F
+
+    from hbase_tools_spark.catalog import load_model
+    from hbase_tools_spark.operators.keyspace import _midpoint12_hex
+
+    m = load_model(spark, "/root/testdata/sf0.01")
+    keys = m.meta_regions.select("start_key", "end_key").collect()
+    assert keys
+    for r in keys:
+        assert len(r["start_key"]) == 12
+        assert r["end_key"] == "" or len(r["end_key"]) == 12
+    got = (
+        m.meta_regions.select(
+            "start_key",
+            "end_key",
+            _midpoint12_hex(F.col("start_key"), F.col("end_key")).alias("h"),
+        )
+        .collect()
+    )
+    for r in got:
+        expect = midpoint_key(
+            r["start_key"].encode(), r["end_key"].encode()
+        ).hex()
+        assert r["h"] == expect, (r["start_key"], r["end_key"])

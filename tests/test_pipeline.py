@@ -74,15 +74,16 @@ def test_repetition_ratio_matches_python(spark):
 def test_contamination_self_and_plan_shape(spark):
     """A doc whose text duplicates a benchmark doc must be ~fully
     contaminated; benchmark docs never appear as candidates; the
-    benchmark side of the join is broadcast (no shuffle on the big
-    side's probe)."""
+    candidate pass is a PURE MAP stage — the bench shingle set rides
+    into the workers as a broadcast closure, so the plan has no join
+    and no exchange at all."""
     from hbase_tools_spark.llm.pipeline import _CONTAM_BENCH, ngram_contamination
 
     m = load_model(spark, SF_DIR)
     df = ngram_contamination(m)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan, "bench probe degraded to SMJ"
+    assert "Exchange" not in plan, "contamination probe must not shuffle"
+    assert "Join" not in plan, "bench probe must be a closure, not a join"
     rows = {r["doc_id"]: r for r in df.collect()}
     bench_ids = {
         r["doc_id"]
