@@ -175,15 +175,16 @@ def main() -> None:
         (n for n, r in ratios.items() if r is not None and r > 2.0),
         key=lambda n: -ratios[n],
     )
-    # Key order matters: the driver artifact has been observed truncated
-    # to the TAIL of the line, so the big per-query dicts go first and
-    # the headline aggregates last (they survive truncation); the full
-    # object is also written to BENCH_FULL.json alongside this script.
-    out = {
-        "queries": spark_secs,
-        "duckdb": duck_secs,
-        "vs_duckdb_per_query": ratios,
-        "over_2x": over_2x,
+    # The stdout line must PARSE in the driver artifact — the round-3
+    # line carried every per-query dict (~12 KB) and was captured
+    # truncated ("parsed": null).  stdout now carries the headline
+    # aggregates + the per-query Spark seconds the driver format asks
+    # for (~3 KB); the DuckDB per-query timings, ratios and the full
+    # over-2x list live in BENCH_FULL.json next to this script.
+    headline = {
+        "metric": "total_wall",
+        "value": total,
+        "unit": "sec",
         "sf": _sf_of(sf_dir),
         "cpus": cpus,
         "n_queries": len(spark_secs),
@@ -193,11 +194,15 @@ def main() -> None:
             round(batch_spark / batch_duck, 3) if batch_duck else None
         ),
         "stream_secs": round(sum(spark_secs[n] for n in stream_names), 4),
-        "metric": "total_wall",
-        "value": total,
-        "unit": "sec",
+        "n_over_2x": len(over_2x),
+        "queries": {n: round(s, 3) for n, s in spark_secs.items()},
     }
-    line = json.dumps(out)
+    out = dict(
+        headline,
+        duckdb=duck_secs,
+        vs_duckdb_per_query=ratios,
+        over_2x=over_2x,
+    )
     try:
         full = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "BENCH_FULL.json")
@@ -205,7 +210,7 @@ def main() -> None:
             json.dump(out, f, indent=1)
     except OSError as exc:
         print(f"BENCH_FULL.json not written: {exc}", file=sys.stderr)
-    print(line)
+    print(json.dumps(headline))
 
 
 if __name__ == "__main__":

@@ -77,6 +77,18 @@ TOOL_QUERIES: dict[str, list[str]] = {
 
 LIFECYCLE_TOOLS = {"table_copy", "table_replace"}
 
+# Unregistered per-tool extras: full-table surfaces whose registered
+# twin is oracle-restricted (see operators/keyspace.py:salted_keys_full).
+TOOL_EXTRA_FNS: dict[str, list[str]] = {
+    "key_generator": ["salted_keys_full"],
+}
+
+
+def _extra_fn(name: str):
+    from .operators.keyspace import salted_keys_full
+
+    return {"salted_keys_full": salted_keys_full}[name]
+
 
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(
@@ -104,6 +116,13 @@ def main(argv: list[str] | None = None) -> int:
     )
     parser.add_argument("--full", action="store_true", help="report: no 15-event cap")
     parser.add_argument("--out-dir", default=".", help="report: output directory")
+    parser.add_argument(
+        "--explain",
+        action="store_true",
+        help="print each query's optimized/physical plan instead of rows "
+        "(the plan-audit discipline: check pushed filters, broadcast "
+        "joins, codegen spans before trusting a tool at scale)",
+    )
     args = parser.parse_args(argv)
 
     from .session import get_spark
@@ -146,16 +165,25 @@ def main(argv: list[str] | None = None) -> int:
             if k in out:
                 print(f"{k}: {out[k]}")
         return 0
+    def render(df):
+        if args.explain:
+            df.explain("formatted")
+        else:
+            df.show(args.rows, truncate=False)
+
     if args.tool == "query":
         if not args.name or args.name not in QUERIES:
             parser.error(
                 f"--name must be one of: {', '.join(sorted(QUERIES))}"
             )
-        QUERIES[args.name].fn(model).show(args.rows, truncate=False)
+        render(QUERIES[args.name].fn(model))
         return 0
     for name in TOOL_QUERIES[args.tool]:
         print(f"\n=== {name} ===")
-        QUERIES[name].fn(model).show(args.rows, truncate=False)
+        render(QUERIES[name].fn(model))
+    for name in TOOL_EXTRA_FNS.get(args.tool, ()):
+        print(f"\n=== {name} ===")
+        render(_extra_fn(name)(model))
     return 0
 
 

@@ -275,7 +275,10 @@ def pairs_from_signatures(sig: DataFrame, cap: int = _BUCKET_CAP) -> DataFrame:
 
 
 def incremental_pairs(
-    index_sig: DataFrame, new_docs: DataFrame, cap: int = _BUCKET_CAP
+    index_sig: DataFrame,
+    new_docs: DataFrame | None,
+    cap: int = _BUCKET_CAP,
+    new_sig: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental ingest dedup: candidate pairs INVOLVING a new doc —
     new×indexed plus new×new — without re-enumerating the indexed
@@ -295,8 +298,14 @@ def incremental_pairs(
     The new-batch ID set is broadcast: ingest batches are bounded by
     the source rate limits (maxFilesPerTrigger/maxBytesPerTrigger in
     streaming/ingest.py), so the broadcast is trigger-config-sized,
-    never corpus-sized."""
-    new_sig = _signatures_for(new_docs)
+    never corpus-sized.
+
+    Pass ``new_sig`` when the batch signatures are already computed
+    (the ingest loop materializes them ONCE and reuses the relation for
+    both this pairing and the index append — the signer is the
+    expensive pass)."""
+    if new_sig is None:
+        new_sig = _signatures_for(new_docs)
     all_bands = _bands_from_sig(index_sig.unionByName(new_sig)).localCheckpoint(
         eager=False
     )

@@ -77,6 +77,23 @@ def salted_keys(m: Model) -> DataFrame:
     )
 
 
+def salted_keys_full(m: Model) -> DataFrame:
+    """Unrestricted X1/X2 surface for the ``key_generator`` CLI tool:
+    salted keys for EVERY customer row.  The registered ``salted_keys``
+    query restricts itself to the deterministic ``c_custkey < 100``
+    subset purely so its golden-VALUES oracle stays enumerable — the
+    CLI must not inherit that restriction (a key_generator user salts
+    whole tables).  Correctness rides on the same pure functions the
+    golden-vector + hypothesis property tests certify against the
+    reference port (tests/test_keys.py)."""
+    return m.customer.select(
+        "c_custkey",
+        F.col("c_name").alias("row_key"),
+        salted_key_hex(F.col("c_name")).alias("salted_hex"),
+        salted_key_printable(F.col("c_name")).alias("salted_printable"),
+    )
+
+
 def _key_limb(col, off: int):
     """Big-endian value of 6 ASCII bytes ``col[off..off+6)`` as a long:
     hex-render the raw bytes, conv() back to decimal — exact for 48-bit

@@ -11,26 +11,44 @@ the index is always exactly "every doc seen so far" and per-batch cost
 scales with batch × bucket width, never corpus².
 
 Everything inside ``foreachBatch`` is distributed DataFrame work; the
-driver only orchestrates.  At 100 TB the index is a partitioned table
-(append per batch = one new file set), and checkpointing makes the
-loop exactly-once per source file.
+driver only orchestrates.  At 100 TB the index and the pairs log are
+batch_id-partitioned tables (append per batch = one new partition).
+
+Delivery semantics: ``foreachBatch`` replays a batch after a failure
+(at-least-once), so BOTH sinks are written idempotently — each write
+targets only its own ``batch_id=N`` partition via dynamic partition
+overwrite, and the pairing step reads the index with ``batch_id <
+current`` (partition-pruned), so a replay after a partial failure —
+between the two writes, or after both but before the checkpoint
+commit — recomputes the identical pair set against the identical
+pre-batch index and overwrites the same partitions.  At-least-once
+reprocessing + idempotent per-partition output = exactly-once OUTPUT
+(the contract tests/test_streaming.py asserts by replaying batches).
 """
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..llm.dedup import (
-    _BUCKET_CAP,
-    _signatures_for,
-    incremental_pairs,
-    minhash_pairs_for,
-)
+from ..llm.dedup import _BUCKET_CAP, _signatures_for, incremental_pairs
 
 _SIG_SCHEMA = "doc_id long, sig array<long>"
+
+
+def _hadoop_path(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p, p.getFileSystem(spark._jsc.hadoopConfiguration())
+
+
+def _fs_exists(spark: SparkSession, path: str) -> bool:
+    """Existence probe through the Hadoop FileSystem API — correct for
+    HDFS/S3/ABFS index locations (the production posture), where a
+    driver-local ``os.path.exists`` would always say no and silently
+    degrade every batch to self-pairing."""
+    p, fs = _hadoop_path(spark, path)
+    return fs.exists(p)
 
 
 def dedup_ingest_batch(
@@ -41,20 +59,39 @@ def dedup_ingest_batch(
     batch_id: int,
     cap: int = _BUCKET_CAP,
 ) -> None:
-    """One ingest cycle: pair the arriving docs against the index
-    (plus each other), log the pairs, grow the index."""
+    """One idempotent ingest cycle: pair the arriving docs against the
+    pre-batch index (plus each other), overwrite this batch's partition
+    of the pairs log, overwrite this batch's partition of the index.
+
+    The batch signatures are computed ONCE (``localCheckpoint``) and
+    feed both the pairing and the index append — the per-shingle md5 ×
+    16-permutation signer is the expensive pass and used to run twice.
+    """
     batch_docs = batch_docs.select("doc_id", "text")
-    if os.path.exists(index_dir):
-        sig_index = spark.read.parquet(index_dir)
-        pairs = incremental_pairs(sig_index, batch_docs, cap)
-    else:
-        pairs = minhash_pairs_for(batch_docs, cap)
-    (
-        pairs.withColumn("batch_id", F.lit(batch_id))
-        .write.mode("append")
-        .parquet(pairs_dir)
-    )
-    _signatures_for(batch_docs).write.mode("append").parquet(index_dir)
+    new_sig = _signatures_for(batch_docs).localCheckpoint(eager=True)
+    if _fs_exists(spark, index_dir):
+        # batch_id < current: partition-pruned, and — critically for
+        # replay idempotence — blind to this batch's own partition if a
+        # prior attempt already wrote it.
+        sig_index = (
+            spark.read.parquet(index_dir)
+            .filter(F.col("batch_id") < batch_id)
+            .select("doc_id", "sig")
+        )
+    else:  # first batch: empty index, pairs = new×new only
+        sig_index = spark.createDataFrame([], _SIG_SCHEMA)
+    pairs = incremental_pairs(sig_index, None, cap, new_sig=new_sig)
+    for df, out in (
+        (pairs, pairs_dir),
+        (new_sig, index_dir),
+    ):
+        (
+            df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out)
+        )
 
 
 def dedup_ingest_stream(
@@ -81,3 +118,33 @@ def dedup_ingest_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def compact_pairs_log(spark: SparkSession, pairs_dir: str) -> None:
+    """Periodic maintenance for the pairs log: keep each (doc_a, doc_b)
+    once, attributed to the earliest batch that discovered it.  The
+    idempotent writes above keep REPLAYS from duplicating pairs, but a
+    re-ingested document (same doc_id arriving in two source files)
+    legitimately re-emits its pairs under a later batch_id — compaction
+    folds those.
+
+    Compacts into a staging directory then swaps via FileSystem rename
+    (atomic on HDFS; the object-store equivalent is a metastore pointer
+    swap) — never reads and overwrites the same live directory, so a
+    crash mid-compaction leaves the original log intact.  Idempotent:
+    re-running on a compacted log is a no-op rewrite."""
+    compacted = (
+        spark.read.parquet(pairs_dir)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.min("batch_id").alias("batch_id"))
+    )
+    stage_dir = pairs_dir.rstrip("/") + ".compacting"
+    (
+        compacted.write.mode("overwrite")
+        .partitionBy("batch_id")
+        .parquet(stage_dir)
+    )
+    live, fs = _hadoop_path(spark, pairs_dir)
+    stage, _ = _hadoop_path(spark, stage_dir)
+    fs.delete(live, True)
+    fs.rename(stage, live)

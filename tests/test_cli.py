@@ -66,3 +66,29 @@ def test_cli_table_copy(tmp_path, spark, capsys):
     assert rc == 0
     assert os.path.exists(dst)
     assert spark.read.parquet(dst).count() == spark.read.parquet(src).count()
+
+
+def test_cli_explain_renders_physical_plan(capsys):
+    rc = main(["splitter", "--sf-dir", SF_DIR, "--explain"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "== Physical Plan ==" in out
+    assert "=== split_points ===" in out
+
+
+def test_cli_key_generator_full_surface(capsys):
+    """key_generator must salt the WHOLE table, not just the
+    oracle-gated c_custkey<100 demo subset."""
+    rc = main(["key_generator", "--sf-dir", SF_DIR, "--rows", "5"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "=== salted_keys ===" in out
+    assert "=== salted_keys_full ===" in out
+
+
+def test_salted_keys_full_covers_all_customers(spark):
+    from hbase_tools_spark.catalog import load_model
+    from hbase_tools_spark.operators.keyspace import salted_keys_full
+
+    m = load_model(spark, SF_DIR)
+    assert salted_keys_full(m).count() == m.customer.count()
