@@ -59,7 +59,11 @@ TOOL_QUERIES: dict[str, list[str]] = {
     # pipeline user gets the same one-command ergonomics.
     "llm_dedup": [
         "docs_exact_dedup", "minhash_band_pairs", "lsh_bucket_stats",
-        "neardup_clusters_converged",
+        "minhash_similarity_estimates", "neardup_clusters_converged",
+    ],
+    "llm_prep": [
+        "docs_split_assign", "docs_stratified_sample", "docs_chunk_spans",
+        "docs_pack_bins", "corpus_mixture_weights", "training_set_assembly",
     ],
     "llm_text": [
         "text_stats", "lang_id_heuristic", "docs_quality_filter",

@@ -652,3 +652,72 @@ def neardup_clusters_converged(m: Model) -> DataFrame:
     stays as the fixed-round oracle variant).  Oracle: DuckDB recursive
     CTE transitive closure, so the driver hash-checks the fixpoint."""
     return connected_components(ngram_jaccard_pairs(m))
+
+
+# ---------------------------------------------------------------------------
+# Estimator diagnostics — MinHash agreement per candidate pair
+# ---------------------------------------------------------------------------
+
+@query(
+    "minhash_similarity_estimates",
+    oracle=f"""
+{_BANDS_SQL},
+ok_buckets AS (
+  SELECT band, band_hash
+  FROM bands
+  GROUP BY band, band_hash
+  HAVING count(*) BETWEEN 2 AND {_BUCKET_CAP}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN ok_buckets ob ON a.band = ob.band AND a.band_hash = ob.band_hash
+  JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+              AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(len(list_filter(range(1, {_MINHASHES + 1}),
+                            i -> sa.sig[i] = sb.sig[i])) AS BIGINT) AS n_match,
+       floor(len(list_filter(range(1, {_MINHASHES + 1}),
+                             i -> sa.sig[i] = sb.sig[i])) / {_MINHASHES}.0
+             * 1000000.0 + 0.5) / 1000000.0 AS est_jaccard
+FROM cand c
+JOIN sig sa ON sa.doc_id = c.doc_a
+JOIN sig sb ON sb.doc_id = c.doc_b
+""",
+    views=[],
+)
+def minhash_similarity_estimates(m: Model) -> DataFrame:
+    """Estimator diagnostic for the dedup pipeline: for every LSH
+    candidate pair, the fraction of the {16} MinHash components that
+    agree — the unbiased Jaccard estimate the banding decision is
+    implicitly built on.  Piped next to ``ngram_jaccard_pairs`` (exact
+    Jaccard on the same pairs) this is the tuning table for choosing
+    the dedup threshold: it shows directly how coarse a 16-hash
+    estimate is at the operating point.
+
+    Plan: the signature relation is computed ONCE (localCheckpoint) and
+    reused three ways (banding, side A, side B); pairs come from the
+    capped bucket grouping (never a self-join) and the two signature
+    joins key on doc_id — co-partitioned small shuffles sized by the
+    candidate set, not the corpus."""
+    sig = _signatures_for(m.documents).localCheckpoint(eager=True)
+    pairs = pairs_from_signatures(sig)
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    n_match = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda v: v,
+        )
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            n_match.cast("bigint").alias("n_match"),
+            fround(n_match / float(_MINHASHES), 6).alias("est_jaccard"),
+        )
+    )

@@ -408,3 +408,196 @@ def training_set_assembly(m: Model) -> DataFrame:
         )
         .select("doc_id", "lang", "n_tokens", "bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Context chunking — fixed token windows with stride (training prep)
+# ---------------------------------------------------------------------------
+
+_CHUNK_W = 32   # tokens per chunk (context window)
+_CHUNK_S = 24   # stride (25% overlap keeps boundary context)
+
+
+@query(
+    "docs_chunk_spans",
+    oracle=f"""
+SELECT doc_id,
+       CAST(i AS BIGINT)                               AS chunk_id,
+       CAST(i * {_CHUNK_S} + 1 AS BIGINT)              AS start_tok,
+       CAST(least({_CHUNK_W}, n - i * {_CHUNK_S}) AS BIGINT) AS n_tok,
+       array_to_string(
+         toks[i * {_CHUNK_S} + 1 : least(i * {_CHUNK_S} + {_CHUNK_W}, n)], ' '
+       )                                               AS chunk_text
+FROM (
+  SELECT doc_id, toks, n,
+         unnest(range(0, CASE WHEN n <= {_CHUNK_W} THEN 1
+                              ELSE (n - {_CHUNK_W} + {_CHUNK_S} - 1) // {_CHUNK_S} + 1
+                         END)) AS i
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks,
+               len(string_split(text, ' ')) AS n
+        FROM documents) t
+) c
+""",
+    views=[],
+)
+def docs_chunk_spans(m: Model) -> DataFrame:
+    """Context chunking for training prep: each document becomes
+    overlapping {32}-token windows at stride {24} (the standard
+    long-document treatment before tokenization/packing); the final
+    window is truncated, never padded.  Chunk count is exact integer
+    math — ``1 + ceil((n-W)/S)`` via integer division — so both engines
+    enumerate identical spans.
+
+    Pure narrow transform (split → sequence → posexplode → slice): at
+    100 TB this is a single scan stage, zero shuffles, and the output
+    is written partition-parallel."""
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks).cast("long")
+    nc = F.when(n <= _CHUNK_W, F.lit(1).cast("long")).otherwise(
+        F.expr(f"(size(split(text, ' ')) - {_CHUNK_W} + {_CHUNK_S} - 1) DIV {_CHUNK_S}") + 1
+    )
+    start = F.col("i") * _CHUNK_S + 1
+    ln = F.least(F.lit(_CHUNK_W).cast("long"), F.col("n") - F.col("i") * _CHUNK_S)
+    return (
+        m.documents.select(
+            "doc_id", toks.alias("toks"), n.alias("n"),
+            F.explode(F.sequence(F.lit(0).cast("long"), nc - 1)).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.col("i").alias("chunk_id"),
+            start.alias("start_tok"),
+            ln.alias("n_tok"),
+            F.array_join(
+                F.slice(F.col("toks"), start.cast("int"), ln.cast("int")), " "
+            ).alias("chunk_text"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing — contiguous token bins per source
+# ---------------------------------------------------------------------------
+
+_PACK_CAP = 512  # tokens per packed training sequence
+
+
+@query(
+    "docs_pack_bins",
+    oracle=f"""
+SELECT doc_id, source,
+       CAST(n_tokens AS BIGINT)              AS n_tokens,
+       CAST(cum_before // {_PACK_CAP} AS BIGINT) AS bin_id,
+       CAST(cum_before % {_PACK_CAP} AS BIGINT)  AS bin_offset,
+       cum_before % {_PACK_CAP} + n_tokens > {_PACK_CAP} AS spills_over
+FROM (
+  SELECT doc_id, source, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS cum_before
+  FROM (SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+        FROM documents) t
+) p
+""",
+    views=[],
+)
+def docs_pack_bins(m: Model) -> DataFrame:
+    """Sequence packing for training prep: documents are packed in
+    doc_id order into contiguous {512}-token bins (streaming packing —
+    each bin becomes one training sequence; ``spills_over`` marks docs
+    that straddle a bin boundary so the consumer can wrap or pad).
+
+    Packing is per SOURCE, not global: a global ordered prefix-sum
+    would funnel the corpus through one sort partition, while the
+    per-source window keys the sort on a quantity with corpus-
+    proportional cardinality — the same reason the reference shards
+    its work queues per table.  At 100 TB: one hash-partition shuffle
+    on source (or none, if the corpus is already source-partitioned),
+    then a within-partition running sum."""
+    n_tokens = F.size(F.split(F.col("text"), " ")).cast("long")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (
+        m.documents.select("doc_id", "source", n_tokens.alias("n_tokens"))
+        .withColumn("cum_before", cum)
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.expr(f"cum_before DIV {_PACK_CAP}").alias("bin_id"),
+            (F.col("cum_before") % _PACK_CAP).alias("bin_offset"),
+            (F.col("cum_before") % _PACK_CAP + F.col("n_tokens") > _PACK_CAP).alias(
+                "spills_over"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus mixture — per-source sampling rates toward target weights
+# ---------------------------------------------------------------------------
+
+#: Target mixture weight per source (higher-quality sources weighted
+#: up — the Pile/LLaMA-style fixed mixture): src_i gets weight 20-i.
+_MIX_WEIGHTS = {f"src{i}": 20 - i for i in range(20)}
+_MIX_TOTAL = sum(_MIX_WEIGHTS.values())  # 210
+_MIX_EPOCH_TOKENS = 1_000_000  # token budget per training epoch
+
+
+def _mix_values_sql() -> str:
+    return ",".join(f"('{s}', {w})" for s, w in sorted(_MIX_WEIGHTS.items()))
+
+
+@query(
+    "corpus_mixture_weights",
+    oracle=f"""
+SELECT d.source,
+       CAST(count(*) AS BIGINT)                       AS n_docs,
+       CAST(sum(len(string_split(d.text, ' '))) AS BIGINT) AS n_tokens,
+       {fround_sql(f'CAST(any_value(w.wt) AS DOUBLE) / {_MIX_TOTAL}.0', 6)} AS target_share,
+       {fround_sql(f"CAST(any_value(w.wt) AS DOUBLE) / {_MIX_TOTAL}.0 * {_MIX_EPOCH_TOKENS}.0 / sum(len(string_split(d.text, ' ')))", 6)} AS sampling_rate,
+       CAST(any_value(w.wt) AS DOUBLE) / {_MIX_TOTAL}.0 * {_MIX_EPOCH_TOKENS}.0 / sum(len(string_split(d.text, ' '))) > 1.0 AS oversample
+FROM documents d
+JOIN (VALUES {_mix_values_sql()}) w(source, wt) ON w.source = d.source
+GROUP BY d.source
+""",
+    views=[],
+)
+def corpus_mixture_weights(m: Model) -> DataFrame:
+    """Data-mixture planning: per-source token inventory joined against
+    the target mixture weights, yielding the sampling rate that hits
+    each source's share of a {1_000_000}-token epoch (> 1 = the source
+    must repeat — the oversample flag).  This is the table a mixture-
+    aware sampler consumes.
+
+    One narrow scan + a literal-map weight lookup + a 20-group
+    aggregate (map-side partials): free at any scale.  The weight dim
+    rides as a ``create_map`` literal, not a join — a per-call
+    ``createDataFrame`` broadcast cost ~1.3 s of pure driver setup for
+    a 20-row relation (measured), and the map lookup prunes sources
+    missing a weight exactly like the inner join did."""
+    wmap = F.create_map(
+        *[F.lit(x) for kv in sorted(_MIX_WEIGHTS.items()) for x in kv]
+    )
+    n_tokens = F.sum(F.size(F.split(F.col("text"), " "))).cast("long")
+    share = F.any_value(F.col("wt")).cast("double") / float(_MIX_TOTAL)
+    rate = share * float(_MIX_EPOCH_TOKENS) / F.sum(
+        F.size(F.split(F.col("text"), " "))
+    )
+    return (
+        m.documents.withColumn("wt", F.element_at(wmap, F.col("source")))
+        .filter(F.col("wt").isNotNull())
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            n_tokens.alias("n_tokens"),
+            fround(share, 6).alias("target_share"),
+            fround(rate, 6).alias("sampling_rate"),
+            (rate > 1.0).alias("oversample"),
+        )
+    )

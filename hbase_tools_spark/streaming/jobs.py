@@ -287,7 +287,10 @@ def stream_session_stats(m: Model) -> DataFrame:
             "total_value",
         )
     )
-    return run_to_table(agg, "stream_session_stats", "complete")
+    # 4 state partitions: session state keys on user_id (high
+    # cardinality) — the one drain where state work outweighs per-
+    # partition store lifecycle (measured 1.2 s vs 1.4 s at 2 parts).
+    return run_to_table(agg, "stream_session_stats", "complete", state_partitions=4)
 
 
 # ---------------------------------------------------------------------------

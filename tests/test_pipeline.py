@@ -124,3 +124,95 @@ def test_band_sweep_curve_properties(spark):
             assert p["p_candidate"] >= last
             last = p["p_candidate"]
             assert abs(p["balance_threshold"] - (1.0 / b) ** (1.0 / rr)) < 1e-5
+
+
+def test_chunk_spans_cover_and_reconstruct(spark):
+    """Chunks tile every document: first chunk starts at token 1,
+    consecutive starts differ by the stride, the last chunk reaches the
+    final token, and each chunk's text equals the corresponding token
+    slice."""
+    from hbase_tools_spark.llm.pipeline import _CHUNK_S, _CHUNK_W, docs_chunk_spans
+
+    m = load_model(spark, SF_DIR)
+    texts = {r["doc_id"]: r["text"] for r in m.documents.collect()}
+    rows = docs_chunk_spans(m).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(texts)
+    for doc_id, chunks in by_doc.items():
+        toks = texts[doc_id].split(" ")
+        chunks.sort(key=lambda r: r["chunk_id"])
+        assert chunks[0]["start_tok"] == 1
+        assert all(
+            b["start_tok"] - a["start_tok"] == _CHUNK_S
+            for a, b in zip(chunks, chunks[1:])
+        )
+        last = chunks[-1]
+        assert last["start_tok"] + last["n_tok"] - 1 == len(toks)
+        for c in chunks:
+            lo = c["start_tok"] - 1
+            assert c["chunk_text"] == " ".join(toks[lo : lo + c["n_tok"]])
+            assert c["n_tok"] <= _CHUNK_W
+
+
+def test_pack_bins_sequential_capacity(spark):
+    """Within each source, bin assignment equals the running token sum
+    divided by capacity, offsets stay inside the bin, and spills_over
+    flags exactly the boundary-straddling docs."""
+    from hbase_tools_spark.llm.pipeline import _PACK_CAP, docs_pack_bins
+
+    m = load_model(spark, SF_DIR)
+    rows = docs_pack_bins(m).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    for src, docs in by_src.items():
+        docs.sort(key=lambda r: r["doc_id"])
+        cum = 0
+        for r in docs:
+            assert r["bin_id"] == cum // _PACK_CAP, (src, r)
+            assert r["bin_offset"] == cum % _PACK_CAP
+            assert r["spills_over"] == (
+                cum % _PACK_CAP + r["n_tokens"] > _PACK_CAP
+            )
+            cum += r["n_tokens"]
+
+
+def test_mixture_weights_shares_and_rates(spark):
+    from hbase_tools_spark.llm.pipeline import (
+        _MIX_EPOCH_TOKENS,
+        _MIX_TOTAL,
+        _MIX_WEIGHTS,
+        corpus_mixture_weights,
+    )
+
+    m = load_model(spark, SF_DIR)
+    rows = {r["source"]: r for r in corpus_mixture_weights(m).collect()}
+    assert set(rows) == set(_MIX_WEIGHTS)
+    assert abs(sum(r["target_share"] for r in rows.values()) - 1.0) < 1e-4
+    for src, r in rows.items():
+        expect = _MIX_WEIGHTS[src] / _MIX_TOTAL * _MIX_EPOCH_TOKENS / r["n_tokens"]
+        assert abs(r["sampling_rate"] - expect) < 1e-5
+        assert r["oversample"] == (expect > 1.0)
+
+
+def test_minhash_estimates_match_signature_agreement(spark):
+    """est_jaccard must equal the exact component-agreement fraction of
+    the two docs' signatures, for every candidate pair."""
+    from hbase_tools_spark.llm.dedup import (
+        _MINHASHES,
+        _signatures_for,
+        minhash_similarity_estimates,
+    )
+
+    m = load_model(spark, SF_DIR)
+    sigs = {r["doc_id"]: list(r["sig"]) for r in _signatures_for(m.documents).collect()}
+    rows = minhash_similarity_estimates(m).collect()
+    assert rows
+    for r in rows:
+        agree = sum(
+            1 for x, y in zip(sigs[r["doc_a"]], sigs[r["doc_b"]]) if x == y
+        )
+        assert r["n_match"] == agree
+        assert abs(r["est_jaccard"] - agree / _MINHASHES) < 1e-9
