@@ -60,6 +60,14 @@ def main() -> None:
     # it's off here).  Map-side parallelism is governed by input
     # partitions, not this.
     shuffle_parts = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "4")
+    # Constraint propagation spends optimizer time deriving isNotNull/
+    # range constraints per plan; our plans carry their filters and
+    # broadcast hints explicitly, so it buys nothing here and costs
+    # ~35 ms/query on the join-heavy families (measured A/B on 20
+    # queries: 10.6 s -> 9.9 s warm).  Purely an optimizer-time knob —
+    # results are identical (the differential gate runs either way);
+    # flip SPARK_GRAFT_CONSTRAINT_PROP=true to restore the default.
+    constraint_prop = os.environ.get("SPARK_GRAFT_CONSTRAINT_PROP", "false")
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("hbase-tools-spark-bench")
@@ -67,6 +75,7 @@ def main() -> None:
         .config("spark.sql.adaptive.enabled", aqe)
         .config("spark.sql.adaptive.coalescePartitions.enabled", aqe)
         .config("spark.sql.adaptive.skewJoin.enabled", aqe)
+        .config("spark.sql.constraintPropagation.enabled", constraint_prop)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # 87 queries in one JVM: localCheckpoint blocks from earlier
         # queries linger until a driver GC lets ContextCleaner drop

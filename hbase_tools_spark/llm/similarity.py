@@ -438,10 +438,20 @@ def embedding_ivf_topk(m: Model) -> DataFrame:
     (64·C cells); search is the fused broadcast-quantizer scan of
     :func:`_ivf_candidate_topk` — each probe touches ~N·nprobe/C
     vectors instead of N, and no assignment relation is ever
-    materialized or shuffled."""
+    materialized or shuffled.  For the query-many production posture
+    (persist the quantizer + cell-partitioned inverted lists once,
+    prune partitions per probe) see :func:`materialize_ivf_index` /
+    :func:`ivf_topk_from_index` — result-equality is pinned in
+    tests/test_llm.py."""
     emb = m.embeddings
+    cent_rows, probes = _collect_cent_and_probes(_label_centroids(emb), emb)
+    return _ivf_candidate_topk(emb, cent_rows, probes)
 
-    cent = (
+
+def _label_centroids(emb: DataFrame) -> DataFrame:
+    """Per-label exact-decimal mean embeddings: (label, c array<double>)
+    — one narrow posexplode + two-level groupBy over 64·C cells."""
+    return (
         emb.select("label", F.posexplode("embedding").alias("dim", "v"))
         .groupBy("label", "dim")
         .agg(
@@ -463,11 +473,79 @@ def embedding_ivf_topk(m: Model) -> DataFrame:
         )
     )
 
-    # The C centroids are collected and closed over by the fused
-    # candidate scan — at 100 TB this is the broadcast-quantizer shape,
-    # C centroids to every task, one embarrassingly-parallel corpus scan.
-    cent_rows, probes = _collect_cent_and_probes(cent, emb)
-    return _ivf_candidate_topk(emb, cent_rows, probes)
+
+def materialize_ivf_index(emb: DataFrame, out_dir: str) -> None:
+    """Persist the IVF index — the query-many production shape (the ANN
+    analog of ``dedup.materialize_signatures``): the C-row centroid
+    relation plus every vector's inverted-list assignment, written
+    PARTITIONED BY cell so a probe's read prunes to its nprobe cells
+    (~N·nprobe/C rows touched per query instead of N).
+
+    The assignment scan reuses the same strict index-order quantizer as
+    the per-query path, so index reads reproduce the direct search
+    bit-for-bit (equality pinned in tests)."""
+    import pandas as pd
+
+    cent = _label_centroids(emb)
+    cent_rows = [(int(r["label"]), list(r["c"])) for r in cent.collect()]
+    cell_ids, cmat, cnorm = _quantizer(cent_rows)
+
+    def assign_scan(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ed = np.stack(pdf["embedding"].values).astype(np.float64)
+            assign, _ = _nearest_cells(ed, cell_ids, cmat, cnorm, 1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].values,
+                    "cell": assign[:, 0],
+                    "embedding": pdf["embedding"].values,
+                }
+            )
+
+    cent.select(F.col("label").alias("cell"), "c").write.mode("overwrite").parquet(
+        out_dir + "/centroids"
+    )
+    (
+        emb.select("vec_id", "embedding")
+        .mapInPandas(assign_scan, "vec_id long, cell int, embedding array<float>")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(out_dir + "/assignments")
+    )
+
+
+def ivf_topk_from_index(spark, index_dir: str) -> DataFrame:
+    """ANN search over the PERSISTED index: centroids collected (C
+    rows), probe cells computed driver-side, and the candidate scan
+    reads ONLY the probed cell partitions (partition pruning — asserted
+    on the plan in tests).  Returns the same (query_id, vec_id, cosine,
+    rank) relation as ``embedding_ivf_topk`` computed index-free."""
+    cent_rows = [
+        (int(r["cell"]), list(r["c"]))
+        for r in spark.read.parquet(index_dir + "/centroids").collect()
+    ]
+    assign = spark.read.parquet(index_dir + "/assignments")
+    probes = [
+        (int(r["vec_id"]), __import__("numpy").asarray(r["embedding"], dtype="float64"))
+        for r in sorted(
+            assign.filter(F.col("vec_id") < _NQUERIES)
+            .select("vec_id", "embedding")
+            .collect(),
+            key=lambda r: r["vec_id"],
+        )
+    ]
+    cell_ids, cmat, cnorm = _quantizer(cent_rows)
+    import numpy as np
+
+    qmat = np.array([v for _, v in probes], dtype=np.float64)
+    qcells, _ = _nearest_cells(qmat, cell_ids, cmat, cnorm, _NPROBE)
+    needed = sorted({int(c) for row in qcells for c in row})
+    pruned = assign.filter(F.col("cell").isin(needed)).select("vec_id", "embedding")
+    return _ivf_candidate_topk(pruned, cent_rows, probes)
 
 
 # ---------------------------------------------------------------------------

@@ -305,3 +305,31 @@ def test_connected_components_matches_bounded_on_fixture(spark):
         for r in dd.connected_components(dd.minhash_band_pairs(m)).collect()
     }
     assert conv == bounded
+
+
+def test_ivf_index_reads_equal_direct_search_and_prune(spark, tmp_path):
+    """The persisted-IVF path (materialize once, partition-pruned reads
+    per probe) must reproduce the direct embedding_ivf_topk result
+    exactly, and its candidate scan must read only the probed cell
+    partitions (PartitionFilters on the parquet scan)."""
+    from hbase_tools_spark.catalog import load_model
+    from hbase_tools_spark.llm.similarity import (
+        ivf_topk_from_index,
+        materialize_ivf_index,
+    )
+    from hbase_tools_spark.registry import QUERIES
+
+    m = load_model(spark, SF_DIR)
+    idx = str(tmp_path / "ivf_index")
+    materialize_ivf_index(m.embeddings, idx)
+    from_index = ivf_topk_from_index(spark, idx)
+    plan = from_index._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "cell" in plan.split(
+        "PartitionFilters"
+    )[1][:120], "probe read must prune to the probed cells"
+    direct = QUERIES["embedding_ivf_topk"].fn(m).collect()
+    got = from_index.collect()
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted(map(tuple, got), key=lambda t: (t[0], t[3])) == sorted(
+        map(tuple, direct), key=lambda t: (t[0], t[3])
+    )
