@@ -105,3 +105,34 @@ def test_topology_asof_read_is_partition_pruned(spark, tmp_path):
     # floor semantics: only the 2000 snapshot survives
     epochs = {r["snapshot_epoch"] for r in asof.select("snapshot_epoch").distinct().collect()}
     assert epochs == {2000}
+
+
+def test_no_unjustified_cartesian_or_nested_loop_join(spark):
+    """Blanket scale guard over EVERY registered batch query's executed
+    plan: no CartesianProduct anywhere, and BroadcastNestedLoopJoin only
+    in the whitelisted queries whose non-equi/cross operand is a
+    broadcast scalar or constant-size relation by construction (1-row
+    aggregates, the fixed probe set, the literal range grid).  A new
+    query that accidentally degrades to an unkeyed join fails here
+    before it ever reaches a benchmark."""
+    import __spark_entry__ as e
+
+    BNLJ_OK = {
+        # broadcast side is a 1-row aggregate / scalar threshold
+        "health_check_eligible", "distribution_weight",
+        "distribution_candidates", "busiest_emptiest",
+        "report_rs_distribution", "server_prefix_resolve",
+        # broadcast side is the fixed probe set / literal range grid
+        "embedding_topk", "range_lookup",
+    }
+    qs = e.queries()
+    offenders = {}
+    for name, fn in qs.items():
+        if name.startswith("stream_"):
+            continue  # drains execute eagerly; streaming shapes are pinned elsewhere
+        plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            offenders[name] = "CartesianProduct"
+        elif "BroadcastNestedLoopJoin" in plan and name not in BNLJ_OK:
+            offenders[name] = "BroadcastNestedLoopJoin"
+    assert not offenders, offenders
