@@ -121,7 +121,11 @@ def main() -> None:
         spark.table(t).localCheckpoint(eager=True).createOrReplaceTempView(t)
 
     qs = entrymod.queries()
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # Best-of-3: full-bench numbers on a shared box swing ±10-15% with
+    # ambient load; a third run costs ~35 s wall and removes most
+    # single-run spikes from the recorded artifact (both engines get
+    # the same treatment).
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     spark_secs: dict[str, float] = {}
     import gc
 
