@@ -108,3 +108,39 @@ def test_split_points_key_width_invariant_and_jvm_midpoint(spark):
             r["start_key"].encode(), r["end_key"].encode()
         ).hex()
         assert r["h"] == expect, (r["start_key"], r["end_key"])
+
+
+def test_midpoint12_hex_seeded_vectors_vs_python(spark):
+    """JVM limb-math midpoint == arbitrary-width Python midpoint over
+    200 seeded random 12-digit key pairs (including unbounded ends and
+    adjacent keys)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from hbase_tools_spark.operators.keyspace import _midpoint12_hex
+
+    rng = random.Random(0xC0FFEE)
+    rows = []
+    for _ in range(200):
+        a = rng.randrange(10**12)
+        kind = rng.randrange(4)
+        if kind == 0:
+            b = ""
+        elif kind == 1:
+            b = str(min(a + 1, 10**12 - 1)).zfill(12)
+        else:
+            b = str(rng.randrange(10**12)).zfill(12)
+        rows.append((str(a).zfill(12), b))
+    got = (
+        spark.createDataFrame(rows, "start_key string, end_key string")
+        .select(
+            "start_key",
+            "end_key",
+            _midpoint12_hex(F.col("start_key"), F.col("end_key")).alias("h"),
+        )
+        .collect()
+    )
+    for r in got:
+        expect = midpoint_key(r["start_key"].encode(), r["end_key"].encode()).hex()
+        assert r["h"] == expect, (r["start_key"], r["end_key"])
