@@ -1,14 +1,17 @@
 #!/usr/bin/env python
 """Benchmark harness: run every registered query at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
-JSON line:
+JSON line of headline aggregates + per-query Spark seconds:
 
-    {"metric": "total_wall", "value": N, "unit": "sec",
-     "queries": {name: sec, ...}, "sf": 0.1,
-     "duckdb": {name: sec, ...}, "vs_duckdb": ratio}
+    {"metric": "total_wall", "value": N, "unit": "sec", "sf": 0.1,
+     "duckdb_total": N, "vs_duckdb": r, "vs_duckdb_batch": r,
+     "queries": {name: sec, ...}}
 
-The DuckDB timings are the same oracle SQL on the same parquet — the
-driver-defined baseline is "within 2x DuckDB wall-clock" (BASELINE.md).
+(The per-query DuckDB timings, ratios and the over-2x list are written
+to BENCH_FULL.json — keeping stdout ~3 KB so the driver's captured
+line always parses.)  The DuckDB timings are the same oracle SQL on
+the same parquet — the driver-defined baseline is "within 2x DuckDB
+wall-clock" (BASELINE.md).
 Timing excludes session startup and view registration (both are fixed
 overhead, amortized to zero on a long-lived cluster); each query is
 timed as full materialization to a driver-side pandas frame, the same
@@ -102,7 +105,7 @@ def main() -> None:
     # Cache the base tables in memory — on a long-lived cluster the hot
     # working set lives in the executors' storage/OS cache; timing cold
     # parquet decode on every micro-query would benchmark the disk, not
-    # the engine. DuckDB gets the symmetric treatment (best-of-2 below).
+    # the engine. DuckDB gets the symmetric treatment (same best-of-N).
     # Materialize base + derived model relations with plan truncation
     # (localCheckpoint): the reference memoizes its meta-scan exactly
     # this way (MetaTableHolder.needUpdate — SURVEY §4 maps it to

@@ -306,6 +306,10 @@ def _ivf_candidate_topk(emb: DataFrame, cent_rows, probes) -> DataFrame:
     import numpy as np
     import pandas as pd
 
+    if not probes or not cent_rows:  # filtered corpus: no queries/cells
+        return emb.sparkSession.createDataFrame(
+            [], "query_id long, vec_id long, cosine double, rank int"
+        )
     cell_ids, cmat, cnorm = _quantizer(cent_rows)
     qids = [q for q, _ in probes]
     qmat = np.array([v for _, v in probes], dtype=np.float64)
@@ -669,7 +673,14 @@ def embedding_ivf_kmeans_topk(m: Model) -> DataFrame:
         int(r["vec_id"]): np.asarray(r["embedding"], dtype=np.float64)
         for r in emb.filter(F.col("vec_id").isin(need)).select("vec_id", "embedding").collect()
     }
-    cent_rows = [(cell, vecs[vid]) for cell, vid in enumerate(_KM_INIT_IDS)]
+    # tolerate absent ids (a filtered/re-keyed corpus): a missing seed
+    # simply contributes no cell, a missing probe no queries — the
+    # filter-based oracle and the supervised sibling behave the same
+    cent_rows = [
+        (cell, vecs[vid])
+        for cell, vid in enumerate(_KM_INIT_IDS)
+        if vid in vecs
+    ]
 
     for _ in range(_KM_ITERS):
         cell_ids, cmat, cnorm = _quantizer(cent_rows)
@@ -724,5 +735,5 @@ def embedding_ivf_kmeans_topk(m: Model) -> DataFrame:
             (cell, [dims[d] for d in sorted(dims)]) for cell, dims in by_cell.items()
         ]
 
-    probes = [(qid, vecs[qid]) for qid in range(_NQUERIES)]
+    probes = [(qid, vecs[qid]) for qid in range(_NQUERIES) if qid in vecs]
     return _ivf_candidate_topk(emb, cent_rows, probes)

@@ -174,21 +174,14 @@ def split_points(m: Model) -> DataFrame:
     (max(struct) would force a SortAggregate over the full region
     relation — scalar max stays in whole-stage-codegen HashAggregate
     with map-side partials; the join-backs broadcast the 8-row argmax
-    relation).  The midpoint itself is codegen'd integer limb math on
-    the 8 surviving rows (the arbitrary-width pandas-UDF
-    ``midpoint_key_hex`` remains the library surface; the 12-byte
-    fixture path needs no Python).  Issued as ONE ``spark.sql`` text —
-    the Column-API form spent ~0.2 s/plan on py4j round-trips alone."""
-    limb = "CAST(conv(hex(CAST(substring({k}, {off}, 6) AS BINARY)), 16, 10) AS BIGINT)"
-    s_hi = (
-        f"({limb.format(k='start_key', off=1)} + CASE WHEN end_key = '' "
-        f"THEN {(1 << 48) - 1} ELSE {limb.format(k='end_key', off=1)} END)"
-    )
-    s_lo = (
-        f"({limb.format(k='start_key', off=7)} + CASE WHEN end_key = '' "
-        f"THEN {0xFFFF00000000} ELSE {limb.format(k='end_key', off=7)} END)"
-    )
-    return m.spark.sql(f"""
+    relation).  The argmax core is ONE ``spark.sql`` text — the
+    Column-API form spent ~0.2 s/plan on py4j round-trips alone — and
+    the midpoint is the SAME ``_midpoint12_hex`` Column helper the key
+    tests pin against the Python reference (one implementation, no
+    hand-inlined SQL twin), applied to the 8 surviving rows (the
+    arbitrary-width pandas-UDF ``midpoint_key_hex`` remains the
+    library surface; the 12-byte fixture path needs no Python)."""
+    best = m.spark.sql("""
 WITH sized AS (
   SELECT /*+ BROADCAST(rm) */ mr.table_name, mr.region_id, coalesce(rm.size_mb, 0.0) AS size_mb
   FROM meta_regions mr LEFT JOIN region_metrics rm ON rm.region_id = mr.region_id
@@ -198,23 +191,14 @@ tied AS (
   SELECT /*+ BROADCAST(mx) */ s.table_name AS tn, min(s.region_id) AS rid
   FROM sized s JOIN mx ON s.table_name = mx.table_name AND s.size_mb = mx.ms
   GROUP BY s.table_name
-),
-best AS (
-  SELECT /*+ BROADCAST(tied) */ mr.table_name, mr.region_id, mr.start_key, mr.end_key
-  FROM meta_regions mr JOIN tied ON mr.table_name = tied.tn AND mr.region_id = tied.rid
-),
-limbs AS (
-  SELECT table_name, region_id, start_key, end_key,
-         shiftright({s_hi}, 1) AS hi_half, {s_hi} & 1 AS hi_odd, {s_lo} AS lo_sum
-  FROM best
-),
-halved AS (
-  SELECT table_name, region_id, start_key, end_key, hi_half,
-         shiftright(hi_odd * {1 << 48} + lo_sum, 1) AS lo_tot
-  FROM limbs
 )
-SELECT table_name, region_id, start_key, end_key,
-       concat(lpad(lower(hex(hi_half + shiftright(lo_tot, 48))), 12, '0'),
-              lpad(lower(hex(lo_tot & {(1 << 48) - 1})), 12, '0')) AS split_point_hex
-FROM halved
+SELECT /*+ BROADCAST(tied) */ mr.table_name, mr.region_id, mr.start_key, mr.end_key
+FROM meta_regions mr JOIN tied ON mr.table_name = tied.tn AND mr.region_id = tied.rid
 """)
+    return best.select(
+        "table_name",
+        "region_id",
+        "start_key",
+        "end_key",
+        _midpoint12_hex(F.col("start_key"), F.col("end_key")).alias("split_point_hex"),
+    )

@@ -120,7 +120,9 @@ def dedup_ingest_stream(
     )
 
 
-def compact_pairs_log(spark: SparkSession, pairs_dir: str) -> None:
+def compact_pairs_log(
+    spark: SparkSession, pairs_dir: str, through_batch: int | None = None
+) -> None:
     """Periodic maintenance for the pairs log: keep each (doc_a, doc_b)
     once, attributed to the earliest batch that discovered it.  The
     idempotent writes above keep REPLAYS from duplicating pairs, but a
@@ -128,17 +130,34 @@ def compact_pairs_log(spark: SparkSession, pairs_dir: str) -> None:
     legitimately re-emits its pairs under a later batch_id — compaction
     folds those.
 
-    Compacts into a staging directory then swaps via FileSystem rename
-    (atomic on HDFS; the object-store equivalent is a metastore pointer
-    swap) — never reads and overwrites the same live directory, so a
-    crash mid-compaction leaves the original log intact.  Idempotent:
+    Replay safety: only partitions with ``batch_id <= through_batch``
+    are folded, and ``through_batch`` defaults to ``max(batch_id) - 1``
+    — the newest batch is the ONLY one a foreachBatch restart can
+    replay (earlier batches are checkpoint-committed), and rewriting it
+    here would let that replay re-add folded pairs.  Its partition is
+    carried through untouched; any duplicate it holds folds on the
+    next compaction, once a newer batch exists.  A caller that KNOWS
+    the stream is stopped (or has verified the checkpoint commit) may
+    pass ``through_batch=max(batch_id)`` to fold everything.
+
+    Swap discipline: compact into a staging directory, move the live
+    log aside, rename staging into place, then drop the backup —
+    renames are atomic on HDFS (an object store swaps a metastore
+    pointer instead), every step's boolean result is checked, and at
+    no point do zero copies of the log exist: a crash leaves either
+    the live log or the ``.pre-compact`` backup on disk.  Idempotent:
     re-running on a compacted log is a no-op rewrite."""
+    log = spark.read.parquet(pairs_dir)
+    if through_batch is None:
+        through_batch = log.agg(F.max("batch_id")).collect()[0][0] - 1
     compacted = (
-        spark.read.parquet(pairs_dir)
+        log.filter(F.col("batch_id") <= through_batch)
         .groupBy("doc_a", "doc_b")
         .agg(F.min("batch_id").alias("batch_id"))
+        .unionByName(log.filter(F.col("batch_id") > through_batch))
     )
     stage_dir = pairs_dir.rstrip("/") + ".compacting"
+    backup_dir = pairs_dir.rstrip("/") + ".pre-compact"
     (
         compacted.write.mode("overwrite")
         .partitionBy("batch_id")
@@ -146,5 +165,11 @@ def compact_pairs_log(spark: SparkSession, pairs_dir: str) -> None:
     )
     live, fs = _hadoop_path(spark, pairs_dir)
     stage, _ = _hadoop_path(spark, stage_dir)
-    fs.delete(live, True)
-    fs.rename(stage, live)
+    backup, _ = _hadoop_path(spark, backup_dir)
+    fs.delete(backup, True)
+    if not fs.rename(live, backup):
+        raise IOError(f"compaction aborted: could not move {pairs_dir} aside")
+    if not fs.rename(stage, live):
+        fs.rename(backup, live)  # restore; log was never absent
+        raise IOError(f"compaction failed: could not install {stage_dir}")
+    fs.delete(backup, True)

@@ -53,6 +53,9 @@ def main() -> None:
     from hbase_tools_spark.catalog import load_model
     from hbase_tools_spark.model import BASE_TABLES
 
+    # abspath BOTH ends: a relative --src would otherwise be stored
+    # verbatim in the symlinks and resolve against the OUTPUT dir
+    args.src = os.path.abspath(args.src)
     m = load_model(spark, args.src)
     out = os.path.abspath(args.out)
     os.makedirs(out, exist_ok=True)

@@ -581,8 +581,12 @@ def test_dedup_ingest_batch_replay_idempotent(spark, tmp_path):
 
 def test_compact_pairs_log(spark, tmp_path):
     """Compaction folds a re-ingested doc's re-discovered pairs to the
-    earliest batch_id, is crash-safe (staging + rename), and is a
-    no-op on an already-compacted log."""
+    earliest batch_id.  The DEFAULT boundary spares the newest batch's
+    partition (the only batch a foreachBatch restart can replay — a
+    replay after a full fold would re-add folded pairs), so duplicates
+    vanish only once a newer batch exists or the caller folds
+    explicitly; the explicit full fold is exercised too, as is
+    idempotence."""
     from hbase_tools_spark.catalog import load_model
     from hbase_tools_spark.streaming.ingest import (
         compact_pairs_log,
@@ -600,10 +604,16 @@ def test_compact_pairs_log(spark, tmp_path):
     raw = spark.read.parquet(pairs_dir).collect()
     keys = {(r["doc_a"], r["doc_b"]) for r in raw}
     assert len(raw) > len(keys), "expected re-emitted pairs before compaction"
+    # default boundary: batch 1 is newest -> left untouched, so the
+    # duplicates it re-emitted survive this pass
     compact_pairs_log(spark, pairs_dir)
+    kept = spark.read.parquet(pairs_dir).collect()
+    assert len(kept) == len(raw), "newest batch must not be rewritten"
+    # explicit full fold (caller asserts batches are committed)
+    compact_pairs_log(spark, pairs_dir, through_batch=1)
     got = spark.read.parquet(pairs_dir).collect()
     assert len(got) == len(keys)
     assert {(r["doc_a"], r["doc_b"]) for r in got} == keys
     assert all(r["batch_id"] == 0 for r in got), "earliest batch_id kept"
-    compact_pairs_log(spark, pairs_dir)  # idempotent no-op
+    compact_pairs_log(spark, pairs_dir, through_batch=1)  # idempotent no-op
     assert len(spark.read.parquet(pairs_dir).collect()) == len(keys)
