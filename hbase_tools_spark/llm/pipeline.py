@@ -19,6 +19,8 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints resolve via globals
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -235,24 +237,24 @@ def ngram_contamination(m: Model) -> DataFrame:
         for sh in (shingles_of(r["text"]) or ())
     )
 
-    def probe(batches):
-        for pdf in batches:
-            ids, n_all, n_hit = [], [], []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                seen = shingles_of(text)
-                if seen is None:
-                    continue
-                ids.append(doc_id)
+    @F.pandas_udf("n_shingles: bigint, n_shared: bigint")
+    def probe(texts: pd.Series) -> pd.DataFrame:
+        n_all, n_hit = [], []
+        for text in texts:
+            seen = shingles_of(text)
+            if seen is None:  # too short to shingle -> filtered below
+                n_all.append(None)
+                n_hit.append(None)
+            else:
                 n_all.append(len(seen))
                 n_hit.append(sum(1 for s in seen if s in bench_set))
-            yield pd.DataFrame(
-                {"doc_id": ids, "n_shingles": n_all, "n_shared": n_hit}
-            )
+        return pd.DataFrame({"n_shingles": n_all, "n_shared": n_hit})
 
     counts = (
         m.documents.where(F.col("source") != _CONTAM_BENCH)
-        .select("doc_id", "text")
-        .mapInPandas(probe, "doc_id long, n_shingles long, n_shared long")
+        .select("doc_id", probe("text").alias("p"))
+        .select("doc_id", "p.n_shingles", "p.n_shared")
+        .filter(F.col("n_shingles").isNotNull())
     )
     ratio = F.col("n_shared") * 1.0 / F.col("n_shingles")
     return counts.select(
