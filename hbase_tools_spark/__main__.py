@@ -60,6 +60,7 @@ TOOL_QUERIES: dict[str, list[str]] = {
     "llm_dedup": [
         "docs_exact_dedup", "minhash_band_pairs", "lsh_bucket_stats",
         "minhash_similarity_estimates", "neardup_clusters_converged",
+        "docs_neardup_survivors",
     ],
     "llm_prep": [
         "docs_split_assign", "docs_stratified_sample", "docs_chunk_spans",
@@ -67,7 +68,8 @@ TOOL_QUERIES: dict[str, list[str]] = {
     ],
     "llm_text": [
         "text_stats", "lang_id_heuristic", "docs_quality_filter",
-        "token_count_hist", "corpus_stats_by_lang",
+        "token_count_hist", "corpus_stats_by_lang", "vocab_top_terms",
+        "tfidf_top_terms", "docs_char_entropy",
     ],
     "llm_embed": [
         "embedding_topk", "embedding_ivf_kmeans_topk",
@@ -76,6 +78,12 @@ TOOL_QUERIES: dict[str, list[str]] = {
     "llm_multimodal": [
         "multimodal_decode_headers", "multimodal_features",
         "multimodal_frame_sample",
+    ],
+    # Event-stream batch analytics (sessionization + skew detection) —
+    # the batch twins of the stream_* jobs and the salting advisor.
+    "events_analyzer": [
+        "events_user_cardinality", "events_salted_rollup",
+        "events_sessionize", "events_heavy_hitters",
     ],
 }
 

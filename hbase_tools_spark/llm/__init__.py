@@ -1,6 +1,6 @@
 """LLM-data-pipeline operators (SURVEY.md §7 M8): dedup, similarity
 search, text analysis, multimodal plumbing — first-class at 100 TB."""
 
-from . import dedup, multimodal, pipeline, similarity, text  # noqa: F401
+from . import corpus, dedup, multimodal, pipeline, similarity, text  # noqa: F401
 
-__all__ = ["dedup", "multimodal", "pipeline", "similarity", "text"]
+__all__ = ["corpus", "dedup", "multimodal", "pipeline", "similarity", "text"]

@@ -721,3 +721,67 @@ def minhash_similarity_estimates(m: Model) -> DataFrame:
             fround(n_match / float(_MINHASHES), 6).alias("est_jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Survivor selection — the dedup pipeline's final write relation
+# ---------------------------------------------------------------------------
+
+@query(
+    "docs_neardup_survivors",
+    oracle=f"""
+SELECT d.doc_id, d.lang, d.source,
+       cc.doc_id IS NOT NULL AS had_dups
+FROM documents d
+LEFT JOIN (
+  SELECT doc_id, cluster_id FROM (
+    WITH RECURSIVE
+    pairs AS (
+{_JACCARD_PAIRS_SQL}
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION ALL SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT u FROM edges),
+    reach AS (
+      SELECT u, u AS v FROM nodes
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v
+    )
+    SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u
+  ) q
+) cc ON cc.doc_id = d.doc_id
+WHERE cc.doc_id IS NULL OR cc.doc_id = cc.cluster_id
+""",
+    views=[],
+)
+def docs_neardup_survivors(m: Model) -> DataFrame:
+    """Survivor selection — the relation the dedup pipeline actually
+    WRITES: every document that is either untouched by near-duplication
+    or its cluster's representative (minimum doc_id, i.e. the converged
+    cluster label itself), with ``had_dups`` marking survivors that
+    absorbed duplicates.  Completes the fuzzy-dedup chain
+    pairs -> clusters (:func:`neardup_clusters_converged`) -> corpus.
+
+    Plan: the cluster relation is pairs-proportional (only documents
+    that appear in some near-dup pair), so the corpus-side LEFT join
+    keys on doc_id against a far smaller relation — at 100 TB that join
+    broadcasts when the dup set is small and degrades to a co-
+    partitioned hash join when it is not (AQE decides from the measured
+    size); the corpus itself is scanned exactly once."""
+    cc = connected_components(ngram_jaccard_pairs(m))
+    return (
+        m.documents.select("doc_id", "lang", "source")
+        .join(cc, "doc_id", "left")
+        .where(
+            F.col("cluster_id").isNull()
+            | (F.col("doc_id") == F.col("cluster_id"))
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.col("cluster_id").isNotNull().alias("had_dups"),
+        )
+    )

@@ -12,9 +12,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..catalog import Model
-from ..functions.exprs import fround
+from ..functions.exprs import fround, fround_sql
 from ..registry import query
 
 
@@ -264,4 +265,142 @@ def events_salted_rollup(m: Model) -> DataFrame:
         "event_type",
         "n_events",
         F.round(F.col("total_value"), 4).cast("double").alias("total_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-stream batch analytics — sessionization and skew detection
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP_S = 21_600  # 6 h of inactivity closes a session
+_HH_NUM, _HH_DEN = 3, 2  # heavy-hitter bar: count > 3/2 x the type average
+
+
+@query(
+    "events_sessionize",
+    oracle=f"""
+SELECT user_id,
+       CAST(session_id AS BIGINT) AS session_id,
+       CAST(min(tse) AS BIGINT)   AS session_start,
+       CAST(max(tse) AS BIGINT)   AS session_end,
+       CAST(count(*) AS BIGINT)   AS n_events,
+       CAST(round(sum(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS total_value
+FROM (
+  SELECT user_id, value, tse,
+         sum(is_new) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING
+         ) AS session_id
+  FROM (
+    SELECT user_id, event_id, ts, value,
+           CAST(floor(epoch(ts)) AS BIGINT) AS tse,
+           CASE WHEN lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                ) IS NULL THEN 1
+                WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                     - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id
+                       ) > {_SESSION_GAP_S} THEN 1
+                ELSE 0 END AS is_new
+    FROM events
+  ) flagged
+) sess
+GROUP BY user_id, session_id
+""",
+    views=[],
+)
+def events_sessionize(m: Model) -> DataFrame:
+    """Batch sessionization: per-user events split into sessions at
+    >{6}h inactivity gaps (the gap-and-island idiom: lag -> new-session
+    flag -> running sum = session id), rolled up to one row per session
+    with exact-decimal value totals.  The batch counterpart of the
+    streaming ``stream_session_stats`` (S9) — backfills and reprocessing
+    run this form over history while the stream keeps the live edge.
+
+    Ordering is (ts, event_id) — a deterministic total order, so both
+    engines flag identical session breaks.  Plan: ONE shuffle on
+    user_id for the window; the per-(user, session) rollup reuses
+    user-proportional keys (no skew — a user's events are bounded) and
+    aggregates map-side within the already-partitioned relation."""
+    from ..functions.exprs import epoch_bigint
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tse = epoch_bigint(F.col("ts"))
+    prev = F.lag(tse).over(w)
+    is_new = F.when(prev.isNull() | (tse - prev > _SESSION_GAP_S), 1).otherwise(0)
+    sid = F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        m.events.select(
+            "user_id",
+            "value",
+            tse.alias("tse"),
+            sid.alias("session_id"),
+        )
+        .groupBy("user_id", F.col("session_id").cast("bigint").alias("session_id"))
+        .agg(
+            F.min("tse").alias("session_start"),
+            F.max("tse").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 4)
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+
+
+@query(
+    "events_heavy_hitters",
+    oracle=f"""
+WITH per_user AS (
+  SELECT event_type, user_id, count(*) AS c
+  FROM events GROUP BY event_type, user_id
+),
+per_type AS (
+  SELECT event_type, sum(c) AS total, count(*) AS n_users
+  FROM per_user GROUP BY event_type
+)
+SELECT u.event_type, u.user_id,
+       CAST(u.c AS BIGINT) AS n_events,
+       {fround_sql('CAST(u.c AS DOUBLE) / t.total', 6)} AS share
+FROM per_user u JOIN per_type t USING (event_type)
+WHERE u.c * t.n_users * {_HH_DEN} > t.total * {_HH_NUM}
+""",
+    views=[],
+)
+def events_heavy_hitters(m: Model) -> DataFrame:
+    """Heavy-hitter detection: users whose event count within a type
+    exceeds {3/2}x that type's per-user average — the skew detector
+    that finds the keys worth salting (feeds the two-phase plan in
+    ``events_salted_rollup``; the reference meets the same problem as
+    one-queue-per-server sharding, distribute/DistributorServer.java).
+
+    The predicate is pure integer math (``2*c*n_users > 3*total``) so
+    both engines agree exactly; only the reported share is a rounded
+    double.  Plan: one two-phase count to per-user granularity, a
+    roll-up of THAT relation to per-type totals (never a second fact
+    scan), and a broadcast join back — per_type has one row per event
+    type.  At 100 TB the exact form is this same plan; a Misra-Gries /
+    count-min sketch drops the per-user shuffle to constant memory when
+    only the top tail is needed (same trade as
+    ``events_user_cardinality``'s HLL twin)."""
+    from ..functions.exprs import fround as _fr
+
+    per_user = m.events.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_type = per_user.groupBy("event_type").agg(
+        F.sum("c").alias("total"), F.count(F.lit(1)).alias("n_users")
+    )
+    return (
+        per_user.join(F.broadcast(per_type), "event_type")
+        .where(
+            F.col("c") * F.col("n_users") * _HH_DEN
+            > F.col("total") * _HH_NUM
+        )
+        .select(
+            "event_type",
+            "user_id",
+            F.col("c").cast("bigint").alias("n_events"),
+            _fr(F.col("c").cast("double") / F.col("total"), 6).alias("share"),
+        )
     )

@@ -1,0 +1,155 @@
+"""Semantic tests for the corpus-analysis and event-analytics operators
+(llm/corpus.py, operators/analyzer.py events section, dedup survivors)
+— properties the differential gate can't express."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+import hbase_tools_spark.llm  # noqa: F401
+import hbase_tools_spark.operators  # noqa: F401
+from hbase_tools_spark.catalog import load_model
+from hbase_tools_spark.llm.corpus import _entropy_of
+from hbase_tools_spark.registry import QUERIES
+
+from conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def model(spark):
+    return load_model(spark, SF_DIR)
+
+
+# -- entropy reference ------------------------------------------------------
+
+def test_entropy_reference_uniform():
+    # 4 distinct chars, uniform -> exactly 2 bits
+    n, u, h = _entropy_of("abcd" * 25)
+    assert (n, u) == (100, 4)
+    assert h == 2.0
+
+
+def test_entropy_reference_degenerate_and_bounds():
+    n, u, h = _entropy_of("aaaa")
+    assert (u, h) == (1, 0.0)
+    # entropy of any string is within [0, log2(n_unique)]
+    for s in ["abab", "hello world", "aab", "x"]:
+        n, u, h = _entropy_of(s)
+        assert -1e-9 <= h <= math.log2(u) + 1e-6
+
+
+def test_entropy_flags_low_entropy_text(model):
+    out = QUERIES["docs_char_entropy"].fn(model)
+    rows = out.limit(2000).collect()
+    assert rows
+    for r in rows:
+        assert r["low_entropy"] == (r["entropy"] < 3.5)
+        assert r["n_unique_chars"] <= r["n_chars"]
+
+
+# -- vocabulary / tf-idf ----------------------------------------------------
+
+def test_vocab_rank_is_dense_and_ordered(model):
+    rows = QUERIES["vocab_top_terms"].fn(model).orderBy("rank").collect()
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    occ = [r["n_occurrences"] for r in rows]
+    assert occ == sorted(occ, reverse=True)
+
+
+def test_tfidf_rare_term_beats_common_term(model):
+    # Within a doc, a term that appears in fewer documents must not be
+    # outranked by an equal-tf term that appears in more documents.
+    rows = (
+        QUERIES["tfidf_top_terms"].fn(model)
+        .orderBy("doc_id", "rank")
+        .collect()
+    )
+    assert rows
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_rows in by_doc.values():
+        assert len(doc_rows) <= 3
+        for a, b in zip(doc_rows, doc_rows[1:]):
+            assert a["tfidf"] >= b["tfidf"] - 1e-9
+            if a["tf"] == b["tf"]:
+                assert a["doc_freq"] <= b["doc_freq"]
+
+
+# -- sessionization ---------------------------------------------------------
+
+def test_sessionize_gap_property(model):
+    # Sessions of one user never overlap, are ordered, and consecutive
+    # sessions are separated by more than the 6h gap.
+    rows = (
+        QUERIES["events_sessionize"].fn(model)
+        .orderBy("user_id", "session_id")
+        .collect()
+    )
+    assert rows
+    last = {}
+    for r in rows:
+        assert r["session_start"] <= r["session_end"]
+        if r["user_id"] in last:
+            prev = last[r["user_id"]]
+            assert r["session_id"] == prev["session_id"] + 1
+            assert r["session_start"] - prev["session_end"] > 21_600
+        last[r["user_id"]] = r
+
+
+def test_sessionize_conserves_events(model):
+    total = model.events.count()
+    out = QUERIES["events_sessionize"].fn(model)
+    assert out.agg(F.sum("n_events")).collect()[0][0] == total
+
+
+# -- heavy hitters ----------------------------------------------------------
+
+def test_heavy_hitters_match_bruteforce(model):
+    out = {
+        (r["event_type"], r["user_id"])
+        for r in QUERIES["events_heavy_hitters"].fn(model).collect()
+    }
+    brute = (
+        model.events.groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    totals: dict = {}
+    for r in brute:
+        t = totals.setdefault(r["event_type"], [0, 0])
+        t[0] += r["c"]
+        t[1] += 1
+    expected = {
+        (r["event_type"], r["user_id"])
+        for r in brute
+        if r["c"] * totals[r["event_type"]][1] * 2
+        > totals[r["event_type"]][0] * 3
+    }
+    assert out == expected
+
+
+# -- survivors --------------------------------------------------------------
+
+def test_survivors_partition_documents(model):
+    # survivors + dropped == corpus; every cluster contributes exactly
+    # its representative; representatives are the cluster minimum.
+    docs = {r["doc_id"] for r in model.documents.select("doc_id").collect()}
+    surv = QUERIES["docs_neardup_survivors"].fn(model).collect()
+    surv_ids = {r["doc_id"] for r in surv}
+    assert surv_ids <= docs
+    from hbase_tools_spark.llm.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+
+    cc = connected_components(ngram_jaccard_pairs(model)).collect()
+    clustered = {r["doc_id"] for r in cc}
+    reps = {r["cluster_id"] for r in cc}
+    assert reps == {r["doc_id"] for r in cc if r["doc_id"] == r["cluster_id"]}
+    assert surv_ids == (docs - clustered) | reps
+    flagged = {r["doc_id"] for r in surv if r["had_dups"]}
+    assert flagged == reps

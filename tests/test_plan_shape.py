@@ -122,6 +122,7 @@ def test_no_unjustified_cartesian_or_nested_loop_join(spark):
         "health_check_eligible", "distribution_weight",
         "distribution_candidates", "busiest_emptiest",
         "report_rs_distribution", "server_prefix_resolve",
+        "tfidf_top_terms",  # corpus-size N rides as a broadcast 1-row agg
         # broadcast side is the fixed probe set / literal range grid
         "embedding_topk", "range_lookup",
     }
