@@ -60,7 +60,7 @@ TOOL_QUERIES: dict[str, list[str]] = {
     "llm_dedup": [
         "docs_exact_dedup", "minhash_band_pairs", "lsh_bucket_stats",
         "minhash_similarity_estimates", "neardup_clusters_converged",
-        "docs_neardup_survivors",
+        "docs_neardup_survivors", "docs_window_dedup",
     ],
     "llm_prep": [
         "docs_split_assign", "docs_stratified_sample", "docs_chunk_spans",
@@ -69,7 +69,8 @@ TOOL_QUERIES: dict[str, list[str]] = {
     "llm_text": [
         "text_stats", "lang_id_heuristic", "docs_quality_filter",
         "token_count_hist", "corpus_stats_by_lang", "vocab_top_terms",
-        "tfidf_top_terms", "docs_char_entropy",
+        "tfidf_top_terms", "docs_char_entropy", "oov_rate_by_source",
+        "source_unigram_divergence",
     ],
     "llm_embed": [
         "embedding_topk", "embedding_ivf_kmeans_topk",

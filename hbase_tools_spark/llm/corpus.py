@@ -252,3 +252,175 @@ def docs_char_entropy(m: Model) -> DataFrame:
             (F.col("e.entropy") < _ENTROPY_MIN).alias("low_entropy"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Source-level corpus diagnostics: tokenizer coverage (OOV rate) and
+# unigram-distribution drift (KL divergence) per source — the relations
+# a mixture-planning step (see llm/pipeline.py:corpus_mixture_weights)
+# reads before deciding sampling rates.
+
+_OOV_VOCAB_K = 16   # small fixed vocab: coverage is the interesting case
+_KL_DRIFT_T = "0.01"  # nats above which a source is flagged as drifted
+_KL_DRIFT_DEC = Decimal(_KL_DRIFT_T)  # decimal-vs-decimal compare in BOTH engines
+
+#: Shared (source, word, c) pre-aggregate — the per-source word-count
+#: backbone (same split contract as _WC_SQL).
+_SWC_SQL = """
+SELECT source, word, count(*) AS c
+FROM (SELECT source, unnest(string_split(text, ' ')) AS word
+      FROM documents) w
+GROUP BY source, word
+"""
+
+
+def _swc(m: Model) -> DataFrame:
+    return (
+        m.documents.select(
+            "source", F.explode(F.split(F.col("text"), " ")).alias("word")
+        )
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+@query(
+    "oov_rate_by_source",
+    oracle=f"""
+WITH swc AS ({_SWC_SQL}),
+v AS (
+  SELECT word FROM (
+    SELECT word, ROW_NUMBER() OVER (ORDER BY sum(c) DESC, word) AS rk
+    FROM swc GROUP BY word
+  ) t WHERE rk <= {_OOV_VOCAB_K}
+)
+SELECT source,
+       CAST(sum(swc.c) AS BIGINT)  AS n_tokens,
+       CAST(count(*) AS BIGINT)    AS n_word_types,
+       CAST(sum(CASE WHEN v.word IS NULL THEN swc.c ELSE 0 END) AS BIGINT)
+                                   AS n_oov_tokens,
+       CAST(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                                   AS n_oov_types,
+       {fround_sql('sum(CASE WHEN v.word IS NULL THEN swc.c ELSE 0 END) * 1.0 / sum(swc.c)', 6)}
+                                   AS oov_rate
+FROM swc LEFT JOIN v ON swc.word = v.word
+GROUP BY source
+""",
+    views=[],
+)
+def oov_rate_by_source(m: Model) -> DataFrame:
+    """Tokenizer-coverage diagnostic: per-source out-of-vocabulary rate
+    against the corpus top-{16} vocabulary (the relation that tells a
+    tokenizer/vocab owner which ingest sources their vocab under-covers).
+
+    The (source, word) pre-aggregate is computed ONCE (localCheckpoint)
+    and feeds both the vocabulary (its own global word rollup + top-k)
+    and the coverage join — the token stream itself is never shuffled,
+    only one row per distinct (source, word).  The vocabulary is k rows
+    and rides as a broadcast; the final rollup keys on ``source``
+    (bounded cardinality, map-side partials).  Ties at the vocabulary
+    boundary break on the word (same ORDER BY in both engines)."""
+    swc = _swc(m).localCheckpoint(eager=False)
+    rk = F.row_number().over(
+        Window.orderBy(F.col("n_occ").desc(), "word")
+    )
+    vocab = (
+        swc.groupBy("word")
+        .agg(F.sum("c").alias("n_occ"))
+        .withColumn("rk", rk)
+        .where(F.col("rk") <= _OOV_VOCAB_K)
+        .select("word", F.lit(1).alias("in_vocab"))
+    )
+    oov_c = F.when(F.col("in_vocab").isNull(), F.col("c")).otherwise(F.lit(0))
+    oov_t = F.when(F.col("in_vocab").isNull(), F.lit(1)).otherwise(F.lit(0))
+    return (
+        swc.join(F.broadcast(vocab), "word", "left")
+        .groupBy("source")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_word_types"),
+            F.sum(oov_c).cast("bigint").alias("n_oov_tokens"),
+            F.sum(oov_t).cast("bigint").alias("n_oov_types"),
+            fround(F.sum(oov_c) * 1.0 / F.sum("c"), 6).alias("oov_rate"),
+        )
+    )
+
+
+@query(
+    "source_unigram_divergence",
+    oracle=f"""
+WITH swc AS ({_SWC_SQL}),
+cw AS (SELECT word, sum(c) AS cw FROM swc GROUP BY word),
+ns AS (SELECT source, sum(c) AS ns FROM swc GROUP BY source),
+n AS (SELECT sum(c) AS n FROM swc),
+terms AS (
+  SELECT swc.source, swc.c, ns.ns,
+         CAST((CAST(swc.c AS DOUBLE) / ns.ns) *
+              ln((CAST(swc.c AS DOUBLE) * n.n) /
+                 (CAST(ns.ns AS DOUBLE) * cw.cw))
+              AS DECIMAL(28,12)) AS t
+  FROM swc
+  JOIN cw ON swc.word = cw.word
+  JOIN ns ON swc.source = ns.source
+  CROSS JOIN n
+)
+SELECT source,
+       CAST(max(ns) AS BIGINT)    AS n_tokens,
+       CAST(count(*) AS BIGINT)   AS n_word_types,
+       CAST(round(sum(t), 6) AS DOUBLE) AS kl_divergence,
+       round(sum(t), 6) > {_KL_DRIFT_T} AS drifted
+FROM terms
+GROUP BY source
+""",
+    views=[],
+)
+def source_unigram_divergence(m: Model) -> DataFrame:
+    """Distribution-drift diagnostic: KL divergence (nats) of each
+    source's unigram distribution from the corpus-wide distribution —
+    KL(P_source || Q_corpus) = Σ_w p(w) · ln(p(w)/q(w)).  Every word a
+    source emits exists in the corpus by construction, so q(w) > 0 and
+    the sum is finite; sources above {0.01} nats are flagged drifted.
+
+    Plan: one (source, word) pre-aggregate feeds the corpus word rollup
+    (join on ``word`` — corpus-vocabulary cardinality), the per-source
+    totals (bounded rows, broadcast), and the corpus total (broadcast
+    1-row).  Float discipline (see module docstring): the ``ln`` runs
+    in Python/libm over JVM-computed double arguments (bit-identical
+    IEEE division/multiplication chains in both engines), and each term
+    is quantized to DECIMAL(28,12) before the sum so the cross-partition
+    sum order cannot move the result; the decimal sum rounds exactly at
+    6 dp in both engines."""
+    swc = _swc(m).localCheckpoint(eager=False)
+    cw = swc.groupBy("word").agg(F.sum("c").alias("cw"))
+    ns = swc.groupBy("source").agg(F.sum("c").alias("ns"))
+    n = swc.agg(F.sum("c").alias("n"))
+
+    @F.pandas_udf("decimal(28,12)")
+    def term(p: pd.Series, ratio: pd.Series) -> pd.Series:
+        q12 = Decimal("1e-12")
+        return pd.Series(
+            [
+                Decimal(pv * math.log(rv)).quantize(q12, ROUND_HALF_UP)
+                for pv, rv in zip(p, ratio)
+            ]
+        )
+
+    c_d = F.col("c").cast("double")
+    ns_d = F.col("ns").cast("double")
+    p = c_d / F.col("ns")
+    ratio = (c_d * F.col("n")) / (ns_d * F.col("cw"))
+    # drift compare stays decimal-vs-decimal in BOTH engines (DuckDB's
+    # 0.01 literal is DECIMAL(3,2); a double 0.01 is 0.01000000000000000021)
+    kl = F.round(F.sum(term(p, ratio)), 6)
+    return (
+        swc.join(cw, "word")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(n))
+        .groupBy("source")
+        .agg(
+            F.max("ns").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_word_types"),
+            kl.cast("double").alias("kl_divergence"),
+            (kl > F.lit(_KL_DRIFT_DEC)).alias("drifted"),
+        )
+    )

@@ -41,7 +41,7 @@ def _shingles(m: Model) -> DataFrame:
     return _shingles_with_size(m).select("doc_id", "shingle")
 
 
-def _shingles_with_size(m: Model) -> DataFrame:
+def _shingles_with_size(m: Model, width: int = _SHINGLE) -> DataFrame:
     """Exploded (doc_id, n_distinct_shingles, shingle) postings; n rides
     along so downstream set-similarity math needs no size-lookup join.
 
@@ -54,8 +54,6 @@ def _shingles_with_size(m: Model) -> DataFrame:
     first-occurrence-ordered distinct, docs shorter than the shingle
     width dropped."""
     import pandas as pd
-
-    width = _SHINGLE
 
     def shingler(batches):
         for pdf in batches:
@@ -783,5 +781,85 @@ def docs_neardup_survivors(m: Model) -> DataFrame:
             "lang",
             "source",
             F.col("cluster_id").isNotNull().alias("had_dups"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact substring-window dedup (Lee et al. 2022, "Deduplicating
+# Training Data Makes Language Models Better"): instead of whole-doc
+# near-dup pairs, measure how much of each document's CONTENT is
+# duplicated verbatim anywhere else in the corpus, at fixed word-window
+# granularity.
+
+_DUP_WINDOW = 8     # words per window (wider than the Jaccard shingle:
+                    # this flags verbatim reuse, not fuzzy similarity)
+_DUP_FRACTION_T = "0.2"  # duplicated-window fraction flag threshold
+
+_WINDOWS_SQL = f"""
+SELECT doc_id, unnest(list_distinct(
+         list_transform(range(1, greatest(len(toks) - {_DUP_WINDOW - 2}, 1)),
+                        i -> array_to_string(toks[i:i+{_DUP_WINDOW - 1}], ' '))
+       )) AS shingle
+FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t
+WHERE len(toks) >= {_DUP_WINDOW}
+"""
+
+
+@query(
+    "docs_window_dedup",
+    oracle=f"""
+WITH w AS ({_WINDOWS_SQL}),
+df AS (SELECT shingle, count(*) AS nd FROM w GROUP BY shingle)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_windows,
+       CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                                AS n_dup_windows,
+       floor((sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*)) * 1000000.0 + 0.5) / 1000000.0
+                                AS dup_fraction,
+       sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*) >= {_DUP_FRACTION_T}
+                                AS dup_heavy
+FROM w JOIN df ON w.shingle = df.shingle
+GROUP BY doc_id
+""",
+    views=[],
+)
+def docs_window_dedup(m: Model) -> DataFrame:
+    """Exact substring-window dedup signal: for every document, the
+    fraction of its distinct {8}-word windows that appear verbatim in
+    at least one OTHER place in the corpus (cross-doc, or the same
+    window observed from another doc) — the per-document content-
+    duplication measure of Lee et al. 2022, at window rather than
+    suffix-array granularity.  Docs above {0.2} are flagged
+    ``dup_heavy`` (candidates for span-level removal rather than
+    whole-doc dropping).
+
+    Plan: the window relation reuses the Arrow shingler (one narrow
+    CPU-bound pass, see :func:`_shingles_with_size`), materialized once
+    (localCheckpoint) because both the window doc-frequency rollup and
+    the per-doc join consume it.  The doc-frequency aggregate and the
+    re-association join both key on the window string — one shuffle
+    each, hash-partitioned, with the SHUFFLE_HASH hint because neither
+    side of the re-association is broadcastable at corpus scale.  At
+    100 TB the window strings would be xxhash64-folded to 8-byte keys
+    on BOTH sides of the join (collision-tolerable for a fraction
+    estimate); the string form here keeps the relation bit-identical
+    with the DuckDB oracle."""
+    posts = (
+        _shingles_with_size(m, width=_DUP_WINDOW)
+        .select("doc_id", "shingle")
+        .localCheckpoint(eager=False)
+    )
+    docfreq = posts.groupBy("shingle").agg(F.count(F.lit(1)).alias("nd"))
+    dup = F.when(F.col("nd") >= 2, F.lit(1)).otherwise(F.lit(0))
+    frac = F.sum(dup) * 1.0 / F.count(F.lit(1))
+    return (
+        posts.join(docfreq.hint("shuffle_hash"), "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+            F.sum(dup).cast("bigint").alias("n_dup_windows"),
+            fround(frac, 6).alias("dup_fraction"),
+            (frac >= float(_DUP_FRACTION_T)).alias("dup_heavy"),
         )
     )

@@ -153,3 +153,90 @@ def test_survivors_partition_documents(model):
     assert surv_ids == (docs - clustered) | reps
     flagged = {r["doc_id"] for r in surv if r["had_dups"]}
     assert flagged == reps
+
+
+# -- OOV / divergence / window dedup ---------------------------------------
+
+def test_oov_rate_matches_bruteforce(model):
+    # brute-force recompute from the raw documents on the driver
+    docs = model.documents.select("source", "text").collect()
+    from collections import Counter
+    corpus = Counter()
+    per_source: dict[str, Counter] = {}
+    for r in docs:
+        toks = r["text"].split(" ")
+        corpus.update(toks)
+        per_source.setdefault(r["source"], Counter()).update(toks)
+    vocab = {
+        w for w, _ in sorted(corpus.items(), key=lambda kv: (-kv[1], kv[0]))[:16]
+    }
+    out = {r["source"]: r for r in QUERIES["oov_rate_by_source"].fn(model).collect()}
+    assert set(out) == set(per_source)
+    for src, cnt in per_source.items():
+        r = out[src]
+        n_oov = sum(c for w, c in cnt.items() if w not in vocab)
+        assert r["n_tokens"] == sum(cnt.values())
+        assert r["n_word_types"] == len(cnt)
+        assert r["n_oov_tokens"] == n_oov
+        assert r["n_oov_types"] == sum(1 for w in cnt if w not in vocab)
+        assert abs(r["oov_rate"] - n_oov / sum(cnt.values())) < 1e-6
+
+
+def test_kl_divergence_nonnegative_and_bruteforce(model):
+    docs = model.documents.select("source", "text").collect()
+    from collections import Counter
+    corpus = Counter()
+    per_source: dict[str, Counter] = {}
+    for r in docs:
+        toks = r["text"].split(" ")
+        corpus.update(toks)
+        per_source.setdefault(r["source"], Counter()).update(toks)
+    n = sum(corpus.values())
+    out = {
+        r["source"]: r
+        for r in QUERIES["source_unigram_divergence"].fn(model).collect()
+    }
+    assert set(out) == set(per_source)
+    for src, cnt in per_source.items():
+        ns = sum(cnt.values())
+        kl = sum(
+            (c / ns) * math.log((c / ns) / (corpus[w] / n)) for w, c in cnt.items()
+        )
+        r = out[src]
+        # KL(P||Q) >= 0 up to quantization of the per-term decimal sum
+        assert r["kl_divergence"] >= -1e-6
+        assert abs(r["kl_divergence"] - kl) < 1e-4
+        assert r["drifted"] == (r["kl_divergence"] > 0.01)
+
+
+def test_window_dedup_exact_duplicates_fully_flagged(model):
+    # documents with an exact textual twin must have dup_fraction == 1.0
+    dup_texts = {
+        r["text"]
+        for r in model.documents.groupBy("text")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= 2)
+        .collect()
+    }
+    if not dup_texts:
+        pytest.skip("fixture has no exact duplicate docs at this sf")
+    twin_ids = {
+        r["doc_id"]
+        for r in model.documents.where(F.col("text").isin(list(dup_texts)))
+        .select("doc_id")
+        .collect()
+    }
+    out = {r["doc_id"]: r for r in QUERIES["docs_window_dedup"].fn(model).collect()}
+    for doc_id in twin_ids:
+        if doc_id in out:  # docs shorter than the window width are dropped
+            assert out[doc_id]["dup_fraction"] == 1.0
+            assert out[doc_id]["dup_heavy"]
+
+
+def test_window_dedup_counts_are_consistent(model):
+    rows = QUERIES["docs_window_dedup"].fn(model).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_dup_windows"] <= r["n_windows"]
+        assert abs(r["dup_fraction"] - r["n_dup_windows"] / r["n_windows"]) < 1e-6
+        assert r["dup_heavy"] == (r["n_dup_windows"] / r["n_windows"] >= 0.2)
