@@ -123,6 +123,7 @@ def test_no_unjustified_cartesian_or_nested_loop_join(spark):
         "distribution_candidates", "busiest_emptiest",
         "report_rs_distribution", "server_prefix_resolve",
         "tfidf_top_terms",  # corpus-size N rides as a broadcast 1-row agg
+        "source_unigram_divergence",  # corpus-total N: broadcast 1-row agg
         # broadcast side is the fixed probe set / literal range grid
         "embedding_topk", "range_lookup",
     }
@@ -137,3 +138,21 @@ def test_no_unjustified_cartesian_or_nested_loop_join(spark):
         elif "BroadcastNestedLoopJoin" in plan and name not in BNLJ_OK:
             offenders[name] = "BroadcastNestedLoopJoin"
     assert not offenders, offenders
+
+
+def test_oov_vocab_join_is_broadcast(spark):
+    """The top-k vocabulary must ride as a broadcast — re-shuffling the
+    (source, word) relation against a k-row dim is a scale regression."""
+    plan = _plan(spark, "oov_rate_by_source")
+    assert "BroadcastHashJoin" in plan, "vocab join lost its broadcast"
+    assert "SortMergeJoin" not in plan
+
+
+def test_window_dedup_reassociation_is_hash_join(spark):
+    """Neither side of the window re-association join is broadcastable
+    at corpus scale: the plan must stay a shuffled hash join (no SMJ
+    sort over the window strings, no broadcast of a corpus-sized
+    relation)."""
+    plan = _plan(spark, "docs_window_dedup")
+    assert "ShuffledHashJoin" in plan, "window join lost the SHUFFLE_HASH hint"
+    assert "SortMergeJoin" not in plan
