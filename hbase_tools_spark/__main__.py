@@ -61,6 +61,7 @@ TOOL_QUERIES: dict[str, list[str]] = {
         "docs_exact_dedup", "minhash_band_pairs", "lsh_bucket_stats",
         "minhash_similarity_estimates", "neardup_clusters_converged",
         "docs_neardup_survivors", "docs_window_dedup",
+        "semantic_only_dup_pairs",
     ],
     "llm_prep": [
         "docs_split_assign", "docs_stratified_sample", "docs_chunk_spans",

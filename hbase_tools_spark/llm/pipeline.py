@@ -603,3 +603,46 @@ def corpus_mixture_weights(m: Model) -> DataFrame:
             (rate > 1.0).alias("oversample"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic-only dedup (SemDeDup, Abbas et al. 2023): embedding-space
+# near-duplicates that LEXICAL dedup cannot see.  The fixture keys one
+# embedding per document (vec_id == doc_id, TESTDATA.md), so the two
+# pair relations compose directly.
+
+from .dedup import _JACCARD_PAIRS_SQL, ngram_jaccard_pairs  # noqa: E402
+from .similarity import _NEARDUP_PAIRS_SQL, embedding_neardup_pairs  # noqa: E402
+
+
+@query(
+    "semantic_only_dup_pairs",
+    oracle=f"""
+WITH ep AS ({_NEARDUP_PAIRS_SQL}),
+jp AS ({_JACCARD_PAIRS_SQL})
+SELECT ep.vec_a, ep.vec_b, ep.cosine
+FROM ep LEFT JOIN jp ON ep.vec_a = jp.doc_a AND ep.vec_b = jp.doc_b
+WHERE jp.doc_a IS NULL
+""",
+    views=[],
+)
+def semantic_only_dup_pairs(m: Model) -> DataFrame:
+    """SemDeDup-style diagnostic: embedding-cosine near-dup pairs that
+    word-{5}-gram Jaccard dedup does NOT flag — paraphrase/template
+    duplicates invisible to lexical fingerprints, the set a semantic
+    dedup stage would remove ON TOP of MinHash/Jaccard (Abbas et al.
+    2023, "SemDeDup: Data-efficient learning at web-scale through
+    semantic deduplication").
+
+    Both inputs are already pair-sized (LSH-bucketed candidate
+    generation bounds each side — never corpus²), and both emit pairs
+    in canonical (low id, high id) order, so the subtraction is one
+    anti-join on the pair key.  The lexical side is the smaller
+    relation by construction at fixture scale but pairs-proportional in
+    general, so the anti-join stays a shuffled hash join on the
+    two-column key rather than assuming broadcastability."""
+    ep = embedding_neardup_pairs(m)
+    jp = ngram_jaccard_pairs(m).select(
+        F.col("doc_a").alias("vec_a"), F.col("doc_b").alias("vec_b")
+    )
+    return ep.join(jp.hint("shuffle_hash"), ["vec_a", "vec_b"], "left_anti")

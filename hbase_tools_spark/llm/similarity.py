@@ -167,9 +167,9 @@ def embedding_lsh_topk(m: Model) -> DataFrame:
 _NEARDUP_T = 0.35    # cosine threshold for near-duplicate pairs
 
 
-@query(
-    "embedding_neardup_pairs",
-    oracle=f"""
+#: Embedding near-dup pairs oracle body — also composed by the
+#: semantic-only diagnostic in :mod:`.pipeline`.
+_NEARDUP_PAIRS_SQL = f"""
 SELECT vec_a, vec_b,
        floor(cos_raw * 1000000.0 + 0.5) / 1000000.0 AS cosine
 FROM (
@@ -182,7 +182,12 @@ FROM (
    AND a.vec_id < b.vec_id
 ) t
 WHERE cos_raw >= {_NEARDUP_T}
-""",
+"""
+
+
+@query(
+    "embedding_neardup_pairs",
+    oracle=_NEARDUP_PAIRS_SQL,
     views=[],
 )
 def embedding_neardup_pairs(m: Model) -> DataFrame:

@@ -216,3 +216,42 @@ def test_minhash_estimates_match_signature_agreement(spark):
         )
         assert r["n_match"] == agree
         assert abs(r["est_jaccard"] - agree / _MINHASHES) < 1e-9
+
+
+def test_semantic_only_excludes_lexically_flagged_pairs(spark):
+    """The fixture's embeddings are uncorrelated with the text, so the
+    anti-join never fires there; this synthetic corpus proves the
+    subtraction: (0,1) are BOTH lexical twins and embedding twins ->
+    excluded; (2,3) share an embedding but no text -> kept."""
+    from hbase_tools_spark.catalog import Model, load_model
+    from hbase_tools_spark.llm.pipeline import semantic_only_dup_pairs
+
+    from conftest import SF_DIR
+
+    text_a = "alpha beta gamma delta epsilon zeta eta theta"
+    text_b = "one two three four five six seven eight nine ten"
+    text_c = "red orange yellow green blue indigo violet ultraviolet"
+    vec_x = [0.5, 0.25, 0.125, 0.5, 0.25, 0.125, 0.5, 0.25]
+    vec_y = [0.25, 0.5, 0.125, 0.25, 0.5, 0.125, 0.25, 0.5]
+    docs = spark.createDataFrame(
+        [(0, text_a, "en", "s0", len(text_a)),
+         (1, text_a, "en", "s0", len(text_a)),
+         (2, text_b, "en", "s0", len(text_b)),
+         (3, text_c, "en", "s0", len(text_c))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    emb = spark.createDataFrame(
+        [(0, vec_x, 0), (1, vec_x, 0), (2, vec_y, 1), (3, vec_y, 1)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    try:
+        docs.createOrReplaceTempView("documents")
+        emb.createOrReplaceTempView("embeddings")
+        out = semantic_only_dup_pairs(Model(spark, "synthetic"))
+        pairs = {(r["vec_a"], r["vec_b"]) for r in out.collect()}
+        assert (2, 3) in pairs, "semantic-only pair was dropped"
+        assert (0, 1) not in pairs, "lexically-flagged pair not excluded"
+    finally:
+        # un-shadow the fixture views for the rest of the session
+        spark.conf.set("spark.hbase_tools.model_dir", "")
+        load_model(spark, SF_DIR)

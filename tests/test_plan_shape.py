@@ -148,11 +148,18 @@ def test_oov_vocab_join_is_broadcast(spark):
     assert "SortMergeJoin" not in plan
 
 
-def test_window_dedup_reassociation_is_hash_join(spark):
-    """Neither side of the window re-association join is broadcastable
-    at corpus scale: the plan must stay a shuffled hash join (no SMJ
-    sort over the window strings, no broadcast of a corpus-sized
-    relation)."""
+def test_window_dedup_has_no_window_key_join(spark):
+    """The dup counts must derive from the doc-frequency aggregate
+    alone (n_windows - n_unique): re-associating posts against the
+    rollup via a corpus-vs-corpus join on the window key was measured
+    3x slower at 10x corpus.  The only join is per-doc (hash, not SMJ),
+    and the heavy shuffle keys on xxhash64-folded windows."""
     plan = _plan(spark, "docs_window_dedup")
-    assert "ShuffledHashJoin" in plan, "window join lost the SHUFFLE_HASH hint"
+    # the checkpoint truncates lineage, so the xxhash64 projection is
+    # upstream of this plan; the folded 8-byte key column is the signal
+    assert "wh#" in plan, "window keys no longer hash-folded"
+    assert "shingle" not in plan, "window strings leaked past the fold"
+    assert "ShuffledHashJoin" in plan, "doc-level join lost the hash hint"
     assert "SortMergeJoin" not in plan
+    # exactly one join operator: the doc-keyed one
+    assert plan.count("Join") == 1, "corpus-keyed re-association join returned"
