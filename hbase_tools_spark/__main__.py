@@ -66,6 +66,7 @@ TOOL_QUERIES: dict[str, list[str]] = {
     "llm_prep": [
         "docs_split_assign", "docs_stratified_sample", "docs_chunk_spans",
         "docs_pack_bins", "corpus_mixture_weights", "training_set_assembly",
+        "docs_dsir_weights",
     ],
     "llm_text": [
         "text_stats", "lang_id_heuristic", "docs_quality_filter",

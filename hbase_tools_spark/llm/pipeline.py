@@ -646,3 +646,181 @@ def semantic_only_dup_pairs(m: Model) -> DataFrame:
         F.col("doc_a").alias("vec_a"), F.col("doc_b").alias("vec_b")
     )
     return ep.join(jp.hint("shuffle_hash"), ["vec_a", "vec_b"], "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling"): rank raw-corpus
+# documents by how target-like they are, using hashed n-gram bag-of-
+# words features — the cheap proxy-free data-selection scheme.  The
+# fixture's benchmark source stands in for the target distribution,
+# mirroring the contamination check above.
+
+_DSIR_BUCKETS = 1024  # hashed feature space (unigrams + bigrams)
+_DSIR_KEEP = 100      # documents kept by the selection step
+
+_DSIR_FC_SQL = f"""
+SELECT doc_id, source,
+       CAST(('0x' || substr(md5(f), 1, 8)) AS BIGINT) % {_DSIR_BUCKETS} AS b,
+       count(*) AS c
+FROM (
+  SELECT doc_id, source, unnest(toks) AS f
+  FROM (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents) t1
+  UNION ALL
+  SELECT doc_id, source,
+         unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i+1])) AS f
+  FROM (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents) t2
+) feats
+GROUP BY doc_id, source, b
+"""
+
+
+@query(
+    "docs_dsir_weights",
+    oracle=f"""
+WITH fc AS ({_DSIR_FC_SQL}),
+bt AS (
+  SELECT b,
+         sum(CASE WHEN source = '{_CONTAM_BENCH}' THEN c ELSE 0 END) AS ct,
+         sum(CASE WHEN source <> '{_CONTAM_BENCH}' THEN c ELSE 0 END) AS cr
+  FROM fc GROUP BY b
+),
+ns AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM bt),
+terms AS (
+  SELECT fc.doc_id, fc.c,
+         CAST(fc.c * ln((CAST(bt.ct + 1 AS DOUBLE) * (ns.nr + {_DSIR_BUCKETS})) /
+                        (CAST(bt.cr + 1 AS DOUBLE) * (ns.nt + {_DSIR_BUCKETS})))
+              AS DECIMAL(28,12)) AS t
+  FROM fc JOIN bt USING (b) CROSS JOIN ns
+  WHERE fc.source <> '{_CONTAM_BENCH}'
+)
+SELECT doc_id, n_feats, CAST(lw6 AS DOUBLE) AS log_weight,
+       ROW_NUMBER() OVER (ORDER BY lw6 DESC, doc_id) <= {_DSIR_KEEP}
+         AS selected
+FROM (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n_feats,
+         round(sum(t), 6)       AS lw6
+  FROM terms
+  GROUP BY doc_id
+) w
+""",
+    views=[],
+)
+def docs_dsir_weights(m: Model) -> DataFrame:
+    """DSIR importance weights: per raw-corpus document, the hashed
+    n-gram log importance weight log(p_target/p_raw) under add-1-
+    smoothed bag-of-{1024}-bucket unigram+bigram feature distributions
+    (Xie et al. 2023) — the '{src0}' source plays the target corpus,
+    every other source the raw pool; the top-{100} docs by weight are
+    flagged ``selected`` (ties on the exact decimal weight break to
+    the lower doc_id, so selection is engine-deterministic).  The
+    resampling step proper adds Gumbel noise (deliberately NOT
+    reproduced — the weight relation is the deterministic, certifiable
+    part; a noisy sampling policy is the caller's).
+
+    Plan: ONE Arrow pass builds per-doc hashed feature counts (md5 per
+    DISTINCT feature string via an in-worker cache — the fixture's
+    vocab is tiny and a real corpus is Zipfian, so the cache hit rate
+    is high either way), materialized once (localCheckpoint) for its
+    two consumers.  The bucket-distribution relation is AT MOST {1024}
+    rows by construction — it broadcasts at any corpus size, so the
+    per-doc side never shuffles for the join; corpus totals ride as a
+    broadcast 1-row aggregate.  Float discipline as everywhere: libm
+    ``ln`` over JVM-computed bit-identical double ratios, per-term
+    DECIMAL(28,12) quantization, exact decimal sum, round at 6 dp."""
+    import hashlib
+
+    B = _DSIR_BUCKETS
+
+    def featurize(batches):
+        cache: dict[str, int] = {}
+
+        def bucket(f: str) -> int:
+            b = cache.get(f)
+            if b is None:
+                b = int(hashlib.md5(f.encode()).hexdigest()[:8], 16) % B
+                cache[f] = b
+            return b
+
+        from collections import Counter
+
+        for pdf in batches:
+            ids, tgt, bs, cs = [], [], [], []
+            for doc_id, source, text in zip(
+                pdf["doc_id"], pdf["source"], pdf["text"]
+            ):
+                toks = text.split(" ")
+                cnt = Counter(bucket(f) for f in toks)
+                cnt.update(
+                    bucket(f"{a} {b}") for a, b in zip(toks, toks[1:])
+                )
+                is_t = source == _CONTAM_BENCH
+                for b_, c_ in cnt.items():
+                    ids.append(doc_id)
+                    tgt.append(is_t)
+                    bs.append(b_)
+                    cs.append(c_)
+            yield pd.DataFrame(
+                {"doc_id": ids, "tgt": tgt, "b": bs, "c": cs}
+            )
+
+    n_parts = m.spark.sparkContext.defaultParallelism
+    fc = (
+        m.documents.select("doc_id", "source", "text")
+        .repartition(n_parts, "doc_id")
+        .mapInPandas(featurize, "doc_id long, tgt boolean, b long, c long")
+        .localCheckpoint(eager=False)
+    )
+    bt = fc.groupBy("b").agg(
+        F.sum(F.when(F.col("tgt"), F.col("c")).otherwise(0)).alias("ct"),
+        F.sum(F.when(~F.col("tgt"), F.col("c")).otherwise(0)).alias("cr"),
+    )
+    ns = bt.agg(F.sum("ct").alias("nt"), F.sum("cr").alias("nr"))
+
+    @F.pandas_udf("decimal(28,12)")
+    def term(c: pd.Series, ratio: pd.Series) -> pd.Series:
+        import math
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q12 = Decimal("1e-12")
+        return pd.Series(
+            [
+                Decimal(cv * math.log(rv)).quantize(q12, ROUND_HALF_UP)
+                for cv, rv in zip(c, ratio)
+            ]
+        )
+
+    num = (F.col("ct") + 1).cast("double") * (F.col("nr") + F.lit(B))
+    den = (F.col("cr") + 1).cast("double") * (F.col("nt") + F.lit(B))
+    lw = F.round(F.sum(term(F.col("c"), num / den)), 6)
+    weights = (
+        fc.where(~F.col("tgt"))
+        .join(F.broadcast(bt), "b")
+        .crossJoin(F.broadcast(ns))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_feats"),
+            lw.alias("lw6"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    # selection = global top-k by the EXACT decimal weight (ties to the
+    # lower doc_id): orderBy().limit(k) plans a TakeOrderedAndProject
+    # (bounded per-partition heaps), and the k survivors broadcast back
+    # as a membership flag — no global sort, no single-partition window.
+    keep = (
+        weights.orderBy(F.col("lw6").desc(), "doc_id")
+        .limit(_DSIR_KEEP)
+        .select("doc_id", F.lit(True).alias("selected"))
+    )
+    return (
+        weights.join(F.broadcast(keep), "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_feats",
+            F.col("lw6").cast("double").alias("log_weight"),
+            F.coalesce(F.col("selected"), F.lit(False)).alias("selected"),
+        )
+    )

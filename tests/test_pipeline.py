@@ -255,3 +255,56 @@ def test_semantic_only_excludes_lexically_flagged_pairs(spark):
         # un-shadow the fixture views for the rest of the session
         spark.conf.set("spark.hbase_tools.model_dir", "")
         load_model(spark, SF_DIR)
+
+
+def test_dsir_weights_match_bruteforce(spark):
+    """Recompute the DSIR log-weights on the driver from raw documents
+    and the same hashed-feature definition; checks the smoothing, the
+    bucket totals and the top-k selection."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    from hbase_tools_spark.catalog import load_model
+    from hbase_tools_spark.registry import QUERIES
+
+    from conftest import SF_DIR
+
+    m = load_model(spark, SF_DIR)
+    B, KEEP, TARGET = 1024, 100, "src0"
+    rows = m.documents.select("doc_id", "source", "text").collect()
+
+    def feats(text):
+        toks = text.split(" ")
+        return [
+            int(hashlib.md5(f.encode()).hexdigest()[:8], 16) % B
+            for f in toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        ]
+
+    ct, cr, per_doc = Counter(), Counter(), {}
+    for r in rows:
+        fs = Counter(feats(r["text"]))
+        if r["source"] == TARGET:
+            ct.update(fs)
+        else:
+            cr.update(fs)
+            per_doc[r["doc_id"]] = fs
+    nt, nr = sum(ct.values()), sum(cr.values())
+    expect = {}
+    for doc_id, fs in per_doc.items():
+        lw = sum(
+            c * math.log(((ct[b] + 1) * (nr + B)) / ((cr[b] + 1) * (nt + B)))
+            for b, c in fs.items()
+        )
+        expect[doc_id] = (sum(fs.values()), lw)
+    out = {r["doc_id"]: r for r in QUERIES["docs_dsir_weights"].fn(m).collect()}
+    assert set(out) == set(expect)
+    for doc_id, (n_feats, lw) in expect.items():
+        assert out[doc_id]["n_feats"] == n_feats
+        assert abs(out[doc_id]["log_weight"] - lw) < 1e-4
+    top = sorted(expect, key=lambda d: (-expect[d][1], d))[:KEEP]
+    # boundary ties at 6dp can differ from the float brute-force order;
+    # check the clear (non-boundary) members
+    sel = {d for d, r in out.items() if r["selected"]}
+    assert len(sel) == min(KEEP, len(expect))
+    assert set(top[: max(1, KEEP - 5)]) <= sel

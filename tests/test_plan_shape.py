@@ -124,6 +124,7 @@ def test_no_unjustified_cartesian_or_nested_loop_join(spark):
         "report_rs_distribution", "server_prefix_resolve",
         "tfidf_top_terms",  # corpus-size N rides as a broadcast 1-row agg
         "source_unigram_divergence",  # corpus-total N: broadcast 1-row agg
+        "docs_dsir_weights",  # feature-space totals: broadcast 1-row agg
         # broadcast side is the fixed probe set / literal range grid
         "embedding_topk", "range_lookup",
     }
