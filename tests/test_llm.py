@@ -333,3 +333,39 @@ def test_ivf_index_reads_equal_direct_search_and_prune(spark, tmp_path):
     assert sorted(map(tuple, got), key=lambda t: (t[0], t[3])) == sorted(
         map(tuple, direct), key=lambda t: (t[0], t[3])
     )
+
+
+def test_embedding_pair_bucket_cap_drops_hot_bucket(spark):
+    """Bounded-bucket contract of embedding_neardup_pairs: a sign-LSH
+    bucket wider than the cap emits NO pairs (bounding the self-join at
+    N*cap), while normal buckets still pair."""
+    import random
+
+    from hbase_tools_spark.catalog import Model, load_model
+    from hbase_tools_spark.llm.similarity import (
+        _EMB_BUCKET_CAP,
+        embedding_neardup_pairs,
+    )
+
+    from conftest import SF_DIR
+
+    rng = random.Random(7)
+    rows = []
+    # hot bucket: first 8 dims positive, cap+5 near-identical vectors
+    for i in range(_EMB_BUCKET_CAP + 5):
+        rows.append((i, [1.0 + rng.random() * 0.01] * 64, 0))
+    # small bucket: first dim negative, 3 near-identical vectors
+    for i in range(3):
+        v = [1.0 + rng.random() * 0.01] * 64
+        v[0] = -1.0
+        rows.append((1000 + i, v, 1))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    try:
+        emb.createOrReplaceTempView("embeddings")
+        pairs = embedding_neardup_pairs(Model(spark, "synthetic")).collect()
+        ids = {v for r in pairs for v in (r["vec_a"], r["vec_b"])}
+        assert ids == {1000, 1001, 1002}, "hot bucket leaked pairs or small bucket lost them"
+        assert len(pairs) == 3  # 3 choose 2
+    finally:
+        spark.conf.set("spark.hbase_tools.model_dir", "")
+        load_model(spark, SF_DIR)
