@@ -432,3 +432,126 @@ def source_unigram_divergence(m: Model) -> DataFrame:
             (kl > F.lit(_KL_DRIFT_DEC)).alias("drifted"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf-law fit over the frequency spectrum — a one-number corpus health
+# diagnostic: natural text follows freq ∝ rank^(-s) with s ≈ 1; a slope
+# far from -1 (or a poor fit) signals templated/duplicated or synthetic
+# text.  (Our fixture IS synthetic — the measured slope near 0 with low
+# r² is itself the signal working.)
+# ---------------------------------------------------------------------------
+
+_ZIPF_K = 100  # spectrum head the line is fit over
+
+
+@query(
+    "token_zipf_fit",
+    oracle=f"""
+WITH ranked AS (
+  SELECT CAST(sum(c) AS BIGINT) AS freq,
+         ROW_NUMBER() OVER (ORDER BY sum(c) DESC, word) AS rank
+  FROM ({_WC_SQL}) wc
+  GROUP BY word
+  ORDER BY freq DESC, min(word)
+  LIMIT {_ZIPF_K}
+),
+pts AS (
+  SELECT CAST(ln(CAST(rank AS DOUBLE)) AS DECIMAL(28,12)) AS x,
+         CAST(ln(CAST(freq AS DOUBLE)) AS DECIMAL(28,12)) AS y,
+         CAST(ln(CAST(rank AS DOUBLE)) * ln(CAST(freq AS DOUBLE))
+              AS DECIMAL(28,12)) AS xy,
+         CAST(ln(CAST(rank AS DOUBLE)) * ln(CAST(rank AS DOUBLE))
+              AS DECIMAL(28,12)) AS xx,
+         CAST(ln(CAST(freq AS DOUBLE)) * ln(CAST(freq AS DOUBLE))
+              AS DECIMAL(28,12)) AS yy
+  FROM ranked
+),
+s AS (
+  SELECT count(*) AS n,
+         CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+         CAST(sum(xy) AS DOUBLE) AS sxy, CAST(sum(xx) AS DOUBLE) AS sxx,
+         CAST(sum(yy) AS DOUBLE) AS syy
+  FROM pts
+)
+SELECT CAST(n AS BIGINT) AS n_terms,
+       {fround_sql('(n * sxy - sx * sy) / (n * sxx - sx * sx)', 6)} AS slope,
+       {fround_sql('(sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n', 6)}
+         AS intercept,
+       {fround_sql('((n * sxy - sx * sy) * (n * sxy - sx * sy)) / ((n * sxx - sx * sx) * (n * syy - sy * sy))', 6)}
+         AS r2
+FROM s
+""",
+    views=[],
+)
+def token_zipf_fit(m: Model) -> DataFrame:
+    """Zipf-law fit: least-squares line through (ln rank, ln freq) for
+    the top-{100} spectrum head — slope (the Zipf exponent, ≈ -1 for
+    natural language), intercept, and r².
+
+    Plan: the spectrum head is the vocab top-k (``TakeOrderedAndProject``
+    — bounded per-partition heaps, no global sort); the regression runs
+    over those k rows only via the closed-form normal equations, so the
+    fit itself is a 1-row aggregate of a k-row relation — free at any
+    corpus size; the only real work is the word count backbone shared
+    with ``vocab_top_terms``.
+
+    Float discipline: ln in Python/libm (bit-identical with DuckDB's;
+    the JVM's ``Math.log`` is not — measured in the module docstring),
+    each regression moment quantized to DECIMAL(28,12) per term then
+    summed exactly, and the final slope/intercept/r² assembled in plain
+    IEEE double arithmetic from the identical decimal sums."""
+    ranked = (
+        _wc(m)
+        .groupBy("word")
+        .agg(F.sum("c").cast("bigint").alias("freq"))
+        .orderBy(F.col("freq").desc(), "word")
+        .limit(_ZIPF_K)
+        .select(
+            "freq",
+            F.row_number()
+            .over(Window.orderBy(F.col("freq").desc(), "word"))
+            .alias("rank"),
+        )
+    )
+
+    @F.pandas_udf("x decimal(28,12), y decimal(28,12), xy decimal(28,12), xx decimal(28,12), yy decimal(28,12)")
+    def moments(rank: pd.Series, freq: pd.Series) -> pd.DataFrame:
+        q12 = Decimal("1e-12")
+
+        def q(v: float) -> Decimal:
+            return Decimal(v).quantize(q12, ROUND_HALF_UP)
+
+        xs = [math.log(float(r)) for r in rank]
+        ys = [math.log(float(f)) for f in freq]
+        return pd.DataFrame(
+            {
+                "x": [q(x) for x in xs],
+                "y": [q(y) for y in ys],
+                "xy": [q(x * y) for x, y in zip(xs, ys)],
+                "xx": [q(x * x) for x in xs],
+                "yy": [q(y * y) for y in ys],
+            }
+        )
+
+    pts = ranked.select(moments("rank", "freq").alias("p")).select("p.*")
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum("xy").cast("double").alias("sxy"),
+        F.sum("xx").cast("double").alias("sxx"),
+        F.sum("yy").cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    r2 = ((n * sxy - sx * sy) * (n * sxy - sx * sy)) / (
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    return s.select(
+        n.cast("bigint").alias("n_terms"),
+        fround(slope, 6).alias("slope"),
+        fround((sy - slope * sx) / n, 6).alias("intercept"),
+        fround(r2, 6).alias("r2"),
+    )

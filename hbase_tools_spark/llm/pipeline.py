@@ -824,3 +824,155 @@ def docs_dsir_weights(m: Model) -> DataFrame:
             F.coalesce(F.col("selected"), F.lit(False)).alias("selected"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination screen — the constant-size variant of
+# ngram_contamination.  The exact benchmark shingle set grows with the
+# benchmark suite; its Bloom filter is a FIXED m-bit array regardless,
+# which is what actually ships to 1000 executors when the suite is too
+# big to broadcast as strings.  The filter here is deterministic
+# (md5-derived bit positions, no RNG) so both engines can replay it
+# bit-for-bit, and the false-positive accounting that the m/k choice
+# implies is part of the output — the knob a decontamination run tunes.
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 4096  # filter bits
+_BLOOM_K = 3     # hash functions per shingle
+
+
+@query(
+    "bloom_contamination",
+    oracle=f"""
+WITH sh AS ({_CONTAM_SHINGLES_SQL}),
+src AS (SELECT doc_id, source FROM documents),
+bench AS (
+  SELECT DISTINCT shingle FROM sh JOIN src USING (doc_id)
+  WHERE source = '{_CONTAM_BENCH}'
+),
+bits AS (
+  SELECT DISTINCT
+         CAST(('0x' || substr(md5(shingle || '#' || CAST(i AS VARCHAR)), 1, 8))
+              AS BIGINT) % {_BLOOM_M} AS p
+  FROM bench CROSS JOIN range({_BLOOM_K}) r(i)
+),
+cand AS (
+  SELECT sh.doc_id, sh.shingle FROM sh JOIN src USING (doc_id)
+  WHERE source <> '{_CONTAM_BENCH}'
+),
+probe AS (
+  SELECT cand.doc_id, cand.shingle,
+         count(bits.p) = {_BLOOM_K} AS bloom_hit
+  FROM cand
+  CROSS JOIN range({_BLOOM_K}) r(i)
+  LEFT JOIN bits
+    ON CAST(('0x' || substr(md5(cand.shingle || '#' || CAST(r.i AS VARCHAR)), 1, 8))
+            AS BIGINT) % {_BLOOM_M} = bits.p
+  GROUP BY cand.doc_id, cand.shingle
+),
+exact AS (
+  SELECT cand.doc_id, cand.shingle,
+         bench.shingle IS NOT NULL AS exact_hit
+  FROM cand LEFT JOIN bench USING (shingle)
+)
+SELECT probe.doc_id,
+       CAST(count(*) AS BIGINT)                              AS n_shingles,
+       CAST(sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hits,
+       CAST(sum(CASE WHEN exact_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_hits,
+       CAST(sum(CASE WHEN bloom_hit AND NOT exact_hit THEN 1 ELSE 0 END)
+            AS BIGINT)                                       AS n_false_pos,
+       sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END) > 0        AS flagged
+FROM probe
+JOIN exact ON probe.doc_id = exact.doc_id AND probe.shingle = exact.shingle
+GROUP BY probe.doc_id
+""",
+    views=[],
+)
+def bloom_contamination(m: Model) -> DataFrame:
+    """Bloom-filter contamination screen: each candidate doc's distinct
+    word {4}-grams probe a deterministic {4096}-bit / {3}-hash Bloom
+    filter built from the benchmark shingle set; per doc the bloom hit
+    count, the exact hit count, and the false positives the (m, k)
+    choice cost — `flagged` docs are the set a second exact pass must
+    verify.
+
+    Why this exists next to ``ngram_contamination``: the exact shingle
+    set is benchmark-proportional, the Bloom filter is CONSTANT SIZE
+    ({4096} bits here; ~1.2 GB for a 1-billion-shingle suite at 1% FP) —
+    at 100 TB this is the object you can always broadcast.  Bloom
+    no-false-negatives means unflagged docs are provably clean, so the
+    expensive exact verify (a shuffled shingle join) runs only over the
+    flagged sliver; here both counts come from one Arrow pass so the
+    certificate covers the FP accounting too.  Plan: driver builds the
+    bitset from the benchmark dim (same collect contract as
+    ``ngram_contamination``), then ONE zero-shuffle ``pandas_udf`` map
+    over candidates — no shingle crosses the worker boundary."""
+    import hashlib
+
+    import pandas as pd
+
+    width, M, K = _CONTAM_SHINGLE, _BLOOM_M, _BLOOM_K
+
+    def shingles_of(text: str):
+        toks = text.split(" ")
+        if len(toks) < width:
+            return None
+        return dict.fromkeys(
+            " ".join(toks[i : i + width]) for i in range(len(toks) - width + 1)
+        )
+
+    def positions(sh: str):
+        return tuple(
+            int(hashlib.md5(f"{sh}#{i}".encode()).hexdigest()[:8], 16) % M
+            for i in range(K)
+        )
+
+    bench_rows = (
+        m.documents.where(F.col("source") == _CONTAM_BENCH)
+        .select("text")
+        .collect()
+    )
+    bench_set = frozenset(
+        sh for r in bench_rows for sh in (shingles_of(r["text"]) or ())
+    )
+    bloom_bits = frozenset(p for sh in bench_set for p in positions(sh))
+
+    @F.pandas_udf(
+        "n_shingles: bigint, n_bloom_hits: bigint, n_exact_hits: bigint"
+    )
+    def probe(texts: pd.Series) -> pd.DataFrame:
+        n_all, n_bloom, n_exact = [], [], []
+        for text in texts:
+            seen = shingles_of(text)
+            if seen is None:
+                n_all.append(None)
+                n_bloom.append(None)
+                n_exact.append(None)
+                continue
+            b = sum(
+                1
+                for sh in seen
+                if all(p in bloom_bits for p in positions(sh))
+            )
+            e = sum(1 for sh in seen if sh in bench_set)
+            n_all.append(len(seen))
+            n_bloom.append(b)
+            n_exact.append(e)
+        return pd.DataFrame(
+            {"n_shingles": n_all, "n_bloom_hits": n_bloom, "n_exact_hits": n_exact}
+        )
+
+    return (
+        m.documents.where(F.col("source") != _CONTAM_BENCH)
+        .select("doc_id", probe("text").alias("p"))
+        .select("doc_id", "p.n_shingles", "p.n_bloom_hits", "p.n_exact_hits")
+        .filter(F.col("n_shingles").isNotNull())
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_bloom_hits",
+            "n_exact_hits",
+            (F.col("n_bloom_hits") - F.col("n_exact_hits")).alias("n_false_pos"),
+            (F.col("n_bloom_hits") > 0).alias("flagged"),
+        )
+    )

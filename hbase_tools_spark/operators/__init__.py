@@ -2,6 +2,7 @@
 
 from . import (  # noqa: F401
     analyzer,
+    funnels,
     health,
     joins,
     keyspace,
@@ -14,6 +15,7 @@ from . import (  # noqa: F401
 
 __all__ = [
     "analyzer",
+    "funnels",
     "health",
     "joins",
     "keyspace",

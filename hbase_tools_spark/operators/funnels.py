@@ -1,0 +1,330 @@
+"""Event-journey analytics: ordered funnels, retention cohorts, and
+semi-structured (JSON) property rollups over the ``events`` stream
+history — the product-analytics batch family that sits beside
+sessionization (operators/analyzer.py) and the S2 windowed streams.
+
+The reference's closest analog is the report family's staged severity
+rollups (reports/\\*.java) — multi-step conditional aggregation over an
+entity timeline; here the steps are USER journey stages rather than
+region health tiers, which is the shape a training-data telemetry
+pipeline (ingest → filter → dedup → publish, per document batch)
+reports on as well.
+
+Scale notes (100 TB of events):
+  * the funnel is K sequential per-user min-aggregates, each keyed on
+    ``user_id`` — every stage join is user-keyed with the SAME key, so
+    one partitioning serves the whole chain (no key change → AQE plans
+    one exchange per stage input, and each stage's left side shrinks
+    monotonically: only users who reached stage k-1 survive); stage
+    relations are user-cardinality, never event-cardinality;
+  * per-stage timestamps compare at exact integer microseconds
+    (``unix_micros`` / ``epoch_us``) — no float time math anywhere;
+  * retention pre-aggregates events to distinct (user, day) FIRST —
+    the heavy shuffle carries at most users×days rows with map-side
+    dedup — then joins the user-cardinality cohort relation;
+  * the JSON rollup extracts typed fields with the engine-native JSON
+    path reader (JVM Jackson; no Python), then two-phase aggregates on
+    the (event_type, bucket) grid — a few dozen groups, map-side
+    partials do nearly all the work.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..catalog import Model
+from ..functions.exprs import fround, fround_sql
+from ..registry import query
+
+#: Ordered funnel stages (the fixture's five event types include these
+#: three in a natural acquisition order).
+_FUNNEL_STAGES = ("view", "click", "purchase")
+
+_RETENTION_MAX_OFFSET = 29  # day offsets reported per cohort (0..29)
+_PROPS_BUCKETS = 10         # modulus for the JSON k-bucket grid
+
+
+# ---------------------------------------------------------------------------
+# Ordered funnel: view -> click -> purchase
+# ---------------------------------------------------------------------------
+
+_FUNNEL_STAGE_SQL = f"""
+ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS tus FROM events
+),
+s0 AS (SELECT count(DISTINCT user_id) AS n FROM ev),
+s1 AS (
+  SELECT user_id, min(tus) AS t1 FROM ev
+  WHERE event_type = '{_FUNNEL_STAGES[0]}' GROUP BY user_id
+),
+s2 AS (
+  SELECT ev.user_id, min(ev.tus) AS t2
+  FROM ev JOIN s1 USING (user_id)
+  WHERE ev.event_type = '{_FUNNEL_STAGES[1]}' AND ev.tus > s1.t1
+  GROUP BY ev.user_id
+),
+s3 AS (
+  SELECT ev.user_id, min(ev.tus) AS t3
+  FROM ev JOIN s2 USING (user_id)
+  WHERE ev.event_type = '{_FUNNEL_STAGES[2]}' AND ev.tus > s2.t2
+  GROUP BY ev.user_id
+)
+"""
+
+
+@query(
+    "events_funnel",
+    oracle=f"""
+WITH {_FUNNEL_STAGE_SQL},
+counts AS (
+  SELECT s0.n AS n0,
+         (SELECT count(*) FROM s1) AS n1,
+         (SELECT count(*) FROM s2) AS n2,
+         (SELECT count(*) FROM s3) AS n3
+  FROM s0
+)
+SELECT step_order, stage, n_users, conv_from_prev, conv_from_first
+FROM (
+  SELECT 1 AS step_order, '{_FUNNEL_STAGES[0]}' AS stage,
+         CAST(n1 AS BIGINT) AS n_users,
+         {fround_sql('CAST(n1 AS DOUBLE) / n0', 6)} AS conv_from_prev,
+         CAST(1.0 AS DOUBLE) AS conv_from_first
+  FROM counts
+  UNION ALL
+  SELECT 2, '{_FUNNEL_STAGES[1]}', CAST(n2 AS BIGINT),
+         {fround_sql('CAST(n2 AS DOUBLE) / n1', 6)},
+         {fround_sql('CAST(n2 AS DOUBLE) / n1', 6)}
+  FROM counts
+  UNION ALL
+  SELECT 3, '{_FUNNEL_STAGES[2]}', CAST(n3 AS BIGINT),
+         {fround_sql('CAST(n3 AS DOUBLE) / n2', 6)},
+         {fround_sql('CAST(n3 AS DOUBLE) / n1', 6)}
+  FROM counts
+) f
+""",
+    views=[],
+)
+def events_funnel(m: Model) -> DataFrame:
+    """Ordered funnel over the event history: users whose first
+    '{view}' precedes a later '{click}' precedes a later '{purchase}'
+    (strict event-time order at exact integer microseconds), with
+    per-stage conversion from the previous stage and from the funnel
+    head.
+
+    Each stage is ``min(tus)`` per user over events AFTER that user's
+    previous-stage time — K chained user-keyed aggregates.  All joins
+    key on ``user_id`` and each stage input shrinks to the surviving
+    cohort, so the chain reuses one partitioning and the per-stage
+    relations are user-cardinality (the event scan happens once per
+    stage over the pushed-down ``event_type`` filter — at 100 TB,
+    partition the event store by type/date and each stage reads only
+    its slice).  The final conversion table assembles from four 1-row
+    aggregates via broadcast cross-join — no data motion."""
+    ev = m.events.select(
+        "user_id", "event_type", F.unix_micros("ts").alias("tus")
+    )
+    # Stage relations are user-cardinality; materialize each once
+    # (lazy localCheckpoint) — s1 otherwise re-evaluates inside s2, s3
+    # AND its own count, blowing the plan up to 21 event scans.
+    s1 = (
+        ev.where(F.col("event_type") == _FUNNEL_STAGES[0])
+        .groupBy("user_id")
+        .agg(F.min("tus").alias("t1"))
+        .localCheckpoint(eager=False)
+    )
+    s2 = (
+        ev.where(F.col("event_type") == _FUNNEL_STAGES[1])
+        .join(s1, "user_id")
+        .where(F.col("tus") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("tus").alias("t2"))
+        .localCheckpoint(eager=False)
+    )
+    s3 = (
+        ev.where(F.col("event_type") == _FUNNEL_STAGES[2])
+        .join(s2, "user_id")
+        .where(F.col("tus") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("tus").alias("t3"))
+    )
+    n0 = ev.agg(F.countDistinct("user_id").alias("n0"))
+    n1 = s1.agg(F.count(F.lit(1)).alias("n1"))
+    n2 = s2.agg(F.count(F.lit(1)).alias("n2"))
+    n3 = s3.agg(F.count(F.lit(1)).alias("n3"))
+    counts = (
+        n0.crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .crossJoin(F.broadcast(n3))
+    )
+    # ONE 1-row counts relation explodes into the 3 stage rows — a
+    # unionAll of per-stage selects would re-evaluate the whole counts
+    # subtree once per stage.
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    stage_structs = F.array(
+        F.struct(
+            F.lit(1).alias("step_order"),
+            F.lit(_FUNNEL_STAGES[0]).alias("stage"),
+            F.col("n1").cast("bigint").alias("n_users"),
+            fround(d("n1") / d("n0"), 6).alias("conv_from_prev"),
+            F.lit(1.0).alias("conv_from_first"),
+        ),
+        F.struct(
+            F.lit(2).alias("step_order"),
+            F.lit(_FUNNEL_STAGES[1]).alias("stage"),
+            F.col("n2").cast("bigint").alias("n_users"),
+            fround(d("n2") / d("n1"), 6).alias("conv_from_prev"),
+            fround(d("n2") / d("n1"), 6).alias("conv_from_first"),
+        ),
+        F.struct(
+            F.lit(3).alias("step_order"),
+            F.lit(_FUNNEL_STAGES[2]).alias("stage"),
+            F.col("n3").cast("bigint").alias("n_users"),
+            fround(d("n3") / d("n2"), 6).alias("conv_from_prev"),
+            fround(d("n3") / d("n1"), 6).alias("conv_from_first"),
+        ),
+    )
+    return counts.select(F.explode(stage_structs).alias("s")).select("s.*")
+
+
+# ---------------------------------------------------------------------------
+# Retention cohorts: day-grain cohort x day-offset activity grid
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_retention_cohorts",
+    oracle=f"""
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day FROM events
+),
+cohort AS (SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY user_id),
+sizes AS (SELECT cohort_day, count(*) AS cohort_size FROM cohort GROUP BY cohort_day)
+SELECT ud.cohort_day,
+       strftime(DATE '1970-01-01' + INTERVAL (ud.cohort_day) DAY, '%Y-%m-%d')
+         AS cohort_date,
+       ud.day_offset,
+       CAST(count(*) AS BIGINT) AS n_active,
+       CAST(max(sizes.cohort_size) AS BIGINT) AS cohort_size,
+       {fround_sql('count(*) * 1.0 / max(sizes.cohort_size)', 6)} AS retention
+FROM (
+  SELECT ud.user_id, cohort.cohort_day, ud.day - cohort.cohort_day AS day_offset
+  FROM ud JOIN cohort USING (user_id)
+) ud
+JOIN sizes USING (cohort_day)
+WHERE ud.day_offset <= {_RETENTION_MAX_OFFSET}
+GROUP BY ud.cohort_day, ud.day_offset
+""",
+    views=[],
+)
+def events_retention_cohorts(m: Model) -> DataFrame:
+    """Retention cohort grid: users cohorted by first-active day, and
+    for each (cohort day, day offset ≤ {29}) the count and fraction of
+    the cohort active that day — the classic triangle retention table.
+
+    Plan: events collapse to DISTINCT (user, day) FIRST (the only
+    event-cardinality shuffle, with map-side dedup), cohorts derive
+    from THAT relation (user-keyed min), and the offset grid is a
+    user-keyed join of the two user/day-cardinality relations followed
+    by a (cohort_day, offset) rollup — a bounded grid (days²/2 rows).
+    Cohort sizes join back broadcast (one row per cohort day).  At
+    100 TB nothing here touches raw events twice."""
+    ud = (
+        m.events.select(
+            "user_id",
+            (F.floor(F.unix_timestamp("ts") / 86400)).cast("bigint").alias("day"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # reused by cohort AND the grid
+    )
+    cohort = ud.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    sizes = cohort.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    grid = (
+        ud.join(cohort, "user_id")
+        .select(
+            "cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset")
+        )
+        .where(F.col("day_offset") <= _RETENTION_MAX_OFFSET)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    return (
+        grid.join(F.broadcast(sizes), "cohort_day")
+        .select(
+            "cohort_day",
+            F.date_format(
+                F.date_add(F.lit("1970-01-01").cast("date"), F.col("cohort_day").cast("int")),
+                "yyyy-MM-dd",
+            ).alias("cohort_date"),
+            "day_offset",
+            F.col("n_active").cast("bigint").alias("n_active"),
+            F.col("cohort_size").cast("bigint").alias("cohort_size"),
+            fround(F.col("n_active") * 1.0 / F.col("cohort_size"), 6).alias(
+                "retention"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON property rollup: typed extraction from semi-structured props
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_props_rollup",
+    oracle=f"""
+SELECT event_type, k_bucket,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(min(k) AS BIGINT)   AS min_k,
+       CAST(max(k) AS BIGINT)   AS max_k,
+       CAST(round(sum(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE)
+         AS total_value
+FROM (
+  SELECT event_type, value,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) % {_PROPS_BUCKETS}
+           AS k_bucket
+  FROM events
+) e
+WHERE k IS NOT NULL
+GROUP BY event_type, k_bucket
+""",
+    views=[],
+)
+def events_props_rollup(m: Model) -> DataFrame:
+    """Semi-structured property rollup: the JSON ``props`` column's
+    ``k`` field extracted as a typed integer and aggregated on the
+    (event_type × k % {10}) grid — counts, k range, exact-decimal value
+    totals.  The analog of the reference's qualifier parse+rollup (X7:
+    technical-meta qualifiers → typed columns → aggregate), re-expressed
+    over the JSON metadata every training-telemetry pipeline carries.
+
+    Extraction is ``get_json_object`` — JVM-side Jackson inside
+    whole-stage codegen, no Python — and a real pipeline would hoist it
+    into the bronze→silver materialization so the path parse runs once.
+    The rollup grid is a few dozen groups: map-side partials collapse
+    the shuffle to ~groups×partitions rows.  Null/absent keys are
+    filtered explicitly (same predicate both engines)."""
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        m.events.select(
+            "event_type",
+            "value",
+            k.alias("k"),
+            (k % _PROPS_BUCKETS).alias("k_bucket"),
+        )
+        .where(F.col("k").isNotNull())
+        .groupBy("event_type", "k_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.min("k").cast("bigint").alias("min_k"),
+            F.max("k").cast("bigint").alias("max_k"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 4)
+            .cast("double")
+            .alias("total_value"),
+        )
+    )

@@ -1,0 +1,171 @@
+"""Semantic tests for the event-journey analytics (operators/funnels.py)
+and the round-4b corpus/embedding additions: funnel monotonicity and a
+Python replay of the stage chain, retention-triangle invariants, JSON
+rollup consistency, Zipf-fit math replay, Bloom no-false-negatives, and
+int8 quantizer code bounds + recall accounting."""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import math
+from collections import defaultdict
+
+from conftest import SF_DIR
+
+import hbase_tools_spark.operators  # noqa: F401 — registers the queries
+import hbase_tools_spark.llm  # noqa: F401
+from hbase_tools_spark.catalog import load_model
+from hbase_tools_spark.registry import QUERIES
+
+
+def _run(spark, name):
+    return QUERIES[name].fn(load_model(spark, SF_DIR)).collect()
+
+
+def _events(spark):
+    m = load_model(spark, SF_DIR)
+    return m.events.selectExpr(
+        "user_id", "event_type", "unix_micros(ts) AS tus", "props"
+    ).collect()
+
+
+def test_funnel_matches_python_replay(spark):
+    """Stage user counts equal a per-user Python replay of the chained
+    min-after-previous-stage scan, and the funnel is monotone."""
+    rows = {r["stage"]: r for r in _run(spark, "events_funnel")}
+    ev = _events(spark)
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r["user_id"]].append((r["tus"], r["event_type"]))
+    reached = {"view": 0, "click": 0, "purchase": 0}
+    for times in by_user.values():
+        t_prev = None
+        for stage in ("view", "click", "purchase"):
+            cand = [
+                t
+                for t, ty in times
+                if ty == stage and (t_prev is None or t > t_prev)
+            ]
+            if not cand:
+                break
+            t_prev = min(cand)
+            reached[stage] += 1
+    for stage in ("view", "click", "purchase"):
+        assert rows[stage]["n_users"] == reached[stage]
+    assert (
+        rows["view"]["n_users"]
+        >= rows["click"]["n_users"]
+        >= rows["purchase"]["n_users"]
+    )
+    for r in rows.values():
+        assert 0.0 <= r["conv_from_prev"] <= 1.0
+
+
+def test_retention_triangle_invariants(spark):
+    """Offset-0 retention is exactly 1.0 (every user is active on their
+    cohort day), n_active never exceeds cohort_size, and cohort sizes
+    sum to the distinct-user count."""
+    rows = _run(spark, "events_retention_cohorts")
+    assert rows
+    seen_sizes = {}
+    for r in rows:
+        assert 0 <= r["day_offset"] <= 29
+        assert 1 <= r["n_active"] <= r["cohort_size"]
+        if r["day_offset"] == 0:
+            assert r["n_active"] == r["cohort_size"]
+            assert r["retention"] == 1.0
+        seen_sizes[r["cohort_day"]] = r["cohort_size"]
+        # cohort_date renders the epoch-day number
+        assert len(r["cohort_date"]) == 10
+    ev = _events(spark)
+    assert sum(seen_sizes.values()) == len({r["user_id"] for r in ev})
+
+
+def test_props_rollup_matches_json_replay(spark):
+    """Group counts equal a Python json.loads replay over raw events."""
+    rows = _run(spark, "events_props_rollup")
+    got = {(r["event_type"], r["k_bucket"]): r["n_events"] for r in rows}
+    expect = defaultdict(int)
+    for r in _events(spark):
+        k = json.loads(r["props"]).get("k")
+        if k is not None:
+            expect[(r["event_type"], int(k) % 10)] += 1
+    assert got == dict(expect)
+    for r in rows:
+        assert 0 <= r["min_k"] <= r["max_k"]
+
+
+def test_zipf_fit_replay(spark):
+    """Slope/intercept match a NumPy least-squares over the vocab head,
+    and r² is a genuine coefficient of determination in [0, 1]."""
+    import numpy as np
+
+    fit = _run(spark, "token_zipf_fit")[0]
+    vocab = sorted(
+        _run(spark, "vocab_top_terms"),
+        key=lambda r: r["rank"],
+    )[:100]
+    x = np.log([r["rank"] for r in vocab])
+    y = np.log([float(r["n_occurrences"]) for r in vocab])
+    slope, intercept = np.polyfit(x, y, 1)
+    assert fit["n_terms"] == len(vocab)
+    assert math.isclose(fit["slope"], slope, abs_tol=1e-4)
+    assert math.isclose(fit["intercept"], intercept, abs_tol=1e-4)
+    assert 0.0 <= fit["r2"] <= 1.0
+    assert fit["slope"] < 0  # frequency decreases with rank
+
+
+def test_bloom_no_false_negatives_and_fp_accounting(spark):
+    """Bloom hits dominate exact hits on every doc (no false
+    negatives — the property that makes the unflagged set provably
+    clean), the FP count is their difference, and every exact-
+    contaminated doc is flagged."""
+    rows = _run(spark, "bloom_contamination")
+    assert rows
+    exact = {r["doc_id"]: r["n_shared"] for r in _run(spark, "ngram_contamination")}
+    for r in rows:
+        assert r["n_bloom_hits"] >= r["n_exact_hits"]
+        assert r["n_false_pos"] == r["n_bloom_hits"] - r["n_exact_hits"]
+        assert r["flagged"] == (r["n_bloom_hits"] > 0)
+        assert r["n_exact_hits"] == exact[r["doc_id"]]
+        if r["n_exact_hits"] > 0:
+            assert r["flagged"]
+
+
+def test_int8_codes_and_recall(spark):
+    """Codes replay the closed-form quantizer (bounded by ±127 up to
+    the +0.5 round), scores are symmetric-deterministic, and quantized
+    search keeps most of the exact top-10 (recall sanity)."""
+    rows = _run(spark, "embedding_int8_topk")
+    per_q = defaultdict(list)
+    for r in rows:
+        per_q[r["query_id"]].append(r)
+    assert set(per_q) == {0, 1, 2, 3, 4}
+    total, hit = 0, 0
+    for q, rs in per_q.items():
+        assert sorted(r["rank"] for r in rs) == list(range(1, 11))
+        total += len(rs)
+        hit += sum(1 for r in rs if r["in_exact_topk"])
+        for r in rs:
+            assert -1.01 <= r["approx_cosine"] <= 1.01
+    # int8 over 64 dims preserves ranking almost exactly; demand a
+    # conservative floor so the test survives fixture regeneration.
+    assert hit / total >= 0.6
+
+
+def test_int8_code_bounds(spark):
+    """The quantizer emits integer codes within ±127 for every vector."""
+    from hbase_tools_spark.llm.similarity import _codes
+    import pyspark.sql.functions as F
+
+    m = load_model(spark, SF_DIR)
+    bad = (
+        m.embeddings.select(_codes(F.col("embedding")).alias("code"))
+        .select(
+            F.array_max(F.transform("code", F.abs)).alias("mx")
+        )
+        .where(F.col("mx") > 127)
+        .count()
+    )
+    assert bad == 0
