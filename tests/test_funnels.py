@@ -169,3 +169,68 @@ def test_int8_code_bounds(spark):
         .count()
     )
     assert bad == 0
+
+
+def test_anomaly_zscore_replay(spark):
+    """Mean/std/z replay in NumPy per event type, and the flag obeys
+    the |z| > 2 bar."""
+    import numpy as np
+
+    rows = _run(spark, "events_anomaly_zscore")
+    assert rows
+    by_type = defaultdict(list)
+    for r in rows:
+        by_type[r["event_type"]].append(r)
+    for tp, rs in by_type.items():
+        cs = np.array([r["n_events"] for r in rs], dtype=float)
+        mean, std = cs.mean(), cs.std(ddof=1)
+        for r in rs:
+            z = (r["n_events"] - mean) / std
+            assert math.isclose(r["zscore"], z, abs_tol=1e-5)
+            assert r["anomalous"] == (abs(z) > 2.0)
+            assert math.isclose(r["mean_events"], mean, abs_tol=1e-5)
+            assert math.isclose(r["std_events"], std, abs_tol=1e-5)
+
+
+def test_ccnet_perplexity_properties(spark):
+    """perplexity == exp(cross_entropy); tertiles are balanced within
+    each language (sizes differ by at most 1) and ordered: every head
+    doc has entropy <= every tail doc."""
+    rows = _run(spark, "docs_ccnet_perplexity")
+    assert rows
+    by_lang = defaultdict(list)
+    for r in rows:
+        assert math.isclose(
+            r["perplexity"], math.exp(r["cross_entropy"]), rel_tol=1e-4
+        )
+        assert r["n_bigrams"] >= 1
+        by_lang[r["lang"]].append(r)
+    for lang, rs in by_lang.items():
+        sizes = defaultdict(int)
+        for r in rs:
+            sizes[r["bucket"]] += 1
+        if len(rs) >= 3:
+            assert set(sizes) == {"head", "middle", "tail"}
+            assert max(sizes.values()) - min(sizes.values()) <= 1
+            h = max(r["cross_entropy"] for r in rs if r["bucket"] == "head")
+            t = min(r["cross_entropy"] for r in rs if r["bucket"] == "tail")
+            assert h <= t + 1e-9
+
+
+def test_training_set_funnel_consistency(spark):
+    """Stage counts are monotone non-increasing, stage 2 equals the
+    assembled-training-set pre-split survivor count relations, and the
+    final stage matches training_set_assembly's row count."""
+    rows = sorted(_run(spark, "training_set_funnel"), key=lambda r: r["step_order"])
+    ns = [r["n_docs"] for r in rows]
+    assert len(ns) == 5
+    assert all(a >= b for a, b in zip(ns, ns[1:]))
+    assert rows[0]["frac_of_initial"] == 1.0
+    m_rows = _run(spark, "training_set_assembly")
+    # assembly = quality ∩ canonical ∩ train-split (no decontam stage),
+    # so the funnel's train_split count can only be <= assembly's.
+    assert ns[4] <= len(m_rows)
+    q = _run(spark, "docs_quality_filter")
+    kept = sum(1 for r in q if r["kept"]) if q and "kept" in q[0].asDict() else None
+    if kept is not None:
+        assert ns[1] == kept
