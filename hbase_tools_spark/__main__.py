@@ -66,17 +66,18 @@ TOOL_QUERIES: dict[str, list[str]] = {
     "llm_prep": [
         "docs_split_assign", "docs_stratified_sample", "docs_chunk_spans",
         "docs_pack_bins", "corpus_mixture_weights", "training_set_assembly",
-        "docs_dsir_weights",
+        "docs_dsir_weights", "docs_ccnet_perplexity", "bloom_contamination",
+        "training_set_funnel",
     ],
     "llm_text": [
         "text_stats", "lang_id_heuristic", "docs_quality_filter",
         "token_count_hist", "corpus_stats_by_lang", "vocab_top_terms",
         "tfidf_top_terms", "docs_char_entropy", "oov_rate_by_source",
-        "source_unigram_divergence",
+        "source_unigram_divergence", "token_zipf_fit",
     ],
     "llm_embed": [
         "embedding_topk", "embedding_ivf_kmeans_topk",
-        "embedding_neardup_pairs",
+        "embedding_neardup_pairs", "embedding_int8_topk",
     ],
     "llm_multimodal": [
         "multimodal_decode_headers", "multimodal_features",
@@ -86,7 +87,9 @@ TOOL_QUERIES: dict[str, list[str]] = {
     # the batch twins of the stream_* jobs and the salting advisor.
     "events_analyzer": [
         "events_user_cardinality", "events_salted_rollup",
-        "events_sessionize", "events_heavy_hitters",
+        "events_sessionize", "events_heavy_hitters", "events_funnel",
+        "events_retention_cohorts", "events_props_rollup",
+        "events_anomaly_zscore",
     ],
 }
 
