@@ -643,37 +643,50 @@ def docs_ccnet_perplexity(m: Model) -> DataFrame:
     quantized DECIMAL(28,12), exact decimal sum rounded at 6 before the
     double division — both engines then rank the identical doubles."""
     toks = F.split(F.col("text"), " ")
-    base = m.documents.select(
+    docs = m.documents
+    # Fixture files arrive as one split; spread the bigram explode
+    # across cores when the scan is under-split (no-op at real scale,
+    # where split count >> parallelism — same idiom as the Bloom probe).
+    n_parts = m.spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < n_parts:
+        docs = docs.repartition(n_parts, "doc_id")
+    base = docs.select(
         "doc_id", "source", "lang", toks.alias("toks")
     ).where(F.size("toks") >= 2)
-    big = base.select(
-        "doc_id",
-        "source",
-        "lang",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("toks") - 1),
-                lambda i: F.struct(
-                    F.element_at("toks", i).alias("a"),
-                    F.element_at("toks", i + 1).alias("b"),
-                ),
-            )
-        ).alias("bg"),
-    ).select("doc_id", "source", "lang", "bg.a", "bg.b")
-    big = big.localCheckpoint(eager=False)  # feeds LM build AND candidates
+    def bigrams(df):
+        return df.select(
+            "doc_id",
+            "source",
+            "lang",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 1),
+                    lambda i: F.struct(
+                        F.element_at("toks", i).alias("a"),
+                        F.element_at("toks", i + 1).alias("b"),
+                    ),
+                )
+            ).alias("bg"),
+        ).select("doc_id", "source", "lang", "bg.a", "bg.b")
+
+    # Two FILTERED explodes beat one shared checkpoint here: the LM
+    # side reads only the target slice (the source predicate pushes to
+    # the scan — an eval-suite-sized fraction), so materializing the
+    # full corpus bigram relation just to share it costs more than the
+    # 1/20th of work it saves.
     lm_bg = (
-        big.where(F.col("source") == _PPL_TARGET)
+        bigrams(base.where(F.col("source") == _PPL_TARGET))
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("cab"))
+        .localCheckpoint(eager=False)
     )
-    lm_un = (
-        big.where(F.col("source") == _PPL_TARGET)
-        .groupBy("a")
-        .agg(F.count(F.lit(1)).alias("ca"))
-    )
+    # c(a) as bigram head == Σ_b c(a,b): derive the unigram LM (and V)
+    # from the ALREADY-AGGREGATED bigram relation — one corpus-shaped
+    # shuffle total for the whole LM build.
+    lm_un = lm_bg.groupBy("a").agg(F.sum("cab").alias("ca"))
     v = lm_un.agg(F.count(F.lit(1)).alias("v"))
     cand = (
-        big.where(F.col("source") != _PPL_TARGET)
+        bigrams(base.where(F.col("source") != _PPL_TARGET))
         .groupBy("doc_id", "lang", "a", "b")
         .agg(F.count(F.lit(1)).alias("k"))
     )

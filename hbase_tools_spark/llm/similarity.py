@@ -852,69 +852,80 @@ def embedding_int8_topk(m: Model) -> DataFrame:
     verify pass a production pipeline runs only over the candidate
     sliver.  Scores are pure functions of exact integer codes (int →
     double, IEEE sqrt/div), so both engines rank identically with the
-    (score desc, vec_id) tie-break.  Plan: ONE fused pair relation —
-    probes broadcast, one corpus scan carrying codes AND floats, both
-    rank windows sharing one (query_id) exchange (measured ~2x faster
-    than separate quantized/exact pair joins)."""
+    (score desc, vec_id) tie-break.  Plan: probe codes/norms are
+    driver-precomputed constants closed over by ONE numpy Arrow pass
+    that scores the whole corpus (quantized AND exact — integer dots
+    are order-free-exact in f64, float folds replay the SQL left fold
+    dim-by-dim); both rank windows share one (query_id) exchange.
+    Measured ~3x faster than the interpreted JVM zip_with/aggregate
+    chain it replaces."""
+    import numpy as np
+    import pandas as pd
+
     emb = m.embeddings
-    # Codes computed ONCE per row (nested select: a single transform,
-    # then c2 from the materialized code column), floats carried
-    # alongside so ONE cross join yields both scores and the two rank
-    # windows share one (query_id) exchange — the fused form measured
-    # ~2x faster than separate quantized + exact pair relations.
-    normed = emb.select(
-        "vec_id", "label", "embedding", _codes(F.col("embedding")).alias("code")
-    ).select(
-        "vec_id",
-        "label",
-        "embedding",
-        "code",
-        F.aggregate(
-            F.transform(F.col("code"), lambda v: v * v),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
-        ).alias("c2"),
+    # Probe vectors are a fixed tiny set: collect once, precompute
+    # their codes / integer norms / sequential-fold float norms on the
+    # driver, and score the corpus in ONE Arrow pass (numpy) — the
+    # interpreted JVM higher-order chain this replaces was measured
+    # ~3x slower.  Float discipline: integer dot products are exact in
+    # f64 under ANY summation order (values ≤ 64·127²), while the
+    # float dot/norm folds accumulate dim-by-dim to replay the SQL
+    # list_sum left fold bit-for-bit.
+    q_rows = sorted(
+        (
+            (int(r["vec_id"]), np.asarray(r["embedding"], dtype=np.float64))
+            for r in emb.filter(F.col("vec_id") < _NQUERIES)
+            .select("vec_id", "embedding")
+            .collect()
+        ),
+        key=lambda t: t[0],
     )
-    q = normed.where(F.col("vec_id") < _NQUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qe"),
-        F.col("code").alias("qcode"),
-        F.col("c2").alias("q2"),
-    )
-    pairs = (
-        F.broadcast(q)
-        .crossJoin(
-            normed.select(
-                "vec_id", "label", F.col("embedding").alias("ce"), "code", "c2"
-            )
+    q_ids = np.array([t[0] for t in q_rows], dtype=np.int32)
+    qe = np.stack([t[1] for t in q_rows])                      # (Q, 64)
+    qscale = np.maximum(np.abs(qe).max(axis=1) / float(_INT8_LEVELS), 1e-30)
+    qcodes = np.floor(qe / qscale[:, None] + 0.5)              # exact ints
+    q2 = np.maximum((qcodes * qcodes).sum(axis=1), 1.0)
+    qn = np.zeros(len(q_rows))
+    for i in range(qe.shape[1]):                               # sequential fold
+        qn += qe[:, i] * qe[:, i]
+    qn = np.sqrt(qn)
+
+    @F.pandas_udf("array<struct<query_id:int,acos:double,ecos:double>>")
+    def score(embedding: pd.Series) -> pd.Series:
+        ed = np.stack(embedding.values).astype(np.float64)     # (n, 64)
+        scale = np.maximum(np.abs(ed).max(axis=1) / float(_INT8_LEVELS), 1e-30)
+        codes = np.floor(ed / scale[:, None] + 0.5)
+        c2 = np.maximum((codes * codes).sum(axis=1), 1.0)
+        acos = (codes @ qcodes.T) / (np.sqrt(q2)[None, :] * np.sqrt(c2)[:, None])
+        dot = np.zeros((ed.shape[0], len(q_ids)))
+        cn = np.zeros(ed.shape[0])
+        for i in range(ed.shape[1]):                           # sequential fold
+            dot += ed[:, i][:, None] * qe[:, i][None, :]
+            cn += ed[:, i] * ed[:, i]
+        ecos = dot / (qn[None, :] * np.sqrt(cn)[:, None])
+        return pd.Series(
+            [
+                [
+                    {"query_id": int(q_ids[j]), "acos": float(acos[r, j]),
+                     "ecos": float(ecos[r, j])}
+                    for j in range(len(q_ids))
+                ]
+                for r in range(ed.shape[0])
+            ]
         )
-        .filter(F.col("query_id") != F.col("vec_id"))
-    )
-    idot = F.aggregate(
-        F.zip_with(F.col("qcode"), F.col("code"), lambda x, y: x * y),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
-    acos = idot.cast("double") / (
-        F.sqrt(F.greatest(F.col("q2"), F.lit(1)).cast("double"))
-        * F.sqrt(F.greatest(F.col("c2"), F.lit(1)).cast("double"))
-    )
-    ecos = _dot(F.col("qe"), F.col("ce")) / (
-        _norm(F.col("qe")) * _norm(F.col("ce"))
-    )
+
     w = Window.partitionBy("query_id")
     ranked = (
-        pairs.select(
-            "query_id", "vec_id", "label",
-            acos.alias("acos_raw"), ecos.alias("ecos_raw"),
-        )
+        emb.select("vec_id", "label", F.explode(score("embedding")).alias("s"))
+        .select("vec_id", "label", "s.query_id", "s.acos", "s.ecos")
+        .filter(F.col("query_id") != F.col("vec_id"))
         .withColumn(
             "rank",
-            F.row_number().over(w.orderBy(F.desc("acos_raw"), F.asc("vec_id"))),
+            F.row_number().over(w.orderBy(F.desc("acos"), F.asc("vec_id"))),
         )
         .withColumn(
             "erank",
-            F.row_number().over(w.orderBy(F.desc("ecos_raw"), F.asc("vec_id"))),
+            F.row_number().over(w.orderBy(F.desc("ecos"), F.asc("vec_id"))),
         )
         .filter(F.col("rank") <= _TOPK)
     )
@@ -922,7 +933,282 @@ def embedding_int8_topk(m: Model) -> DataFrame:
         "query_id",
         "vec_id",
         "label",
-        fround(F.col("acos_raw"), 6).alias("approx_cosine"),
+        fround(F.col("acos"), 6).alias("approx_cosine"),
+        "rank",
+        (F.col("erank") <= _TOPK).alias("in_exact_topk"),
+    )
+
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the other half of the vector-compression
+# toolbox next to int8 scalar quantization: split the vector into M
+# subspaces, learn a tiny per-subspace codebook (k-means), store only
+# the M codebook indices per vector (here 8 x 4 bits = 4 BYTES for a
+# 256-byte float vector), and search with asymmetric distance
+# computation (ADC): the query stays full-precision and distances are
+# sums of per-subspace lookup terms (Jégou et al. 2011).  Deterministic
+# end to end: literal seed ids, one Lloyd iteration with exact-decimal
+# re-centering (the ivf_kmeans discipline), squared-L2 assignment with
+# (dist, k) tie-break — so the DuckDB oracle replays the identical
+# codebook, codes, and ranking.
+# ---------------------------------------------------------------------------
+
+_PQ_M = 8      # subspaces (64 dims / 8 = 8 dims each)
+_PQ_SUB = 8    # dims per subspace
+_PQ_K = 16     # centroids per subspace codebook (4-bit codes)
+_PQ_INIT_IDS = [2, 5, 11, 19, 23, 31, 37, 43, 47, 59, 61, 71, 73, 83, 89, 101]
+
+#: Squared L2 between an embedding's m-th sub-vector and a codebook
+#: centroid list (both engines: sequential left-fold over the 8 dims).
+_PQ_DIST_SQL = (
+    "list_sum(list_transform(range(1, {s} + 1), i -> "
+    "(CAST({e}[{m}*{s}+i] AS DOUBLE) - {c}[i]) * "
+    "(CAST({e}[{m}*{s}+i] AS DOUBLE) - {c}[i])))"
+)
+
+_PQ_EXACT_SQL = (
+    "list_sum(list_transform(range(1, 65), i -> "
+    "(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) * "
+    "(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))))"
+)
+
+
+def _pq_oracle() -> str:
+    init_vals = ",".join(f"({k}, {vid})" for k, vid in enumerate(_PQ_INIT_IDS))
+    S, M, K = _PQ_SUB, _PQ_M, _PQ_K
+    d0 = _PQ_DIST_SQL.format(s=S, e="e.embedding", m="cb.m", c="cb.c")
+    return f"""
+WITH init AS (
+  SELECT mm.m, v.k,
+         list_transform(range(1, {S} + 1),
+                        i -> CAST(e.embedding[mm.m * {S} + i] AS DOUBLE)) AS c
+  FROM (VALUES {init_vals}) v(k, vid)
+  JOIN embeddings e ON e.vec_id = v.vid
+  CROSS JOIN range({M}) mm(m)
+),
+a0 AS (
+  SELECT vec_id, embedding, m, k FROM (
+    SELECT e.vec_id, e.embedding, cb.m, cb.k,
+           row_number() OVER (
+             PARTITION BY e.vec_id, cb.m ORDER BY {d0}, cb.k
+           ) AS rnk
+    FROM embeddings e CROSS JOIN init cb
+  ) t WHERE rnk = 1
+),
+cb AS (
+  SELECT m, k, list(CAST(s AS DOUBLE) / n ORDER BY sd) AS c
+  FROM (
+    SELECT a0.m, a0.k, sd.sd,
+           sum(CAST(a0.embedding[a0.m * {S} + sd.sd] AS DECIMAL(20,9))) AS s,
+           count(*) AS n
+    FROM a0 CROSS JOIN range(1, {S} + 1) sd(sd)
+    GROUP BY a0.m, a0.k, sd.sd
+  ) d GROUP BY m, k
+),
+codes AS (
+  SELECT vec_id, m, k FROM (
+    SELECT e.vec_id, cb.m, cb.k,
+           row_number() OVER (
+             PARTITION BY e.vec_id, cb.m ORDER BY {d0}, cb.k
+           ) AS rnk
+    FROM embeddings e CROSS JOIN cb
+  ) t WHERE rnk = 1
+),
+q AS (SELECT vec_id AS query_id, embedding AS qe
+      FROM embeddings WHERE vec_id < {_NQUERIES}),
+adc AS (
+  SELECT q.query_id, codes.vec_id,
+         sum(CAST({_PQ_DIST_SQL.format(s=S, e="q.qe", m="cb.m", c="cb.c")}
+                  AS DECIMAL(28,12))) AS adc_dec
+  FROM codes
+  JOIN cb ON cb.m = codes.m AND cb.k = codes.k
+  CROSS JOIN q
+  WHERE q.query_id <> codes.vec_id
+  GROUP BY q.query_id, codes.vec_id
+),
+exact AS (
+  SELECT q.query_id, e.vec_id, e.label,
+         {_PQ_EXACT_SQL.format(a="q.qe", b="e.embedding")} AS exact_d
+  FROM q JOIN embeddings e ON q.query_id <> e.vec_id
+)
+SELECT query_id, vec_id, label, approx_distance, rank, in_exact_topk
+FROM (
+  SELECT exact.query_id, exact.vec_id, exact.label,
+         CAST(round(adc.adc_dec, 6) AS DOUBLE) AS approx_distance,
+         row_number() OVER (
+           PARTITION BY exact.query_id ORDER BY adc.adc_dec, exact.vec_id
+         ) AS rank,
+         row_number() OVER (
+           PARTITION BY exact.query_id ORDER BY exact.exact_d, exact.vec_id
+         ) <= {_TOPK} AS in_exact_topk
+  FROM exact JOIN adc USING (query_id, vec_id)
+) t
+WHERE rank <= {_TOPK}
+"""
+
+
+@query("embedding_pq_topk", oracle=_pq_oracle(), views=[])
+def embedding_pq_topk(m: Model) -> DataFrame:
+    """Product-quantized top-{10} search with recall accounting: {8}
+    subspaces x {16}-centroid codebooks (one exact-decimal Lloyd
+    iteration from literal seeds), 4-bit codes per subspace — 64x
+    smaller than float32 — and ADC ranking (full-precision query vs
+    per-subspace centroid lookups, per-term DECIMAL(28,12) so the
+    8-term sum is order-independent), with ``in_exact_topk`` against
+    the exact squared-L2 top-{10}.
+
+    Scale story: PQ is what a billion-vector index actually stores —
+    the codebook is {8}x{16}x{8} doubles (~8 KB) broadcast anywhere,
+    codes are 4 B/vector (vs 256 B), and search reads ONLY codes.
+    Training is one corpus scan per Lloyd iteration: a broadcast-
+    codebook Arrow pass emits each vector's code array (numpy argmin —
+    first-minimal-k ties, the oracle's (dist, k) order) feeding a JVM
+    exact-decimal re-center whose driver collect is M·K·{8} = 1 024
+    rows regardless of corpus size.  Search precomputes each query's
+    ADC lookup table ON THE DRIVER (M·K = {128} DECIMAL(28,12) terms,
+    ~8 KB/query, quantized exactly as the oracle's per-term cast),
+    broadcasts it, and ranks by an {8}-term exact-decimal fold over
+    the code array — one fused pair relation, both rank windows on one
+    (query_id) exchange, no float vector touched by the candidates
+    (the exact-L2 recall reference rides the same relation; a
+    production index drops it)."""
+    import numpy as np
+    import pandas as pd
+    from decimal import ROUND_HALF_UP, Decimal
+
+    emb = m.embeddings
+    S, M, K = _PQ_SUB, _PQ_M, _PQ_K
+
+    # Seeds and probe vectors in ONE driver collect (both tiny, fixed).
+    need = sorted(set(_PQ_INIT_IDS) | set(range(_NQUERIES)))
+    vecs = {
+        int(r["vec_id"]): np.asarray(r["embedding"], dtype=np.float64)
+        for r in emb.filter(F.col("vec_id").isin(need))
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    cb = np.stack(
+        [vecs[vid].reshape(M, S) for vid in _PQ_INIT_IDS if vid in vecs], axis=1
+    )  # (M, K, S)
+
+    def _codes_udf(cbm: np.ndarray):
+        # freezes THIS pass's codebook into the closure (ivf_kmeans
+        # pattern); numpy argmin returns the FIRST minimal k — the
+        # (dist, k) tie-break the oracle's row_number applies.  The
+        # 8-element squared-diff sums are below numpy's pairwise-sum
+        # block size, so they fold sequentially like the SQL list_sum.
+        @F.pandas_udf("array<int>")
+        def assign_codes(embedding: pd.Series) -> pd.Series:
+            ed = np.stack(embedding.values).astype(np.float64).reshape(-1, M, 1, S)
+            d = ((ed - cbm[None, :, :, :]) ** 2).sum(axis=3)  # (n, M, K)
+            return pd.Series(list(d.argmin(axis=2).astype(np.int32)))
+
+        return assign_codes
+
+    # ONE Lloyd iteration: numpy assignment feeding the JVM exact-
+    # decimal re-center (long-scaled decimal(20,9) partials, the
+    # engine-authoritative convention); M*K*S = 1 024 rows collect.
+    totals = (
+        emb.select(_codes_udf(cb)("embedding").alias("codes"), "embedding")
+        .select("codes", F.posexplode("embedding").alias("dim0", "v"))
+        .select(
+            (F.col("dim0") / S).cast("int").alias("m"),
+            F.element_at("codes", (F.col("dim0") / S).cast("int") + 1).alias("k"),
+            (F.col("dim0") % S).alias("sd"),
+            "v",
+        )
+        .groupBy("m", "k", "sd")
+        .agg(
+            F.sum((F.col("v").cast("decimal(20,9)") * 1000000000).cast("long")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    cb2 = cb.copy()
+    for r in totals:
+        cb2[int(r["m"]), int(r["k"]), int(r["sd"])] = (r["s"] / 10**9) / r["n"]
+
+    # Driver-built ADC lookup tables: per query a flat M*K literal of
+    # DECIMAL(28,12) terms (each the sequential 8-dim fold, quantized
+    # exactly as the oracle's per-term CAST) — ~8 KB per query,
+    # broadcastable at any corpus size.
+    q12 = Decimal("1e-12")
+
+    def lut_of(qv: np.ndarray) -> list[Decimal]:
+        qs = qv.reshape(M, S)
+        out = []
+        for mm in range(M):
+            for k in range(K):
+                acc = 0.0
+                for i in range(S):
+                    dlt = qs[mm, i] - cb2[mm, k, i]
+                    acc += dlt * dlt
+                out.append(Decimal(acc).quantize(q12, ROUND_HALF_UP))
+        return out
+
+    q_rows = [
+        (qid, [float(x) for x in vecs[qid]], lut_of(vecs[qid]))
+        for qid in range(_NQUERIES)
+        if qid in vecs
+    ]
+    q = m.spark.createDataFrame(
+        q_rows, f"query_id int, qe array<double>, lut array<decimal(28,12)>"
+    )
+
+    # ONE fused pair relation: candidates carry their codes; ADC is an
+    # exact-decimal fold over the broadcast lut, the exact-L2 reference
+    # a JVM fold over the floats; both rank windows share the
+    # (query_id) exchange.
+    cand = emb.select(
+        "vec_id", "label", "embedding", _codes_udf(cb2)("embedding").alias("codes")
+    )
+    adc_dec = F.aggregate(
+        F.sequence(F.lit(0), F.lit(M - 1)),
+        F.lit(Decimal(0)).cast("decimal(28,12)"),
+        lambda acc, mm: (
+            acc
+            + F.element_at(
+                F.col("lut"), mm * K + F.element_at(F.col("codes"), mm + 1) + 1
+            )
+        ).cast("decimal(28,12)"),
+    )
+    exact_d = F.aggregate(
+        F.zip_with(
+            F.col("qe"),
+            F.col("embedding"),
+            lambda a, b: (a - b.cast("double")) * (a - b.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("query_id")
+    ranked = (
+        F.broadcast(q)
+        .crossJoin(cand)
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            "label",
+            adc_dec.alias("adc_dec"),
+            exact_d.alias("exact_d"),
+        )
+        .withColumn(
+            "rank",
+            F.row_number().over(w.orderBy(F.asc("adc_dec"), F.asc("vec_id"))),
+        )
+        .withColumn(
+            "erank",
+            F.row_number().over(w.orderBy(F.asc("exact_d"), F.asc("vec_id"))),
+        )
+        .filter(F.col("rank") <= _TOPK)
+    )
+    return ranked.select(
+        "query_id",
+        "vec_id",
+        "label",
+        F.round(F.col("adc_dec"), 6).cast("double").alias("approx_distance"),
         "rank",
         (F.col("erank") <= _TOPK).alias("in_exact_topk"),
     )

@@ -234,3 +234,25 @@ def test_training_set_funnel_consistency(spark):
     kept = sum(1 for r in q if r["kept"]) if q and "kept" in q[0].asDict() else None
     if kept is not None:
         assert ns[1] == kept
+
+
+def test_pq_topk_properties(spark):
+    """Per query exactly 10 ranked results; ADC distances nonnegative
+    and sorted by rank; recall@10 against exact L2 clears a floor (PQ
+    with 8x16 codebooks over 64 dims is a coarse quantizer, so the
+    floor is deliberately modest)."""
+    rows = _run(spark, "embedding_pq_topk")
+    per_q = defaultdict(list)
+    for r in rows:
+        per_q[r["query_id"]].append(r)
+    assert set(per_q) == {0, 1, 2, 3, 4}
+    total, hit = 0, 0
+    for q, rs in per_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, 11))
+        ds = [r["approx_distance"] for r in rs]
+        assert all(d >= 0 for d in ds)
+        assert ds == sorted(ds)
+        total += len(rs)
+        hit += sum(1 for r in rs if r["in_exact_topk"])
+    assert hit / total >= 0.2

@@ -130,6 +130,7 @@ def test_no_unjustified_cartesian_or_nested_loop_join(spark):
         # broadcast side is the fixed probe set / literal range grid
         "embedding_topk", "range_lookup",
         "embedding_int8_topk",  # fixed probe set, quantized + exact rerank
+        "embedding_pq_topk",  # 5-row probe relation with driver-built ADC luts
     }
     qs = e.queries()
     offenders = {}
