@@ -61,7 +61,7 @@ TOOL_QUERIES: dict[str, list[str]] = {
         "docs_exact_dedup", "minhash_band_pairs", "lsh_bucket_stats",
         "minhash_similarity_estimates", "neardup_clusters_converged",
         "docs_neardup_survivors", "docs_window_dedup",
-        "semantic_only_dup_pairs",
+        "semantic_only_dup_pairs", "corpus_novelty_curve",
     ],
     "llm_prep": [
         "docs_split_assign", "docs_stratified_sample", "docs_chunk_spans",
@@ -78,6 +78,7 @@ TOOL_QUERIES: dict[str, list[str]] = {
     "llm_embed": [
         "embedding_topk", "embedding_ivf_kmeans_topk",
         "embedding_neardup_pairs", "embedding_int8_topk",
+        "embedding_pq_topk",
     ],
     "llm_multimodal": [
         "multimodal_decode_headers", "multimodal_features",

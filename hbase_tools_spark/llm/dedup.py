@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..catalog import Model
-from ..functions.exprs import fround
+from ..functions.exprs import fround, fround_sql
 from ..registry import query
 
 _SHINGLE = 5          # words per shingle
@@ -876,5 +876,104 @@ def docs_window_dedup(m: Model) -> DataFrame:
             n_dup.cast("bigint").alias("n_dup_windows"),
             fround(frac, 6).alias("dup_fraction"),
             (frac >= float(_DUP_FRACTION_T)).alias("dup_heavy"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Novelty curve — duplication over ingest time.  Curation reports track
+# what fraction of newly ingested content is first-seen vs already in
+# the corpus (the novelty-decay curve: as a crawl matures, marginal
+# novelty falls and dedup bites harder).  Ingest order here is doc_id
+# order bucketed into fixed-width batches; the signal is per-batch
+# first-occurrence rate of the same 8-word windows docs_window_dedup
+# counts.
+# ---------------------------------------------------------------------------
+
+_NOVELTY_BATCH = 50  # docs per ingest batch (doc_id order)
+
+
+@query(
+    "corpus_novelty_curve",
+    oracle=f"""
+WITH w AS ({_WINDOWS_SQL}),
+bc AS (
+  SELECT CAST(floor(doc_id / {_NOVELTY_BATCH}) AS BIGINT) AS batch,
+         shingle, count(*) AS c
+  FROM w GROUP BY 1, 2
+),
+fb AS (SELECT shingle, min(batch) AS fb FROM bc GROUP BY shingle),
+nd AS (
+  SELECT CAST(floor(doc_id / {_NOVELTY_BATCH}) AS BIGINT) AS batch,
+         count(*) AS n_docs
+  FROM documents WHERE len(string_split(text, ' ')) >= {_DUP_WINDOW}
+  GROUP BY 1
+)
+SELECT bc.batch,
+       CAST(max(nd.n_docs) AS BIGINT) AS n_docs,
+       CAST(sum(bc.c) AS BIGINT)      AS n_windows,
+       CAST(sum(CASE WHEN bc.batch = fb.fb THEN bc.c ELSE 0 END) AS BIGINT)
+                                      AS n_novel,
+       {fround_sql('sum(CASE WHEN bc.batch = fb.fb THEN bc.c ELSE 0 END) * 1.0 / sum(bc.c)', 6)}
+                                      AS novelty_rate
+FROM bc
+JOIN fb USING (shingle)
+JOIN nd ON nd.batch = bc.batch
+GROUP BY bc.batch
+""",
+    views=[],
+)
+def corpus_novelty_curve(m: Model) -> DataFrame:
+    """Novelty-decay curve: documents bucketed into ingest batches of
+    {50} (doc_id order), and per batch the fraction of its distinct
+    {8}-word windows seen for the FIRST time in that batch — the
+    curve a crawl/curation pipeline watches to decide when marginal
+    data stops paying for itself (novelty falls as the corpus
+    saturates; a cliff marks a duplicated dump).
+
+    Plan: the Arrow shingler feeds ONE (window-hash, batch)
+    pre-aggregate — the only corpus-shaped shuffle, keyed on
+    ``xxhash64(window)`` 8-byte ints with map-side partials; the
+    first-batch relation derives from THAT reduced relation (min per
+    hash), and the two meet in a co-keyed shuffle-hash join before
+    collapsing to batch grain (a handful of rows).  At 100 TB the
+    incremental form keeps the first-seen relation as a persisted
+    index keyed by window hash (the ``materialize_signatures``
+    contract) and each new batch probes it instead of recomputing
+    history."""
+    B = _NOVELTY_BATCH
+    batch = F.floor(F.col("doc_id") / B).cast("bigint")
+    posts = _shingles_with_size(m, width=_DUP_WINDOW).select(
+        batch.alias("batch"), F.xxhash64("shingle").alias("wh")
+    )
+    bc = (
+        posts.groupBy("wh", "batch")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    fb = bc.groupBy("wh").agg(F.min("batch").alias("fb"))
+    nd = (
+        m.documents.where(
+            F.size(F.split(F.col("text"), " ")) >= _DUP_WINDOW
+        )
+        .groupBy(batch.alias("batch"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    novel = F.sum(F.when(F.col("batch") == F.col("fb"), F.col("c")).otherwise(0))
+    return (
+        bc.join(fb.hint("shuffle_hash"), "wh")
+        .groupBy("batch")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_windows"),
+            novel.cast("bigint").alias("n_novel"),
+            fround(novel * 1.0 / F.sum("c"), 6).alias("novelty_rate"),
+        )
+        .join(F.broadcast(nd), "batch")
+        .select(
+            "batch",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            "n_windows",
+            "n_novel",
+            "novelty_rate",
         )
     )

