@@ -229,12 +229,18 @@ def ngram_contamination(m: Model) -> DataFrame:
             " ".join(toks[i : i + width]) for i in range(len(toks) - width + 1)
         )
 
-    bench_set = frozenset(
-        sh
-        for r in m.documents.where(F.col("source") == _CONTAM_BENCH)
-        .select("text")
-        .collect()
-        for sh in (shingles_of(r["text"]) or ())
+    from ..functions.memo import sf_cached
+
+    bench_set = sf_cached(
+        m.sf_dir,
+        "contam_bench_set",
+        lambda: frozenset(
+            sh
+            for r in m.documents.where(F.col("source") == _CONTAM_BENCH)
+            .select("text")
+            .collect()
+            for sh in (shingles_of(r["text"]) or ())
+        ),
     )
 
     @F.pandas_udf("n_shingles: bigint, n_shared: bigint")
@@ -928,15 +934,24 @@ def bloom_contamination(m: Model) -> DataFrame:
         h = hashlib.md5(sh.encode()).hexdigest()
         return tuple(int(h[8 * i : 8 * i + 8], 16) % M for i in range(K))
 
-    bench_rows = (
-        m.documents.where(F.col("source") == _CONTAM_BENCH)
-        .select("text")
-        .collect()
+    from ..functions.memo import sf_cached
+
+    bench_set = sf_cached(
+        m.sf_dir,
+        "contam_bench_set",
+        lambda: frozenset(
+            sh
+            for r in m.documents.where(F.col("source") == _CONTAM_BENCH)
+            .select("text")
+            .collect()
+            for sh in (shingles_of(r["text"]) or ())
+        ),
     )
-    bench_set = frozenset(
-        sh for r in bench_rows for sh in (shingles_of(r["text"]) or ())
+    bloom_bits = sf_cached(
+        m.sf_dir,
+        "contam_bloom_bits",
+        lambda: frozenset(p for sh in bench_set for p in positions(sh)),
     )
-    bloom_bits = frozenset(p for sh in bench_set for p in positions(sh))
 
     @F.pandas_udf(
         "n_shingles: bigint, n_bloom_hits: bigint, n_exact_hits: bigint"
@@ -1109,12 +1124,18 @@ def training_set_funnel(m: Model) -> DataFrame:
             " ".join(toks[i : i + width]) for i in range(len(toks) - width + 1)
         )
 
-    bench_set = frozenset(
-        sh
-        for r in m.documents.where(F.col("source") == _CONTAM_BENCH)
-        .select("text")
-        .collect()
-        for sh in (shingles_of(r["text"]) or ())
+    from ..functions.memo import sf_cached
+
+    bench_set = sf_cached(
+        m.sf_dir,
+        "contam_bench_set",
+        lambda: frozenset(
+            sh
+            for r in m.documents.where(F.col("source") == _CONTAM_BENCH)
+            .select("text")
+            .collect()
+            for sh in (shingles_of(r["text"]) or ())
+        ),
     )
 
     @F.pandas_udf("boolean")

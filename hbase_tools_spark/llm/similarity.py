@@ -700,11 +700,19 @@ def embedding_ivf_kmeans_topk(m: Model) -> DataFrame:
     emb = m.embeddings
     # Seeds and probe vectors in ONE driver-side collect — both sets
     # are tiny and fixed by construction.
+    from ..functions.memo import sf_cached
+
     need = sorted(set(_KM_INIT_IDS) | set(range(_NQUERIES)))
-    vecs = {
-        int(r["vec_id"]): np.asarray(r["embedding"], dtype=np.float64)
-        for r in emb.filter(F.col("vec_id").isin(need)).select("vec_id", "embedding").collect()
-    }
+    vecs = sf_cached(
+        m.sf_dir,
+        "km_seed_probe_vectors",
+        lambda: {
+            int(r["vec_id"]): np.asarray(r["embedding"], dtype=np.float64)
+            for r in emb.filter(F.col("vec_id").isin(need))
+            .select("vec_id", "embedding")
+            .collect()
+        },
+    )
     # tolerate absent ids (a filtered/re-keyed corpus): a missing seed
     # simply contributes no cell, a missing probe no queries — the
     # filter-based oracle and the supervised sibling behave the same
@@ -871,14 +879,20 @@ def embedding_int8_topk(m: Model) -> DataFrame:
     # f64 under ANY summation order (values ≤ 64·127²), while the
     # float dot/norm folds accumulate dim-by-dim to replay the SQL
     # list_sum left fold bit-for-bit.
-    q_rows = sorted(
-        (
-            (int(r["vec_id"]), np.asarray(r["embedding"], dtype=np.float64))
-            for r in emb.filter(F.col("vec_id") < _NQUERIES)
-            .select("vec_id", "embedding")
-            .collect()
+    from ..functions.memo import sf_cached
+
+    q_rows = sf_cached(
+        m.sf_dir,
+        "ann_probe_vectors",
+        lambda: sorted(
+            (
+                (int(r["vec_id"]), np.asarray(r["embedding"], dtype=np.float64))
+                for r in emb.filter(F.col("vec_id") < _NQUERIES)
+                .select("vec_id", "embedding")
+                .collect()
+            ),
+            key=lambda t: t[0],
         ),
-        key=lambda t: t[0],
     )
     q_ids = np.array([t[0] for t in q_rows], dtype=np.int32)
     qe = np.stack([t[1] for t in q_rows])                      # (Q, 64)
@@ -1081,13 +1095,19 @@ def embedding_pq_topk(m: Model) -> DataFrame:
     S, M, K = _PQ_SUB, _PQ_M, _PQ_K
 
     # Seeds and probe vectors in ONE driver collect (both tiny, fixed).
+    from ..functions.memo import sf_cached
+
     need = sorted(set(_PQ_INIT_IDS) | set(range(_NQUERIES)))
-    vecs = {
-        int(r["vec_id"]): np.asarray(r["embedding"], dtype=np.float64)
-        for r in emb.filter(F.col("vec_id").isin(need))
-        .select("vec_id", "embedding")
-        .collect()
-    }
+    vecs = sf_cached(
+        m.sf_dir,
+        "pq_seed_probe_vectors",
+        lambda: {
+            int(r["vec_id"]): np.asarray(r["embedding"], dtype=np.float64)
+            for r in emb.filter(F.col("vec_id").isin(need))
+            .select("vec_id", "embedding")
+            .collect()
+        },
+    )
     cb = np.stack(
         [vecs[vid].reshape(M, S) for vid in _PQ_INIT_IDS if vid in vecs], axis=1
     )  # (M, K, S)
