@@ -7,6 +7,8 @@ bit (see model.py float-safety rules).
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf resolves hints via globals
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -83,3 +85,37 @@ COMPACTION_WEIGHT_SQL = """CASE WHEN size_mb < 10 THEN 0.0
      ELSE (1 - locality) * 115
           + ((size_mb - max_file_mb) / 1024.0) * (file_count * 1.33)
 END"""
+
+
+#: Lazy libm UDF singletons — pandas_udf parses its DDL type at
+#: definition (needs an active session) and cloudpickles per created
+#: object, so build once on first use and share across operators.  The
+#: JVM's Math.log/exp differ from libm (and DuckDB) in the last ulp;
+#: these run ln/exp in Python/libm over JVM-computed double args.
+_LIBM_UDFS: dict = {}
+
+
+def _libm(name: str):
+    if name not in _LIBM_UDFS:
+        import math
+
+        @F.pandas_udf("double")
+        def pln(x: pd.Series) -> pd.Series:
+            return pd.Series([math.log(v) for v in x])
+
+        @F.pandas_udf("double")
+        def pexp(x: pd.Series) -> pd.Series:
+            return pd.Series([math.exp(v) for v in x])
+
+        _LIBM_UDFS.update({"ln": pln, "exp": pexp})
+    return _LIBM_UDFS[name]
+
+
+def pln(col: Column) -> Column:
+    """libm ln.  DuckDB counterpart: ``ln(x)`` (libm, bit-identical)."""
+    return _libm("ln")(col)
+
+
+def pexp(col: Column) -> Column:
+    """libm exp.  DuckDB counterpart: ``exp(x)``."""
+    return _libm("exp")(col)

@@ -785,26 +785,24 @@ def docs_dsir_weights(m: Model) -> DataFrame:
     )
     ns = bt.agg(F.sum("ct").alias("nt"), F.sum("cr").alias("nr"))
 
-    @F.pandas_udf("decimal(28,12)")
-    def term(c: pd.Series, ratio: pd.Series) -> pd.Series:
-        import math
-        from decimal import ROUND_HALF_UP, Decimal
+    from ..functions.exprs import pln
 
-        q12 = Decimal("1e-12")
-        return pd.Series(
-            [
-                Decimal(cv * math.log(rv)).quantize(q12, ROUND_HALF_UP)
-                for cv, rv in zip(c, ratio)
-            ]
-        )
-
+    # The log ratio is a pure function of the BUCKET ({1024} rows), not
+    # the (doc, bucket) row — libm-ln the bucket relation once, then
+    # the per-row term c*ln(r) stays entirely JVM-side with the
+    # engine-authoritative double->DECIMAL(28,12) cast (same convention
+    # as the perplexity LM; previously a ~1M-row Python Decimal pass).
     num = (F.col("ct") + 1).cast("double") * (F.col("nr") + F.lit(B))
     den = (F.col("cr") + 1).cast("double") * (F.col("nt") + F.lit(B))
-    lw = F.round(F.sum(term(F.col("c"), num / den)), 6)
+    btl = (
+        bt.crossJoin(F.broadcast(ns))
+        .select("b", pln(num / den).alias("lnr"))
+    )
+    term = (F.col("c").cast("double") * F.col("lnr")).cast("decimal(28,12)")
+    lw = F.round(F.sum(term), 6)
     weights = (
         fc.where(~F.col("tgt"))
-        .join(F.broadcast(bt), "b")
-        .crossJoin(F.broadcast(ns))
+        .join(F.broadcast(btl), "b")
         .groupBy("doc_id")
         .agg(
             F.sum("c").cast("bigint").alias("n_feats"),
@@ -991,7 +989,7 @@ def bloom_contamination(m: Model) -> DataFrame:
     # Python would be a 100 TB own-goal), but a single split on the
     # one-file fixture, so spread only when the scan is under-split.
     n_parts = m.spark.sparkContext.defaultParallelism
-    if cand.rdd.getNumPartitions() < n_parts:
+    if len(cand.inputFiles()) < n_parts:  # cheap metadata probe, no RDD
         cand = cand.repartition(n_parts, "doc_id")
     return (
         cand.select("doc_id", probe("text").alias("p"))
