@@ -99,3 +99,21 @@ def two_phase_agg(
         merge = F.sum(out) if kind in ("count", "sum") else getattr(F, kind)(out)
         finals.append(merge.alias(out))
     return p1.groupBy(*keys).agg(*finals)
+
+
+def spread_if_undersplit(df: DataFrame, key_col: str) -> DataFrame:
+    """Repartition a SCAN relation by ``key_col`` when it has fewer
+    input splits than the cluster has slots.
+
+    At real scale a table's split count dwarfs the parallelism and this
+    is a no-op (the probe is ``inputFiles()`` — pure metadata, no RDD
+    materialization); on single-file local fixtures it spreads the
+    map-side work (Arrow passes, collect_list partials, explodes)
+    across cores instead of one task.  Only meaningful directly above a
+    scan — downstream relations inherit shuffle partitioning anyway.
+    """
+    spark = df.sparkSession
+    n_parts = spark.sparkContext.defaultParallelism
+    if len(df.inputFiles()) < n_parts:
+        return df.repartition(n_parts, key_col)
+    return df

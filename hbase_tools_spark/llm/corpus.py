@@ -646,13 +646,9 @@ def docs_ccnet_perplexity(m: Model) -> DataFrame:
     quantized DECIMAL(28,12), exact decimal sum rounded at 6 before the
     double division — both engines then rank the identical doubles."""
     toks = F.split(F.col("text"), " ")
-    docs = m.documents
-    # Fixture files arrive as one split; spread the bigram explode
-    # across cores when the scan is under-split (no-op at real scale,
-    # where split count >> parallelism — same idiom as the Bloom probe).
-    n_parts = m.spark.sparkContext.defaultParallelism
-    if len(docs.inputFiles()) < n_parts:  # cheap metadata probe, no RDD
-        docs = docs.repartition(n_parts, "doc_id")
+    from ..functions.partitioning import spread_if_undersplit
+
+    docs = spread_if_undersplit(m.documents, "doc_id")
     base = docs.select(
         "doc_id", "source", "lang", toks.alias("toks")
     ).where(F.size("toks") >= 2)

@@ -983,14 +983,15 @@ def bloom_contamination(m: Model) -> DataFrame:
             {"n_shingles": n_all, "n_bloom_hits": n_bloom, "n_exact_hits": n_exact}
         )
 
-    cand = m.documents.where(F.col("source") != _CONTAM_BENCH)
+    from ..functions.partitioning import spread_if_undersplit
+
     # The probe parallelism equals the scan's split count: thousands at
     # real scale (no repartition — a corpus shuffle just to spread
     # Python would be a 100 TB own-goal), but a single split on the
     # one-file fixture, so spread only when the scan is under-split.
-    n_parts = m.spark.sparkContext.defaultParallelism
-    if len(cand.inputFiles()) < n_parts:  # cheap metadata probe, no RDD
-        cand = cand.repartition(n_parts, "doc_id")
+    cand = spread_if_undersplit(
+        m.documents.where(F.col("source") != _CONTAM_BENCH), "doc_id"
+    )
     return (
         cand.select("doc_id", probe("text").alias("p"))
         .select("doc_id", "p.n_shingles", "p.n_bloom_hits", "p.n_exact_hits")

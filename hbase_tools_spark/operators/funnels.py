@@ -121,45 +121,41 @@ def events_funnel(m: Model) -> DataFrame:
     partition the event store by type/date and each stage reads only
     its slice).  The final conversion table assembles from four 1-row
     aggregates via broadcast cross-join — no data motion."""
-    ev = m.events.select(
+    from ..functions.partitioning import spread_if_undersplit
+
+    ev = spread_if_undersplit(m.events, "user_id").select(
         "user_id", "event_type", F.unix_micros("ts").alias("tus")
     )
-    # Stage relations are user-cardinality; materialize each once
-    # (lazy localCheckpoint) — s1 otherwise re-evaluates inside s2, s3
-    # AND its own count, blowing the plan up to 21 event scans.
-    s1 = (
-        ev.where(F.col("event_type") == _FUNNEL_STAGES[0])
-        .groupBy("user_id")
-        .agg(F.min("tus").alias("t1"))
-        .localCheckpoint(eager=False)
+    # ONE user-keyed aggregate computes the whole chain: per user the
+    # first-stage min plus SORTED per-type time arrays, then each later
+    # stage is array_min(filter(times, > previous)) — empty filters
+    # propagate null, so non-reaching users fall out of the counts for
+    # free.  One shuffle, one job round (the chained-join form cost 4
+    # sequential checkpoint jobs).  Arrays are per-user-activity
+    # bounded; for degenerate power users the chained per-stage
+    # min-join form (git history) is the unbounded-safe fallback.
+    is_ = lambda t: F.col("event_type") == t  # noqa: E731
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(is_(_FUNNEL_STAGES[0]), F.col("tus"))).alias("t1"),
+        F.sort_array(
+            F.collect_list(F.when(is_(_FUNNEL_STAGES[1]), F.col("tus")))
+        ).alias("clicks"),
+        F.sort_array(
+            F.collect_list(F.when(is_(_FUNNEL_STAGES[2]), F.col("tus")))
+        ).alias("purchases"),
     )
-    s2 = (
-        ev.where(F.col("event_type") == _FUNNEL_STAGES[1])
-        .join(s1, "user_id")
-        .where(F.col("tus") > F.col("t1"))
-        .groupBy("user_id")
-        .agg(F.min("tus").alias("t2"))
-        .localCheckpoint(eager=False)
+    t2 = F.array_min(F.filter("clicks", lambda x: x > F.col("t1")))
+    t3 = F.array_min(F.filter("purchases", lambda x: x > F.col("t2")))
+    staged = (
+        per_user.select("t1", "purchases", t2.alias("t2"))
+        .select("t1", "t2", t3.alias("t3"))
     )
-    s3 = (
-        ev.where(F.col("event_type") == _FUNNEL_STAGES[2])
-        .join(s2, "user_id")
-        .where(F.col("tus") > F.col("t2"))
-        .groupBy("user_id")
-        .agg(F.min("tus").alias("t3"))
+    counts = staged.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.count("t1").alias("n1"),
+        F.count("t2").alias("n2"),
+        F.count("t3").alias("n3"),
     )
-    n0 = ev.agg(F.countDistinct("user_id").alias("n0"))
-    n1 = s1.agg(F.count(F.lit(1)).alias("n1"))
-    n2 = s2.agg(F.count(F.lit(1)).alias("n2"))
-    n3 = s3.agg(F.count(F.lit(1)).alias("n3"))
-    counts = (
-        n0.crossJoin(F.broadcast(n1))
-        .crossJoin(F.broadcast(n2))
-        .crossJoin(F.broadcast(n3))
-    )
-    # ONE 1-row counts relation explodes into the 3 stage rows — a
-    # unionAll of per-stage selects would re-evaluate the whole counts
-    # subtree once per stage.
     d = lambda c: F.col(c).cast("double")  # noqa: E731
     stage_structs = F.array(
         F.struct(
