@@ -11,12 +11,10 @@ pipeline (ingest → filter → dedup → publish, per document batch)
 reports on as well.
 
 Scale notes (100 TB of events):
-  * the funnel is K sequential per-user min-aggregates, each keyed on
-    ``user_id`` — every stage join is user-keyed with the SAME key, so
-    one partitioning serves the whole chain (no key change → AQE plans
-    one exchange per stage input, and each stage's left side shrinks
-    monotonically: only users who reached stage k-1 survive); stage
-    relations are user-cardinality, never event-cardinality;
+  * the funnel is ONE user-keyed aggregate (sorted per-type time
+    arrays; later stages are array folds over them) — a single
+    shuffle whose state is bounded by per-user activity, never
+    event-cardinality;
   * per-stage timestamps compare at exact integer microseconds
     (``unix_micros`` / ``epoch_us``) — no float time math anywhere;
   * retention pre-aggregates events to distinct (user, day) FIRST —
@@ -112,15 +110,16 @@ def events_funnel(m: Model) -> DataFrame:
     per-stage conversion from the previous stage and from the funnel
     head.
 
-    Each stage is ``min(tus)`` per user over events AFTER that user's
-    previous-stage time — K chained user-keyed aggregates.  All joins
-    key on ``user_id`` and each stage input shrinks to the surviving
-    cohort, so the chain reuses one partitioning and the per-stage
-    relations are user-cardinality (the event scan happens once per
-    stage over the pushed-down ``event_type`` filter — at 100 TB,
-    partition the event store by type/date and each stage reads only
-    its slice).  The final conversion table assembles from four 1-row
-    aggregates via broadcast cross-join — no data motion."""
+    Each stage is the earliest qualifying time AFTER the user's
+    previous-stage time.  The whole chain is ONE user-keyed aggregate:
+    per user the first-stage min plus SORTED per-type time arrays,
+    then stage k is ``array_min(filter(times_k, > t_{k-1}))`` — empty
+    filters propagate null, so non-reaching users drop out of the
+    conversion counts for free.  One shuffle on ``user_id`` (map-side
+    partial collect_list), arrays bounded by per-user activity; for
+    degenerate power users the chained per-stage min-join form (git
+    history) is the unbounded-safe fallback.  The conversion table
+    then explodes from a single 1-row count aggregate."""
     from ..functions.partitioning import spread_if_undersplit
 
     ev = spread_if_undersplit(m.events, "user_id").select(
