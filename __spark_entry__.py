@@ -29,24 +29,25 @@ SF0001 = "/root/testdata/sf0.001"
 # round-3-certified queries last.
 _R2_DATED = [
     # Ordered by re-certification urgency under the driver's ~50-query
-    # budget (debuts go even earlier): queries whose SOURCE FILES this
-    # round actually edited first (streaming tuning + the round-4
-    # rewrites in dedup/similarity/text/pipeline), rarely-touched
-    # topology/report queries last — if the budget cuts the tail, it
-    # cuts the queries least likely to have moved.
-    "stream_tumbling_counts", "stream_sliding_counts",
-    "stream_session_stats", "stream_dedup_keys",
-    "stream_enriched_server_load", "stream_membership_in",
-    "doc_winnow_fingerprints", "ngram_contamination",
-    "embedding_ivf_topk", "embedding_topk", "embedding_lsh_topk",
-    "embedding_neardup_pairs", "ngram_jaccard_pairs",
-    "minhash_band_pairs", "neardup_clusters",
-    "neardup_clusters_converged", "docs_exact_dedup",
+    # budget (debuts go even earlier): queries whose SOURCE FILES the
+    # late-round-4 session edited first — similarity.py (int8/PQ memo +
+    # probe collects), pipeline.py (Bloom/memo/spread), dedup.py
+    # (novelty additions), corpus.py (LM/libm refactor) — then the
+    # streaming set, then rarely-touched planner/topology queries last:
+    # if the budget cuts the tail, it cuts the queries least likely to
+    # have moved.
+    "embedding_topk", "embedding_lsh_topk", "embedding_neardup_pairs",
+    "embedding_ivf_topk", "ngram_contamination",
+    "minhash_band_pairs", "ngram_jaccard_pairs", "neardup_clusters",
+    "neardup_clusters_converged", "docs_split_assign",
+    "docs_stratified_sample", "docs_repetition_ratio", "lsh_band_sweep",
+    "doc_winnow_fingerprints", "docs_exact_dedup",
     "docs_prefix_dedup", "docs_dedup_canonical", "simhash_fingerprints",
     "doc_fingerprints", "text_stats", "lang_id_heuristic",
     "docs_quality_filter", "token_count_hist", "corpus_stats_by_lang",
-    "docs_split_assign", "docs_stratified_sample",
-    "docs_repetition_ratio", "lsh_band_sweep",
+    "stream_tumbling_counts", "stream_sliding_counts",
+    "stream_session_stats", "stream_dedup_keys",
+    "stream_enriched_server_load", "stream_membership_in",
     "merge_plan_multipass", "split_plan_multipass", "upsert_dedup",
     "mutation_replay_counts", "events_asof_assignment",
     "topology_asof", "topology_parse", "topology_retention",
