@@ -1062,6 +1062,117 @@ WHERE rank <= {_TOPK}
 """
 
 
+def _pq_codes_udf(cbm):
+    """Scalar pandas UDF assigning each vector its M PQ codes against
+    the closed-over (M, K, S) codebook — numpy argmin returns the
+    FIRST minimal k, the oracle's (dist, k) tie-break; the 8-element
+    squared-diff sums are below numpy's pairwise-sum block size, so
+    they fold sequentially like the SQL list_sum."""
+    import numpy as np
+    import pandas as pd
+
+    M, S = _PQ_M, _PQ_SUB
+
+    @F.pandas_udf("array<int>")
+    def assign_codes(embedding: pd.Series) -> pd.Series:
+        ed = np.stack(embedding.values).astype(np.float64).reshape(-1, M, 1, S)
+        d = ((ed - cbm[None, :, :, :]) ** 2).sum(axis=3)  # (n, M, K)
+        return pd.Series(list(d.argmin(axis=2).astype(np.int32)))
+
+    return assign_codes
+
+
+def _pq_train(emb: DataFrame, seed_vecs: dict) -> "np.ndarray":
+    """One exact-decimal Lloyd iteration from the literal seed
+    codebook: numpy assignment feeds the JVM engine-authoritative
+    re-center (long-scaled decimal(20,9) partials); the driver collect
+    is M*K*S = 1 024 rows regardless of corpus size."""
+    import numpy as np
+
+    M, K, S = _PQ_M, _PQ_K, _PQ_SUB
+    cb = np.stack(
+        [seed_vecs[vid].reshape(M, S) for vid in _PQ_INIT_IDS if vid in seed_vecs],
+        axis=1,
+    )
+    totals = (
+        emb.select(_pq_codes_udf(cb)("embedding").alias("codes"), "embedding")
+        .select("codes", F.posexplode("embedding").alias("dim0", "v"))
+        .select(
+            (F.col("dim0") / S).cast("int").alias("m"),
+            F.element_at("codes", (F.col("dim0") / S).cast("int") + 1).alias("k"),
+            (F.col("dim0") % S).alias("sd"),
+            "v",
+        )
+        .groupBy("m", "k", "sd")
+        .agg(
+            F.sum((F.col("v").cast("decimal(20,9)") * 1000000000).cast("long")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    cb2 = cb.copy()
+    for r in totals:
+        cb2[int(r["m"]), int(r["k"]), int(r["sd"])] = (r["s"] / 10**9) / r["n"]
+    return cb2
+
+
+def _pq_probe_df(spark, cb2, probes: list) -> DataFrame:
+    """Probe relation with driver-built ADC lookup tables: per query a
+    flat M*K literal of DECIMAL(28,12) terms (each the sequential
+    S-dim fold, quantized exactly as the oracle's per-term cast) —
+    ~8 KB per query, broadcastable at any corpus size."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    M, K, S = _PQ_M, _PQ_K, _PQ_SUB
+    q12 = Decimal("1e-12")
+
+    def lut_of(qv) -> list:
+        qs = qv.reshape(M, S)
+        out = []
+        for mm in range(M):
+            for k in range(K):
+                acc = 0.0
+                for i in range(S):
+                    dlt = qs[mm, i] - cb2[mm, k, i]
+                    acc += dlt * dlt
+                out.append(Decimal(acc).quantize(q12, ROUND_HALF_UP))
+        return out
+
+    rows = [(qid, [float(x) for x in qv], lut_of(qv)) for qid, qv in probes]
+    return spark.createDataFrame(
+        rows, "query_id int, qe array<double>, lut array<decimal(28,12)>"
+    )
+
+
+def _pq_adc_ranked(codes_df: DataFrame, q: DataFrame) -> DataFrame:
+    """ADC ranking over a (vec_id, label, codes) relation: an exact-
+    decimal M-term fold over the broadcast lookup tables, one
+    (query_id) rank-window exchange; candidates never touch floats."""
+    K = _PQ_K
+    adc_dec = F.aggregate(
+        F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
+        F.lit(__import__("decimal").Decimal(0)).cast("decimal(28,12)"),
+        lambda acc, mm: (
+            acc
+            + F.element_at(
+                F.col("lut"), mm * K + F.element_at(F.col("codes"), mm + 1) + 1
+            )
+        ).cast("decimal(28,12)"),
+    )
+    w = Window.partitionBy("query_id")
+    return (
+        F.broadcast(q)
+        .crossJoin(codes_df)
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "vec_id", "label", adc_dec.alias("adc_dec"))
+        .withColumn(
+            "rank",
+            F.row_number().over(w.orderBy(F.asc("adc_dec"), F.asc("vec_id"))),
+        )
+        .filter(F.col("rank") <= _TOPK)
+    )
+
+
 @query("embedding_pq_topk", oracle=_pq_oracle(), views=[])
 def embedding_pq_topk(m: Model) -> DataFrame:
     """Product-quantized top-{10} search with recall accounting: {8}
@@ -1088,15 +1199,10 @@ def embedding_pq_topk(m: Model) -> DataFrame:
     (the exact-L2 recall reference rides the same relation; a
     production index drops it)."""
     import numpy as np
-    import pandas as pd
-    from decimal import ROUND_HALF_UP, Decimal
 
-    emb = m.embeddings
-    S, M, K = _PQ_SUB, _PQ_M, _PQ_K
-
-    # Seeds and probe vectors in ONE driver collect (both tiny, fixed).
     from ..functions.memo import sf_cached
 
+    emb = m.embeddings
     need = sorted(set(_PQ_INIT_IDS) | set(range(_NQUERIES)))
     vecs = sf_cached(
         m.sf_dir,
@@ -1108,91 +1214,17 @@ def embedding_pq_topk(m: Model) -> DataFrame:
             .collect()
         },
     )
-    cb = np.stack(
-        [vecs[vid].reshape(M, S) for vid in _PQ_INIT_IDS if vid in vecs], axis=1
-    )  # (M, K, S)
-
-    def _codes_udf(cbm: np.ndarray):
-        # freezes THIS pass's codebook into the closure (ivf_kmeans
-        # pattern); numpy argmin returns the FIRST minimal k — the
-        # (dist, k) tie-break the oracle's row_number applies.  The
-        # 8-element squared-diff sums are below numpy's pairwise-sum
-        # block size, so they fold sequentially like the SQL list_sum.
-        @F.pandas_udf("array<int>")
-        def assign_codes(embedding: pd.Series) -> pd.Series:
-            ed = np.stack(embedding.values).astype(np.float64).reshape(-1, M, 1, S)
-            d = ((ed - cbm[None, :, :, :]) ** 2).sum(axis=3)  # (n, M, K)
-            return pd.Series(list(d.argmin(axis=2).astype(np.int32)))
-
-        return assign_codes
-
-    # ONE Lloyd iteration: numpy assignment feeding the JVM exact-
-    # decimal re-center (long-scaled decimal(20,9) partials, the
-    # engine-authoritative convention); M*K*S = 1 024 rows collect.
-    totals = (
-        emb.select(_codes_udf(cb)("embedding").alias("codes"), "embedding")
-        .select("codes", F.posexplode("embedding").alias("dim0", "v"))
-        .select(
-            (F.col("dim0") / S).cast("int").alias("m"),
-            F.element_at("codes", (F.col("dim0") / S).cast("int") + 1).alias("k"),
-            (F.col("dim0") % S).alias("sd"),
-            "v",
-        )
-        .groupBy("m", "k", "sd")
-        .agg(
-            F.sum((F.col("v").cast("decimal(20,9)") * 1000000000).cast("long")).alias("s"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        .collect()
+    cb2 = _pq_train(emb, vecs)
+    q = _pq_probe_df(
+        m.spark, cb2, [(qid, vecs[qid]) for qid in range(_NQUERIES) if qid in vecs]
     )
-    cb2 = cb.copy()
-    for r in totals:
-        cb2[int(r["m"]), int(r["k"]), int(r["sd"])] = (r["s"] / 10**9) / r["n"]
-
-    # Driver-built ADC lookup tables: per query a flat M*K literal of
-    # DECIMAL(28,12) terms (each the sequential 8-dim fold, quantized
-    # exactly as the oracle's per-term CAST) — ~8 KB per query,
-    # broadcastable at any corpus size.
-    q12 = Decimal("1e-12")
-
-    def lut_of(qv: np.ndarray) -> list[Decimal]:
-        qs = qv.reshape(M, S)
-        out = []
-        for mm in range(M):
-            for k in range(K):
-                acc = 0.0
-                for i in range(S):
-                    dlt = qs[mm, i] - cb2[mm, k, i]
-                    acc += dlt * dlt
-                out.append(Decimal(acc).quantize(q12, ROUND_HALF_UP))
-        return out
-
-    q_rows = [
-        (qid, [float(x) for x in vecs[qid]], lut_of(vecs[qid]))
-        for qid in range(_NQUERIES)
-        if qid in vecs
-    ]
-    q = m.spark.createDataFrame(
-        q_rows, f"query_id int, qe array<double>, lut array<decimal(28,12)>"
+    codes = emb.select(
+        "vec_id", "label", "embedding", _pq_codes_udf(cb2)("embedding").alias("codes")
     )
-
-    # ONE fused pair relation: candidates carry their codes; ADC is an
-    # exact-decimal fold over the broadcast lut, the exact-L2 reference
-    # a JVM fold over the floats; both rank windows share the
-    # (query_id) exchange.
-    cand = emb.select(
-        "vec_id", "label", "embedding", _codes_udf(cb2)("embedding").alias("codes")
-    )
-    adc_dec = F.aggregate(
-        F.sequence(F.lit(0), F.lit(M - 1)),
-        F.lit(Decimal(0)).cast("decimal(28,12)"),
-        lambda acc, mm: (
-            acc
-            + F.element_at(
-                F.col("lut"), mm * K + F.element_at(F.col("codes"), mm + 1) + 1
-            )
-        ).cast("decimal(28,12)"),
-    )
+    ranked = _pq_adc_ranked(codes.drop("embedding"), q)
+    # Exact-L2 recall reference rides a float join back onto the ranked
+    # sliver's query set (a production index has no floats to join —
+    # this column exists to certify the quantizer's recall).
     exact_d = F.aggregate(
         F.zip_with(
             F.col("qe"),
@@ -1203,32 +1235,86 @@ def embedding_pq_topk(m: Model) -> DataFrame:
         lambda acc, x: acc + x,
     )
     w = Window.partitionBy("query_id")
-    ranked = (
-        F.broadcast(q)
-        .crossJoin(cand)
+    eranked = (
+        F.broadcast(q.select("query_id", "qe"))
+        .crossJoin(emb.select("vec_id", "embedding"))
         .filter(F.col("query_id") != F.col("vec_id"))
-        .select(
-            "query_id",
-            "vec_id",
-            "label",
-            adc_dec.alias("adc_dec"),
-            exact_d.alias("exact_d"),
-        )
-        .withColumn(
-            "rank",
-            F.row_number().over(w.orderBy(F.asc("adc_dec"), F.asc("vec_id"))),
-        )
+        .select("query_id", "vec_id", exact_d.alias("exact_d"))
         .withColumn(
             "erank",
             F.row_number().over(w.orderBy(F.asc("exact_d"), F.asc("vec_id"))),
         )
-        .filter(F.col("rank") <= _TOPK)
+        .filter(F.col("erank") <= _TOPK)
+        .select("query_id", "vec_id", F.lit(True).alias("hit"))
     )
-    return ranked.select(
+    return (
+        ranked.join(F.broadcast(eranked), ["query_id", "vec_id"], "left")
+        .select(
+            "query_id",
+            "vec_id",
+            "label",
+            F.round(F.col("adc_dec"), 6).cast("double").alias("approx_distance"),
+            "rank",
+            F.coalesce(F.col("hit"), F.lit(False)).alias("in_exact_topk"),
+        )
+    )
+
+
+def materialize_pq_index(emb: DataFrame, out_dir: str) -> None:
+    """Persist the PQ index — the query-many production shape (vector
+    sibling of ``materialize_ivf_index``): the trained M*K codebook
+    plus every vector's 4-bit-per-subspace code array.  The codes
+    relation is 64x smaller than the float vectors; serving reads ONLY
+    it, and the codebook (a few KB) broadcasts anywhere.  Training is
+    the same one-Lloyd-iteration trajectory as the per-query path, so
+    index serving reproduces the direct search bit-for-bit (equality
+    pinned in tests)."""
+    import numpy as np
+
+    spark = emb.sparkSession
+    seed_vecs = {
+        int(r["vec_id"]): np.asarray(r["embedding"], dtype=np.float64)
+        for r in emb.filter(F.col("vec_id").isin(_PQ_INIT_IDS))
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    cb2 = _pq_train(emb, seed_vecs)
+    M, K, S = _PQ_M, _PQ_K, _PQ_SUB
+    cb_rows = [
+        (mm, k, [float(cb2[mm, k, i]) for i in range(S)])
+        for mm in range(M)
+        for k in range(K)
+    ]
+    spark.createDataFrame(cb_rows, "m int, k int, c array<double>").write.mode(
+        "overwrite"
+    ).parquet(out_dir + "/codebook")
+    (
+        emb.select(
+            "vec_id", "label", _pq_codes_udf(cb2)("embedding").alias("codes")
+        )
+        .write.mode("overwrite")
+        .parquet(out_dir + "/codes")
+    )
+
+
+def pq_topk_from_index(spark, index_dir: str, probes: list) -> DataFrame:
+    """Serve PQ top-{10} from the persisted index: rebuild each probe's
+    ADC lookup table from the stored codebook (driver-side, ~8 KB per
+    probe) and rank the stored code relation — no float vector is read
+    anywhere.  ``probes`` is [(query_id, np.ndarray(64))]."""
+    import numpy as np
+
+    cb_rows = spark.read.parquet(index_dir + "/codebook").collect()
+    M, K, S = _PQ_M, _PQ_K, _PQ_SUB
+    cb2 = np.zeros((M, K, S))
+    for r in cb_rows:
+        cb2[int(r["m"]), int(r["k"])] = np.asarray(r["c"], dtype=np.float64)
+    q = _pq_probe_df(spark, cb2, probes)
+    codes = spark.read.parquet(index_dir + "/codes")
+    return _pq_adc_ranked(codes, q).select(
         "query_id",
         "vec_id",
         "label",
         F.round(F.col("adc_dec"), 6).cast("double").alias("approx_distance"),
         "rank",
-        (F.col("erank") <= _TOPK).alias("in_exact_topk"),
     )

@@ -271,3 +271,34 @@ def test_novelty_curve_properties(spark):
         assert 0 < r["n_novel"] <= r["n_windows"]
         assert 0 < r["novelty_rate"] <= 1.0
         assert r["n_docs"] > 0
+
+
+def test_pq_index_matches_direct(spark, tmp_path):
+    """Persisted-index PQ serving reproduces the direct query's ranked
+    ADC results bit-for-bit (the materialize-once production shape)."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from hbase_tools_spark.llm.similarity import (
+        materialize_pq_index,
+        pq_topk_from_index,
+    )
+
+    m = load_model(spark, SF_DIR)
+    out = str(tmp_path / "pq_index")
+    materialize_pq_index(m.embeddings, out)
+    probes = [
+        (int(r["vec_id"]), np.asarray(r["embedding"], dtype=np.float64))
+        for r in m.embeddings.where(F.col("vec_id") < 5)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    served = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["approx_distance"])
+        for r in pq_topk_from_index(spark, out, probes).collect()
+    }
+    direct = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["approx_distance"])
+        for r in _run(spark, "embedding_pq_topk")
+    }
+    assert served == direct
