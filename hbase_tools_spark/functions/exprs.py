@@ -7,8 +7,6 @@ bit (see model.py float-safety rules).
 
 from __future__ import annotations
 
-import pandas as pd  # module-level: pandas_udf resolves hints via globals
-
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -98,6 +96,13 @@ _LIBM_UDFS: dict = {}
 def _libm(name: str):
     if name not in _LIBM_UDFS:
         import math
+
+        import pandas as pd
+
+        # pandas_udf resolves the 'pd.Series' hints via this module's
+        # globals; inject lazily so importing the package (every CLI
+        # tool) doesn't pay the pandas import when no libm UDF runs.
+        globals()["pd"] = pd
 
         @F.pandas_udf("double")
         def pln(x: pd.Series) -> pd.Series:

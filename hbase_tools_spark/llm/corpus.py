@@ -701,18 +701,13 @@ def docs_ccnet_perplexity(m: Model) -> DataFrame:
         return lnr_ab, lnr_a, math.log(1.0 / float(vv))
 
     lnr_ab_rows, lnr_a_rows, lnr_v = sf_cached(m.sf_dir, "ppl_lm", _train_lm)
-    lnr_ab = sf_cached(
-        m.sf_dir,
-        "ppl_lm_df_ab",
-        lambda: m.spark.createDataFrame(
-            lnr_ab_rows, "a string, b string, lnr_ab double"
-        ),
+    # memoize ONLY plain rows (a DataFrame is bound to its session and
+    # would dangle after a restart); the createDataFrame of a few
+    # thousand literals per call is cheap.
+    lnr_ab = m.spark.createDataFrame(
+        lnr_ab_rows, "a string, b string, lnr_ab double"
     )
-    lnr_a = sf_cached(
-        m.sf_dir,
-        "ppl_lm_df_a",
-        lambda: m.spark.createDataFrame(lnr_a_rows, "a string, lnr_a double"),
-    )
+    lnr_a = m.spark.createDataFrame(lnr_a_rows, "a string, lnr_a double")
     cand = (
         bigrams(base.where(F.col("source") != _PPL_TARGET))
         .groupBy("doc_id", "lang", "a", "b")

@@ -49,6 +49,40 @@ _CONTAM_BENCH = "src0"  # fixture source treated as the held-out benchmark
 _CONTAM_T = 0.5         # shared-shingle ratio above which a doc is flagged
 
 
+def _contam_shingles_of(text: str):
+    """Distinct word {_CONTAM_SHINGLE}-grams of one text in first-seen
+    order (dict.fromkeys), or None when too short — the ONE shingle
+    definition shared by the whole contamination family (exact screen,
+    Bloom screen, audit funnel)."""
+    toks = text.split(" ")
+    if len(toks) < _CONTAM_SHINGLE:
+        return None
+    return dict.fromkeys(
+        " ".join(toks[i : i + _CONTAM_SHINGLE])
+        for i in range(len(toks) - _CONTAM_SHINGLE + 1)
+    )
+
+
+def _bench_shingle_set(m: Model) -> frozenset:
+    """The benchmark source's distinct shingle set, memoized per
+    fixture dir (a static dim; see functions/memo.py) — the single
+    builder behind the shared 'contam_bench_set' cache key, so the
+    three consumers cannot drift apart."""
+    from ..functions.memo import sf_cached
+
+    return sf_cached(
+        m.sf_dir,
+        "contam_bench_set",
+        lambda: frozenset(
+            sh
+            for r in m.documents.where(F.col("source") == _CONTAM_BENCH)
+            .select("text")
+            .collect()
+            for sh in (_contam_shingles_of(r["text"]) or ())
+        ),
+    )
+
+
 def _doc_hash() -> Column:
     return F.md5(F.col("doc_id").cast("string").cast("binary"))
 
@@ -219,29 +253,8 @@ def ngram_contamination(m: Model) -> DataFrame:
     bucket-join form (see ``minhash_band_pairs``) is the fallback."""
     import pandas as pd
 
-    width = _CONTAM_SHINGLE
-
-    def shingles_of(text: str):
-        toks = text.split(" ")
-        if len(toks) < width:
-            return None
-        return dict.fromkeys(
-            " ".join(toks[i : i + width]) for i in range(len(toks) - width + 1)
-        )
-
-    from ..functions.memo import sf_cached
-
-    bench_set = sf_cached(
-        m.sf_dir,
-        "contam_bench_set",
-        lambda: frozenset(
-            sh
-            for r in m.documents.where(F.col("source") == _CONTAM_BENCH)
-            .select("text")
-            .collect()
-            for sh in (shingles_of(r["text"]) or ())
-        ),
-    )
+    shingles_of = _contam_shingles_of
+    bench_set = _bench_shingle_set(m)
 
     @F.pandas_udf("n_shingles: bigint, n_shared: bigint")
     def probe(texts: pd.Series) -> pd.DataFrame:
@@ -916,15 +929,8 @@ def bloom_contamination(m: Model) -> DataFrame:
 
     import pandas as pd
 
-    width, M, K = _CONTAM_SHINGLE, _BLOOM_M, _BLOOM_K
-
-    def shingles_of(text: str):
-        toks = text.split(" ")
-        if len(toks) < width:
-            return None
-        return dict.fromkeys(
-            " ".join(toks[i : i + width]) for i in range(len(toks) - width + 1)
-        )
+    M, K = _BLOOM_M, _BLOOM_K
+    shingles_of = _contam_shingles_of
 
     def positions(sh: str):
         # One md5 per shingle: the K bit positions are disjoint 8-hex
@@ -934,17 +940,7 @@ def bloom_contamination(m: Model) -> DataFrame:
 
     from ..functions.memo import sf_cached
 
-    bench_set = sf_cached(
-        m.sf_dir,
-        "contam_bench_set",
-        lambda: frozenset(
-            sh
-            for r in m.documents.where(F.col("source") == _CONTAM_BENCH)
-            .select("text")
-            .collect()
-            for sh in (shingles_of(r["text"]) or ())
-        ),
-    )
+    bench_set = _bench_shingle_set(m)
     bloom_bits = sf_cached(
         m.sf_dir,
         "contam_bloom_bits",
@@ -1113,29 +1109,8 @@ def training_set_funnel(m: Model) -> DataFrame:
     hash)."""
     import pandas as pd
 
-    width = _CONTAM_SHINGLE
-
-    def shingles_of(text: str):
-        toks = text.split(" ")
-        if len(toks) < width:
-            return None
-        return dict.fromkeys(
-            " ".join(toks[i : i + width]) for i in range(len(toks) - width + 1)
-        )
-
-    from ..functions.memo import sf_cached
-
-    bench_set = sf_cached(
-        m.sf_dir,
-        "contam_bench_set",
-        lambda: frozenset(
-            sh
-            for r in m.documents.where(F.col("source") == _CONTAM_BENCH)
-            .select("text")
-            .collect()
-            for sh in (shingles_of(r["text"]) or ())
-        ),
-    )
+    shingles_of = _contam_shingles_of
+    bench_set = _bench_shingle_set(m)
 
     @F.pandas_udf("boolean")
     def contaminated(texts: pd.Series) -> pd.Series:

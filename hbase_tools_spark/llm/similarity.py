@@ -1090,10 +1090,13 @@ def _pq_train(emb: DataFrame, seed_vecs: dict) -> "np.ndarray":
     import numpy as np
 
     M, K, S = _PQ_M, _PQ_K, _PQ_SUB
-    cb = np.stack(
-        [seed_vecs[vid].reshape(M, S) for vid in _PQ_INIT_IDS if vid in seed_vecs],
-        axis=1,
-    )
+    missing = [vid for vid in _PQ_INIT_IDS if vid not in seed_vecs]
+    if missing:  # a K' < K codebook would break the fixed-K ADC stride
+        raise ValueError(
+            f"PQ seed vectors missing from corpus: {missing}; "
+            "re-seed _PQ_INIT_IDS for this dataset"
+        )
+    cb = np.stack([seed_vecs[vid].reshape(M, S) for vid in _PQ_INIT_IDS], axis=1)
     totals = (
         emb.select(_pq_codes_udf(cb)("embedding").alias("codes"), "embedding")
         .select("codes", F.posexplode("embedding").alias("dim0", "v"))

@@ -280,12 +280,14 @@ SELECT event_type, k_bucket,
          AS total_value
 FROM (
   SELECT event_type, value,
-         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
-         CAST(json_extract_string(props, '$.k') AS BIGINT) % {_PROPS_BUCKETS}
-           AS k_bucket
+         CAST(floor(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE))
+              AS BIGINT) AS k,
+         CAST(floor(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE))
+              AS BIGINT) % {_PROPS_BUCKETS} AS k_bucket,
+         TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) AS kd
   FROM events
 ) e
-WHERE k IS NOT NULL
+WHERE kd IS NOT NULL AND kd = floor(kd)
 GROUP BY event_type, k_bucket
 """,
     views=[],
@@ -304,15 +306,21 @@ def events_props_rollup(m: Model) -> DataFrame:
     The rollup grid is a few dozen groups: map-side partials collapse
     the shuffle to ~groups×partitions rows.  Null/absent keys are
     filtered explicitly (same predicate both engines)."""
-    k = F.get_json_object("props", "$.k").cast("bigint")
+    # Parse through DOUBLE + an exact-integer gate: a direct
+    # string->BIGINT cast diverges across engines on fractional values
+    # (DuckDB rounds '12.5' to 13, Spark truncates), while floor over
+    # an exact-integer double then casts identically everywhere.
+    kd = F.get_json_object("props", "$.k").cast("double")
+    k = F.floor(kd).cast("bigint")
     return (
         m.events.select(
             "event_type",
             "value",
+            kd.alias("kd"),
             k.alias("k"),
             (k % _PROPS_BUCKETS).alias("k_bucket"),
         )
-        .where(F.col("k").isNotNull())
+        .where(F.col("kd").isNotNull() & (F.col("kd") == F.floor("kd")))
         .groupBy("event_type", "k_bucket")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_events"),
