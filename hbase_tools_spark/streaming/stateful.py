@@ -89,3 +89,121 @@ def stream_membership_in(m: Model) -> DataFrame:
     return run_to_table(
         membership_changes(obs), "stream_membership_in", "append"
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming funnel (S-series depth beyond membership): per-user journey
+# stage advanced incrementally as events arrive.  The batch twin is
+# operators/funnels.events_funnel; the stateful form keeps per-user
+# per-type time arrays so the chain REPLAYS exactly under any arrival
+# order — a late-arriving early 'view' can retroactively unlock a
+# 'click' that already sits in state, which a naive min-so-far state
+# machine gets wrong.  State is bounded by per-user funnel activity
+# (three integer arrays), partitioned by user_id.
+# ---------------------------------------------------------------------------
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+FUNNEL_OUTPUT_SCHEMA = (
+    "user_id bigint, stage_reached int, t1 bigint, t2 bigint, t3 bigint"
+)
+FUNNEL_STATE_SCHEMA = (
+    "views array<bigint>, clicks array<bigint>, purchases array<bigint>"
+)
+
+
+def _advance_funnel(key, pdfs, state: GroupState):
+    """Fold the batch's events into per-type time arrays and emit the
+    user's CURRENT funnel snapshot (stage + chain times)."""
+    (user,) = key
+    views, clicks, purchases = (
+        [list(a) for a in state.get] if state.exists else ([], [], [])
+    )
+    bucket = {"view": views, "click": clicks, "purchase": purchases}
+    saw = False
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        saw = True
+        for tus, et in zip(pdf["tus"], pdf["event_type"]):
+            bucket[et].append(int(tus))
+    state.update((views, clicks, purchases))
+    if not saw:
+        return
+    t1 = min(views) if views else None
+    t2 = (
+        min((t for t in clicks if t > t1), default=None)
+        if t1 is not None
+        else None
+    )
+    t3 = (
+        min((t for t in purchases if t > t2), default=None)
+        if t2 is not None
+        else None
+    )
+    stage = 3 if t3 is not None else 2 if t2 is not None else 1 if t1 is not None else 0
+    yield pd.DataFrame(
+        {
+            "user_id": pd.array([user], dtype="Int64"),
+            "stage_reached": pd.array([stage], dtype="Int32"),
+            "t1": pd.array([t1], dtype="Int64"),
+            "t2": pd.array([t2], dtype="Int64"),
+            "t3": pd.array([t3], dtype="Int64"),
+        }
+    )
+
+
+def funnel_stages(events: DataFrame) -> DataFrame:
+    """Stateful per-user funnel over a streaming (user_id, event_type,
+    tus) relation pre-filtered to the funnel event types."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _advance_funnel,
+        outputStructType=FUNNEL_OUTPUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+@query(
+    "stream_funnel_stage",
+    oracle=f"""
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS tus FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')
+),
+s1 AS (SELECT user_id, min(tus) AS t1 FROM ev
+       WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT ev.user_id, min(ev.tus) AS t2 FROM ev JOIN s1 USING (user_id)
+       WHERE ev.event_type = 'click' AND ev.tus > s1.t1 GROUP BY ev.user_id),
+s3 AS (SELECT ev.user_id, min(ev.tus) AS t3 FROM ev JOIN s2 USING (user_id)
+       WHERE ev.event_type = 'purchase' AND ev.tus > s2.t2 GROUP BY ev.user_id)
+SELECT u.user_id,
+       CAST(CASE WHEN s3.t3 IS NOT NULL THEN 3
+                 WHEN s2.t2 IS NOT NULL THEN 2
+                 WHEN s1.t1 IS NOT NULL THEN 1
+                 ELSE 0 END AS INT) AS stage_reached,
+       s1.t1, s2.t2, s3.t3
+FROM (SELECT DISTINCT user_id FROM ev) u
+LEFT JOIN s1 USING (user_id)
+LEFT JOIN s2 USING (user_id)
+LEFT JOIN s3 USING (user_id)
+""",
+    views=[],
+)
+def stream_funnel_stage(m: Model) -> DataFrame:
+    """Streaming funnel snapshot: per user the furthest
+    view→click→purchase stage reached with the chain timestamps,
+    maintained by the stateful operator as events arrive.  Out-of-order
+    safe by construction (state keeps the per-type time arrays and
+    re-derives the chain each batch); with one AvailableNow batch the
+    drain equals the batch funnel semantics, so the result is
+    oracle-checkable.  Multi-batch/late-arrival behavior is pinned in
+    tests/test_streaming.py."""
+    from .jobs import events_stream, run_to_table
+
+    ev = (
+        events_stream(m.spark, m.sf_dir)
+        .where(F.col("event_type").isin(*FUNNEL_STAGES))
+        .select("user_id", "event_type", F.unix_micros("ts").alias("tus"))
+    )
+    return run_to_table(funnel_stages(ev), "stream_funnel_stage", "append")

@@ -617,3 +617,61 @@ def test_compact_pairs_log(spark, tmp_path):
     assert all(r["batch_id"] == 0 for r in got), "earliest batch_id kept"
     compact_pairs_log(spark, pairs_dir, through_batch=1)  # idempotent no-op
     assert len(spark.read.parquet(pairs_dir).collect()) == len(keys)
+
+
+def test_funnel_stateful_late_arrival(spark, tmp_path):
+    """Streaming funnel: a late-arriving early 'view' retroactively
+    unlocks a click/purchase chain already sitting in state — the
+    per-type-array state re-derives the chain, where a min-so-far
+    state machine would stay stuck at stage 0."""
+    import os
+    import time as _time
+
+    from hbase_tools_spark.streaming.stateful import funnel_stages
+
+    src = str(tmp_path / "fev")
+    os.makedirs(src)
+    # batch 1: user 1 clicks then purchases (no view yet -> stage 0);
+    #          user 2 views only (stage 1).
+    b1 = [(1, "click", 200), (1, "purchase", 300), (2, "view", 150)]
+    # batch 2: user 1's EARLIER view arrives late (unlocks 3);
+    #          user 2 clicks BEFORE their view (stays stage 1).
+    b2 = [(1, "view", 100), (2, "click", 120)]
+    f1, f2 = os.path.join(src, "b1.parquet"), os.path.join(src, "b2.parquet")
+    schema = "user_id bigint, event_type string, tus bigint"
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(f1)
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(f2)
+    now = _time.time()
+    for i, f in enumerate((f1, f2)):
+        for root, _, files in os.walk(f):
+            for name in files:
+                os.utime(os.path.join(root, name), (now + i * 10, now + i * 10))
+        os.utime(f, (now + i * 10, now + i * 10))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*.parquet")
+    )
+    q = (
+        funnel_stages(stream)
+        .writeStream.format("memory")
+        .queryName("funnel_snapshots")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(batches) == 2, "expected one micro-batch per file"
+    rows = spark.table("funnel_snapshots").collect()
+    # snapshots per (user, emission); the LAST emission is the final state
+    final = {}
+    for r in rows:
+        final[r["user_id"]] = r  # memory sink appends in batch order
+    u1, u2 = final[1], final[2]
+    assert (u1["stage_reached"], u1["t1"], u1["t2"], u1["t3"]) == (3, 100, 200, 300)
+    assert (u2["stage_reached"], u2["t1"], u2["t2"]) == (1, 150, None)
+    # batch-1 snapshot for user 1 must have been stage 0 (no view yet)
+    stages_u1 = [r["stage_reached"] for r in rows if r["user_id"] == 1]
+    assert stages_u1[0] == 0 and stages_u1[-1] == 3
