@@ -78,7 +78,7 @@ TOOL_QUERIES: dict[str, list[str]] = {
     "llm_embed": [
         "embedding_topk", "embedding_ivf_kmeans_topk",
         "embedding_neardup_pairs", "embedding_int8_topk",
-        "embedding_pq_topk",
+        "embedding_pq_topk", "embedding_ivfpq_topk",
     ],
     "llm_multimodal": [
         "multimodal_decode_headers", "multimodal_features",

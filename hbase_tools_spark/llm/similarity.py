@@ -1321,3 +1321,274 @@ def pq_topk_from_index(spark, index_dir: str, probes: list) -> DataFrame:
         F.round(F.col("adc_dec"), 6).cast("double").alias("approx_distance"),
         "rank",
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF+PQ composed search — the canonical billion-scale ANN layout
+# (Jégou et al. 2011, the FAISS IVFPQ structure): a coarse quantizer
+# routes each vector to a cell, and a product quantizer encodes the
+# RESIDUAL (v − centroid) — residuals concentrate near zero, so the
+# same 4-bit-per-subspace budget spends its resolution where the data
+# actually is.  Search probes nprobe cells and ranks by ADC over the
+# residual codes with a per-(query, cell) lookup table ((q − c) is
+# cell-dependent).  Everything deterministic: the label-centroid
+# coarse quantizer and cosine cell routing of embedding_ivf_topk, the
+# literal-seed one-Lloyd-iteration PQ of embedding_pq_topk — so the
+# oracle replays cells, residuals, codebook, codes, and ranking.
+# ---------------------------------------------------------------------------
+
+
+def _ivfpq_oracle() -> str:
+    init_vals = ",".join(f"({k}, {vid})" for k, vid in enumerate(_PQ_INIT_IDS))
+    S, M, K = _PQ_SUB, _PQ_M, _PQ_K
+    rd = (
+        "list_sum(list_transform(range(1, {s} + 1), i -> "
+        "({r}[{m}*{s}+i] - {c}[i]) * ({r}[{m}*{s}+i] - {c}[i])))"
+    )
+    d0 = rd.format(s=S, r="res.r", m="cb.m", c="cb.c")
+    return f"""
+WITH cent AS (
+  SELECT label, list(CAST(s AS DOUBLE) / n ORDER BY dim) AS c
+  FROM (
+    SELECT label, dim,
+           sum(CAST(embedding[dim] AS DECIMAL(20,9))) AS s,
+           count(*) AS n
+    FROM embeddings
+    CROSS JOIN (SELECT unnest(range(1, 65)) AS dim)
+    GROUP BY label, dim
+  ) d GROUP BY label
+),
+assign AS (
+  SELECT vec_id, embedding, label AS cell
+  FROM (
+    SELECT e.vec_id, e.embedding, c.label,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_DOTVC_SQL.format(a='e.embedding', b='c.c')}
+                      / ({_NORM_SQL.format(a='e.embedding')} * {_NORMDD_SQL.format(a='c.c')})
+                      DESC, c.label
+           ) AS rnk
+    FROM embeddings e CROSS JOIN cent c
+  ) t WHERE rnk = 1
+),
+res AS (
+  SELECT a.vec_id, a.cell,
+         list_transform(range(1, 65),
+                        i -> CAST(a.embedding[i] AS DOUBLE) - c.c[i]) AS r
+  FROM assign a JOIN cent c ON c.label = a.cell
+),
+init AS (
+  SELECT mm.m, v.k,
+         list_transform(range(1, {S} + 1),
+                        i -> res.r[mm.m * {S} + i]) AS c
+  FROM (VALUES {init_vals}) v(k, vid)
+  JOIN res ON res.vec_id = v.vid
+  CROSS JOIN range({M}) mm(m)
+),
+a0 AS (
+  SELECT vec_id, r, m, k FROM (
+    SELECT res.vec_id, res.r, cb.m, cb.k,
+           row_number() OVER (
+             PARTITION BY res.vec_id, cb.m ORDER BY {d0.replace('cb.c', 'cb.c')}, cb.k
+           ) AS rnk
+    FROM res CROSS JOIN init cb
+  ) t WHERE rnk = 1
+),
+cb AS (
+  SELECT m, k, list(CAST(s AS DOUBLE) / n ORDER BY sd) AS c
+  FROM (
+    SELECT a0.m, a0.k, sd.sd,
+           sum(CAST(a0.r[a0.m * {S} + sd.sd] AS DECIMAL(20,9))) AS s,
+           count(*) AS n
+    FROM a0 CROSS JOIN range(1, {S} + 1) sd(sd)
+    GROUP BY a0.m, a0.k, sd.sd
+  ) d GROUP BY m, k
+),
+codes AS (
+  SELECT vec_id, cell, m, k FROM (
+    SELECT res.vec_id, res.cell, cb.m, cb.k,
+           row_number() OVER (
+             PARTITION BY res.vec_id, cb.m ORDER BY {d0}, cb.k
+           ) AS rnk
+    FROM res CROSS JOIN cb
+  ) t WHERE rnk = 1
+),
+probe_cells AS (
+  SELECT vec_id AS query_id, embedding AS qe, label AS cell
+  FROM (
+    SELECT e.vec_id, e.embedding, c.label,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_DOTVC_SQL.format(a='e.embedding', b='c.c')}
+                      / ({_NORM_SQL.format(a='e.embedding')} * {_NORMDD_SQL.format(a='c.c')})
+                      DESC, c.label
+           ) AS rnk
+    FROM (SELECT * FROM embeddings WHERE vec_id < {_NQUERIES}) e
+    CROSS JOIN cent c
+  ) t WHERE rnk <= {_NPROBE}
+),
+qres AS (
+  SELECT p.query_id, p.cell,
+         list_transform(range(1, 65),
+                        i -> CAST(p.qe[i] AS DOUBLE) - c.c[i]) AS qr
+  FROM probe_cells p JOIN cent c ON c.label = p.cell
+),
+adc AS (
+  SELECT qres.query_id, codes.vec_id, codes.cell,
+         sum(CAST({rd.format(s=S, r='qres.qr', m='cb.m', c='cb.c')}
+                  AS DECIMAL(28,12))) AS adc_dec
+  FROM codes
+  JOIN qres ON qres.cell = codes.cell AND qres.query_id <> codes.vec_id
+  JOIN cb ON cb.m = codes.m AND cb.k = codes.k
+  GROUP BY qres.query_id, codes.vec_id, codes.cell
+)
+SELECT query_id, vec_id, CAST(cell AS INT) AS cell,
+       CAST(round(adc_dec, 6) AS DOUBLE) AS approx_distance,
+       rank
+FROM (
+  SELECT query_id, vec_id, cell,
+         adc_dec,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY adc_dec, vec_id
+         ) AS rank
+  FROM adc
+) t
+WHERE rank <= {_TOPK}
+"""
+
+
+@query("embedding_ivfpq_topk", oracle=_ivfpq_oracle(), views=[])
+def embedding_ivfpq_topk(m: Model) -> DataFrame:
+    """IVF+PQ top-{10}: cosine-routed coarse cells (the label-centroid
+    quantizer of ``embedding_ivf_topk``) with a {8}x{16} product
+    quantizer over the RESIDUALS, searched by per-(query, cell) ADC
+    lookup tables over the {2} probed cells — the FAISS-IVFPQ layout
+    that serves billion-vector corpora.
+
+    Scale story: this is the complete production index — inverted
+    lists partitioned by cell (search touches ~N·nprobe/C code rows),
+    4 B/vector codes, a centroid relation + ~8 KB of codebook
+    broadcast anywhere, and per-query driver work of nprobe lookup
+    tables.  Training remains one coarse pass (exact-decimal label
+    centroids) + one residual Lloyd iteration (the C·dim and M·K·{8}
+    driver collects are corpus-size-invariant).  All driver-side float
+    math replays the oracle bit-for-bit: residuals are IEEE
+    subtractions of engine-authoritative centroid doubles, numpy
+    assignment folds sequentially like list_sum, and ADC terms
+    quantize DECIMAL(28,12) before the exact sum."""
+    import numpy as np
+
+    from ..functions.memo import sf_cached
+
+    emb = m.embeddings
+    # coarse quantizer + probes (one driver collect each, C rows / 5 rows)
+    cent_rows = [
+        (int(r["label"]), list(r["c"])) for r in _label_centroids(emb).collect()
+    ]
+    cell_ids, cmat, cnorm = _quantizer(cent_rows)
+    cell_row = {cid: i for i, cid in enumerate(cell_ids)}
+
+    need = sorted(set(_PQ_INIT_IDS) | set(range(_NQUERIES)))
+    vecs = sf_cached(
+        m.sf_dir,
+        "pq_seed_probe_vectors",
+        lambda: {
+            int(r["vec_id"]): np.asarray(r["embedding"], dtype=np.float64)
+            for r in emb.filter(F.col("vec_id").isin(need))
+            .select("vec_id", "embedding")
+            .collect()
+        },
+    )
+
+    def _assign_residual_udf():
+        import pandas as pd
+
+        @F.pandas_udf("struct<cell:int, r:array<double>>")
+        def assign_res(embedding: pd.Series) -> pd.DataFrame:
+            ed = np.stack(embedding.values).astype(np.float64)
+            cells, _ = _nearest_cells(ed, cell_ids, cmat, cnorm, 1)
+            rows = np.array([cell_row[c] for c in cells[:, 0]])
+            res = ed - cmat[rows]
+            return pd.DataFrame(
+                {"cell": cells[:, 0], "r": list(res)}
+            )
+
+        return assign_res
+
+    res = emb.select(
+        "vec_id", _assign_residual_udf()("embedding").alias("ar")
+    ).select("vec_id", "ar.cell", F.col("ar.r").alias("embedding"))
+
+    # PQ seed residuals, computed identically on the driver
+    def _residual_of(v: np.ndarray) -> np.ndarray:
+        cells, _ = _nearest_cells(v[None, :], cell_ids, cmat, cnorm, 1)
+        return v - cmat[cell_row[cells[0, 0]]]
+
+    seed_res = {vid: _residual_of(vecs[vid]) for vid in _PQ_INIT_IDS if vid in vecs}
+    cb2 = _pq_train(res, seed_res)
+
+    codes = res.select(
+        "vec_id", "cell", _pq_codes_udf(cb2)("embedding").alias("codes")
+    )
+
+    # per-(query, probed cell) residual lookup tables
+    probes = []
+    for qid in range(_NQUERIES):
+        if qid not in vecs:
+            continue
+        qv = vecs[qid]
+        qcells, _ = _nearest_cells(qv[None, :], cell_ids, cmat, cnorm, _NPROBE)
+        for c in qcells[0]:
+            probes.append((qid, int(c), qv - cmat[cell_row[int(c)]]))
+    from decimal import ROUND_HALF_UP, Decimal
+
+    S, M, K = _PQ_SUB, _PQ_M, _PQ_K
+    q12 = Decimal("1e-12")
+
+    def lut_of(qr: np.ndarray) -> list:
+        qs = qr.reshape(M, S)
+        out = []
+        for mm in range(M):
+            for k in range(K):
+                acc = 0.0
+                for i in range(S):
+                    dlt = qs[mm, i] - cb2[mm, k, i]
+                    acc += dlt * dlt
+                out.append(Decimal(acc).quantize(q12, ROUND_HALF_UP))
+        return out
+
+    q = m.spark.createDataFrame(
+        [(qid, c, lut_of(qr)) for qid, c, qr in probes],
+        "query_id int, cell int, lut array<decimal(28,12)>",
+    )
+    adc_dec = F.aggregate(
+        F.sequence(F.lit(0), F.lit(M - 1)),
+        F.lit(Decimal(0)).cast("decimal(28,12)"),
+        lambda acc, mm: (
+            acc
+            + F.element_at(
+                F.col("lut"), mm * K + F.element_at(F.col("codes"), mm + 1) + 1
+            )
+        ).cast("decimal(28,12)"),
+    )
+    w = Window.partitionBy("query_id")
+    return (
+        codes.join(F.broadcast(q), "cell")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id", "vec_id", F.col("cell").cast("int").alias("cell"),
+            adc_dec.alias("adc_dec"),
+        )
+        .withColumn(
+            "rank",
+            F.row_number().over(w.orderBy(F.asc("adc_dec"), F.asc("vec_id"))),
+        )
+        .filter(F.col("rank") <= _TOPK)
+        .select(
+            "query_id",
+            "vec_id",
+            "cell",
+            F.round(F.col("adc_dec"), 6).cast("double").alias("approx_distance"),
+            "rank",
+        )
+    )

@@ -302,3 +302,21 @@ def test_pq_index_matches_direct(spark, tmp_path):
         for r in _run(spark, "embedding_pq_topk")
     }
     assert served == direct
+
+
+def test_ivfpq_topk_properties(spark):
+    """Per query exactly 10 ranked results drawn only from the probed
+    cells, ADC distances nonnegative and rank-sorted, and the result
+    set overlaps the flat-PQ search (same code-budget family)."""
+    rows = _run(spark, "embedding_ivfpq_topk")
+    per_q = defaultdict(list)
+    for r in rows:
+        per_q[r["query_id"]].append(r)
+    assert set(per_q) == {0, 1, 2, 3, 4}
+    for q, rs in per_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, 11))
+        ds = [r["approx_distance"] for r in rs]
+        assert all(d >= 0 for d in ds) and ds == sorted(ds)
+        cells = {r["cell"] for r in rs}
+        assert len(cells) <= 2  # nprobe bound
