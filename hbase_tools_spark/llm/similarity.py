@@ -1592,3 +1592,145 @@ def embedding_ivfpq_topk(m: Model) -> DataFrame:
             "rank",
         )
     )
+
+
+def materialize_ivfpq_index(emb: DataFrame, out_dir: str) -> None:
+    """Persist the composed IVF+PQ index: centroid relation, residual
+    PQ codebook, and per-vector (cell, codes) PARTITIONED BY cell —
+    the full billion-scale serving layout (a probe reads nprobe cell
+    partitions of 4 B/vector codes; floats never leave training).
+    Training replays ``embedding_ivfpq_topk``'s exact trajectory, so
+    index serving reproduces the direct search bit-for-bit."""
+    import numpy as np
+
+    spark = emb.sparkSession
+    cent = _label_centroids(emb)
+    cent_rows = [(int(r["label"]), list(r["c"])) for r in cent.collect()]
+    cell_ids, cmat, cnorm = _quantizer(cent_rows)
+    cell_row = {cid: i for i, cid in enumerate(cell_ids)}
+
+    import pandas as pd
+
+    @F.pandas_udf("struct<cell:int, r:array<double>>")
+    def assign_res(embedding: pd.Series) -> pd.DataFrame:
+        ed = np.stack(embedding.values).astype(np.float64)
+        cells, _ = _nearest_cells(ed, cell_ids, cmat, cnorm, 1)
+        rows = np.array([cell_row[c] for c in cells[:, 0]])
+        return pd.DataFrame({"cell": cells[:, 0], "r": list(ed - cmat[rows])})
+
+    res = emb.select("vec_id", assign_res("embedding").alias("ar")).select(
+        "vec_id", "ar.cell", F.col("ar.r").alias("embedding")
+    )
+    seed_vecs = {
+        int(r["vec_id"]): np.asarray(r["embedding"], dtype=np.float64)
+        for r in emb.filter(F.col("vec_id").isin(_PQ_INIT_IDS))
+        .select("vec_id", "embedding")
+        .collect()
+    }
+
+    def _residual_of(v: np.ndarray) -> np.ndarray:
+        cells, _ = _nearest_cells(v[None, :], cell_ids, cmat, cnorm, 1)
+        return v - cmat[cell_row[cells[0, 0]]]
+
+    seed_res = {vid: _residual_of(v) for vid, v in seed_vecs.items()}
+    cb2 = _pq_train(res, seed_res)
+    M, K, S = _PQ_M, _PQ_K, _PQ_SUB
+    cent.select(F.col("label").alias("cell"), "c").write.mode("overwrite").parquet(
+        out_dir + "/centroids"
+    )
+    spark.createDataFrame(
+        [
+            (mm, k, [float(cb2[mm, k, i]) for i in range(S)])
+            for mm in range(M)
+            for k in range(K)
+        ],
+        "m int, k int, c array<double>",
+    ).write.mode("overwrite").parquet(out_dir + "/codebook")
+    (
+        res.select("vec_id", "cell", _pq_codes_udf(cb2)("embedding").alias("codes"))
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(out_dir + "/codes")
+    )
+
+
+def ivfpq_topk_from_index(spark, index_dir: str, probes: list) -> DataFrame:
+    """Serve composed IVF+PQ top-{10} from the persisted index: route
+    each probe to its nprobe cells against the stored centroids, build
+    the per-(query, cell) residual ADC tables driver-side, and rank
+    ONLY the probed cells' code partitions (partition-pruned read).
+    ``probes`` is [(query_id, np.ndarray(64))]."""
+    import numpy as np
+    from decimal import ROUND_HALF_UP, Decimal
+
+    cent_rows = [
+        (int(r["cell"]), list(r["c"]))
+        for r in spark.read.parquet(index_dir + "/centroids").collect()
+    ]
+    cell_ids, cmat, cnorm = _quantizer(cent_rows)
+    cell_row = {cid: i for i, cid in enumerate(cell_ids)}
+    M, K, S = _PQ_M, _PQ_K, _PQ_SUB
+    cb2 = np.zeros((M, K, S))
+    for r in spark.read.parquet(index_dir + "/codebook").collect():
+        cb2[int(r["m"]), int(r["k"])] = np.asarray(r["c"], dtype=np.float64)
+    q12 = Decimal("1e-12")
+
+    def lut_of(qr: np.ndarray) -> list:
+        qs = qr.reshape(M, S)
+        out = []
+        for mm in range(M):
+            for k in range(K):
+                acc = 0.0
+                for i in range(S):
+                    dlt = qs[mm, i] - cb2[mm, k, i]
+                    acc += dlt * dlt
+                out.append(Decimal(acc).quantize(q12, ROUND_HALF_UP))
+        return out
+
+    rows = []
+    for qid, qv in probes:
+        qcells, _ = _nearest_cells(qv[None, :], cell_ids, cmat, cnorm, _NPROBE)
+        for c in qcells[0]:
+            rows.append((qid, int(c), lut_of(qv - cmat[cell_row[int(c)]])))
+    q = spark.createDataFrame(
+        rows, "query_id int, cell int, lut array<decimal(28,12)>"
+    )
+    # The probed cells are driver-known, so the cell filter is STATIC —
+    # it reaches the scan as a PartitionFilter and only the nprobe cell
+    # partitions are listed/read (asserted in tests; dynamic partition
+    # pruning does not fire for a local broadcast relation).
+    probed = sorted({c for _, c, _ in rows})
+    codes = spark.read.parquet(index_dir + "/codes").where(
+        F.col("cell").isin(probed)
+    )
+    adc_dec = F.aggregate(
+        F.sequence(F.lit(0), F.lit(M - 1)),
+        F.lit(Decimal(0)).cast("decimal(28,12)"),
+        lambda acc, mm: (
+            acc
+            + F.element_at(
+                F.col("lut"), mm * K + F.element_at(F.col("codes"), mm + 1) + 1
+            )
+        ).cast("decimal(28,12)"),
+    )
+    w = Window.partitionBy("query_id")
+    return (
+        codes.join(F.broadcast(q), "cell")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id", "vec_id", F.col("cell").cast("int").alias("cell"),
+            adc_dec.alias("adc_dec"),
+        )
+        .withColumn(
+            "rank",
+            F.row_number().over(w.orderBy(F.asc("adc_dec"), F.asc("vec_id"))),
+        )
+        .filter(F.col("rank") <= _TOPK)
+        .select(
+            "query_id",
+            "vec_id",
+            "cell",
+            F.round(F.col("adc_dec"), 6).cast("double").alias("approx_distance"),
+            "rank",
+        )
+    )

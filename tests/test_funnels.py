@@ -320,3 +320,44 @@ def test_ivfpq_topk_properties(spark):
         assert all(d >= 0 for d in ds) and ds == sorted(ds)
         cells = {r["cell"] for r in rs}
         assert len(cells) <= 2  # nprobe bound
+
+
+def test_ivfpq_index_matches_direct(spark, tmp_path):
+    """Persisted composed-index serving reproduces the direct IVFPQ
+    query bit-for-bit, and the codes read is partition-pruned to the
+    probed cells."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from hbase_tools_spark.llm.similarity import (
+        ivfpq_topk_from_index,
+        materialize_ivfpq_index,
+    )
+
+    m = load_model(spark, SF_DIR)
+    out = str(tmp_path / "ivfpq_index")
+    materialize_ivfpq_index(m.embeddings, out)
+    probes = [
+        (int(r["vec_id"]), np.asarray(r["embedding"], dtype=np.float64))
+        for r in m.embeddings.where(F.col("vec_id") < 5)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    served_df = ivfpq_topk_from_index(spark, out, probes)
+    plan = served_df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    pf = re.findall(r"PartitionFilters: \[[^\]]*\]", plan)
+    assert pf and any("IN" in f or "in(" in f.lower() for f in pf), (
+        "probed-cell filter did not reach the codes scan as a "
+        f"static PartitionFilter: {pf}"
+    )
+    served = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["cell"], r["approx_distance"])
+        for r in served_df.collect()
+    }
+    direct = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["cell"], r["approx_distance"])
+        for r in _run(spark, "embedding_ivfpq_topk")
+    }
+    assert served == direct
