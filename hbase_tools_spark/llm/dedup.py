@@ -960,8 +960,15 @@ def corpus_novelty_curve(m: Model) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
     novel = F.sum(F.when(F.col("batch") == F.col("fb"), F.col("c")).otherwise(0))
+    # MERGE hint, deliberately: fb is corpus-proportional (one row per
+    # distinct window hash) so it must never broadcast — and a forced
+    # shuffle-hash build is unspillable (observed failing with "can't
+    # acquire 4 MB for hash relation" in a memory-tight session at 10x
+    # scale; an AQE misestimate then tried to broadcast fb and OOMed
+    # the driver).  Sort-merge spills gracefully and both sides are
+    # already reduced aggregates co-keyed on wh.
     return (
-        bc.join(fb.hint("shuffle_hash"), "wh")
+        bc.join(fb.hint("merge"), "wh")
         .groupBy("batch")
         .agg(
             F.sum("c").cast("bigint").alias("n_windows"),
