@@ -20,50 +20,52 @@ from hbase_tools_spark.registry import QUERIES
 SF0001 = "/root/testdata/sf0.001"
 
 # The driver checks at most ~50 queries per round (time/count budget),
-# in the order this module emits them.  Priority: (1) queries with NO
-# green row ever (this round's debuts) go FIRST, (2) the 39 queries
-# whose newest certificate is dated round 2 (everything NOT re-checked
-# in CORRECTNESS_r03.json — round 3 edited several of their source
-# files, and round 4 rewrote doc_winnow_fingerprints /
-# ngram_contamination / embedding_ivf_* outright), (3) the 50
-# round-3-certified queries last.
-_R2_DATED = [
-    # Ordered by re-certification urgency under the driver's ~50-query
-    # budget (debuts go even earlier): queries whose SOURCE FILES the
-    # late-round-4 session edited first — similarity.py (int8/PQ memo +
-    # probe collects), pipeline.py (Bloom/memo/spread), dedup.py
-    # (novelty additions), corpus.py (LM/libm refactor) — then the
-    # streaming set, then rarely-touched planner/topology queries last:
-    # if the budget cuts the tail, it cuts the queries least likely to
-    # have moved.
-    "embedding_topk", "embedding_lsh_topk", "embedding_neardup_pairs",
-    "embedding_ivf_topk", "ngram_contamination",
-    "minhash_band_pairs", "ngram_jaccard_pairs", "neardup_clusters",
-    "neardup_clusters_converged", "docs_split_assign",
-    "docs_stratified_sample", "docs_repetition_ratio", "lsh_band_sweep",
-    "doc_winnow_fingerprints", "docs_exact_dedup",
-    "docs_prefix_dedup", "docs_dedup_canonical", "simhash_fingerprints",
-    "doc_fingerprints", "text_stats", "lang_id_heuristic",
-    "docs_quality_filter", "token_count_hist", "corpus_stats_by_lang",
+# in the order this module emits them.  Round-5 priority (VERDICT r4
+# task 2: "zero certificates older than r4"):
+#   (1) the 18 queries whose newest green row is r1/r2-dated,
+#   (2) queries with NO green row ever (this round's debuts),
+#   (3) queries whose source files this round edits (re-certify the
+#       round-5 rewrites: CCNet LM join, PQ/IVF Lloyd fusion, DSIR
+#       collapse, JVM Bloom probe, novelty keying),
+#   (4) the 50 r3-dated certificates,
+#   (5) the 50 r4-dated certificates (freshest) last.
+_STALE_R1R2 = [
+    # The 7 r1-dated first, then the 11 r2-dated (streaming set, the
+    # two multipass planners, three corpus-stat queries).
+    "pricing_summary", "topology_asof", "topology_parse",
+    "topology_retention", "upsert_dedup", "mutation_replay_counts",
+    "events_asof_assignment",
     "stream_tumbling_counts", "stream_sliding_counts",
     "stream_session_stats", "stream_dedup_keys",
     "stream_enriched_server_load", "stream_membership_in",
-    "merge_plan_multipass", "split_plan_multipass", "upsert_dedup",
-    "mutation_replay_counts", "events_asof_assignment",
-    "topology_asof", "topology_parse", "topology_retention",
-    "pricing_summary",
+    "merge_plan_multipass", "split_plan_multipass",
+    "docs_quality_filter", "token_count_hist", "corpus_stats_by_lang",
+]
+
+# Queries whose implementation files round 5 rewrites — their r4
+# certificates describe the OLD code, so they re-queue right after the
+# stale set and the debuts.
+_R5_EDITED = [
+    "docs_ccnet_perplexity", "embedding_pq_topk",
+    "embedding_ivf_kmeans_topk", "embedding_ivfpq_topk",
+    "docs_dsir_weights", "bloom_contamination", "ngram_contamination",
+    "corpus_novelty_curve", "stream_funnel_stage",
 ]
 
 
 def _ordered_names() -> list[str]:
-    stale = [n for n in _R2_DATED if n in QUERIES]
-    new = [n for n in QUERIES if n not in stale and n not in _R3_VERIFIED]
-    rest = [n for n in QUERIES if n in _R3_VERIFIED and n not in stale]
-    return new + stale + rest
+    stale = [n for n in _STALE_R1R2 if n in QUERIES]
+    certified = set(_STALE_R1R2) | _R3_VERIFIED | _R4_VERIFIED
+    debuts = [n for n in QUERIES if n not in certified]
+    edited = [n for n in _R5_EDITED if n in QUERIES and n not in debuts]
+    head = stale + debuts + edited
+    seen = set(head)
+    r3 = [n for n in QUERIES if n in _R3_VERIFIED and n not in seen]
+    r4 = [n for n in QUERIES if n in _R4_VERIFIED and n not in seen]
+    return head + r3 + r4
 
 
-# Green rows dated r3 (CORRECTNESS_r03.json) — freshest certificates,
-# so they queue last.
+# Green rows dated r3 (CORRECTNESS_r03.json).
 _R3_VERIFIED = frozenset(
     {
         "events_salted_rollup", "lsh_bucket_stats", "multimodal_features",
@@ -87,6 +89,33 @@ _R3_VERIFIED = frozenset(
         "report_biggest_regions", "report_biggest_rollup",
         "report_compaction_queues", "report_locality",
         "report_complex_rollup", "report_partial_top15", "topology_diff",
+    }
+)
+
+# Green rows dated r4 (CORRECTNESS_r04.json) — freshest certificates,
+# so they queue last.
+_R4_VERIFIED = frozenset(
+    {
+        "bloom_contamination", "corpus_mixture_weights",
+        "corpus_novelty_curve", "doc_fingerprints",
+        "doc_winnow_fingerprints", "docs_ccnet_perplexity",
+        "docs_char_entropy", "docs_chunk_spans", "docs_dedup_canonical",
+        "docs_dsir_weights", "docs_exact_dedup", "docs_neardup_survivors",
+        "docs_pack_bins", "docs_prefix_dedup", "docs_repetition_ratio",
+        "docs_split_assign", "docs_stratified_sample", "docs_window_dedup",
+        "embedding_int8_topk", "embedding_ivf_topk", "embedding_ivfpq_topk",
+        "embedding_lsh_topk", "embedding_neardup_pairs", "embedding_pq_topk",
+        "embedding_topk", "events_anomaly_zscore", "events_funnel",
+        "events_heavy_hitters", "events_props_rollup",
+        "events_retention_cohorts", "events_sessionize",
+        "lang_id_heuristic", "lsh_band_sweep", "minhash_band_pairs",
+        "minhash_similarity_estimates", "neardup_clusters",
+        "neardup_clusters_converged", "ngram_contamination",
+        "ngram_jaccard_pairs", "oov_rate_by_source",
+        "semantic_only_dup_pairs", "simhash_fingerprints",
+        "source_unigram_divergence", "stream_dedup_keys_rocksdb",
+        "stream_funnel_stage", "text_stats", "tfidf_top_terms",
+        "token_zipf_fit", "training_set_funnel", "vocab_top_terms",
     }
 )
 

@@ -1,17 +1,20 @@
 #!/usr/bin/env python
 """Benchmark harness: run every registered query at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
-JSON line of headline aggregates + per-query Spark seconds:
+JSON line of scalar headline aggregates:
 
     {"metric": "total_wall", "value": N, "unit": "sec", "sf": 0.1,
      "duckdb_total": N, "vs_duckdb": r, "vs_duckdb_batch": r,
-     "queries": {name: sec, ...}}
+     "n_queries": N, "stream_secs": N, "n_over_2x": N, "runs": N}
 
-(The per-query DuckDB timings, ratios and the over-2x list are written
-to BENCH_FULL.json — keeping stdout ~3 KB so the driver's captured
-line always parses.)  The DuckDB timings are the same oracle SQL on
-the same parquet — the driver-defined baseline is "within 2x DuckDB
-wall-clock" (BASELINE.md).
+(Every per-query number — Spark best-of and median seconds, DuckDB
+timings, ratios, the over-2x list — is written to BENCH_FULL.json;
+stdout stays <400 bytes so the driver's ~2000-char tail capture always
+parses.)  The DuckDB timings are the same oracle SQL on the same
+parquet — the driver-defined baseline is "within 2x DuckDB wall-clock"
+(BASELINE.md).  Headline aggregates use per-query MEDIAN over
+$SPARK_GRAFT_BENCH_RUNS runs (default 5) on both engines; per-query
+artifacts keep best-of.
 Timing excludes session startup and view registration (both are fixed
 overhead, amortized to zero on a long-lived cluster); each query is
 timed as full materialization to a driver-side pandas frame, the same
@@ -124,27 +127,35 @@ def main() -> None:
         spark.table(t).localCheckpoint(eager=True).createOrReplaceTempView(t)
 
     qs = entrymod.queries()
-    # Best-of-3: full-bench numbers on a shared box swing ±10-15% with
-    # ambient load; a third run costs ~35 s wall and removes most
-    # single-run spikes from the recorded artifact (both engines get
-    # the same treatment).
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-    spark_secs: dict[str, float] = {}
+    # Stability methodology (round-5): N runs per query on BOTH engines
+    # (default 5 — ambient load on this shared box swings single runs
+    # ±10-15%, and identical full benches 30 min apart have measured
+    # vs_duckdb 1.26 and 1.69).  The HEADLINE aggregates use the
+    # per-query MEDIAN (robust to one-off spikes in either direction);
+    # the per-query figures in BENCH_FULL.json keep the best-of (the
+    # engine's demonstrated capability, what plan-tuning iterates on).
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
+    import statistics
+
+    spark_secs: dict[str, float] = {}  # best-of — per-query artifact
+    spark_med: dict[str, float] = {}  # median — headline aggregates
     import gc
 
     for name in names:
-        best = float("inf")
+        times = []
         for _ in range(runs):
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).toPandas()
-            best = min(best, time.perf_counter() - t0)
-        spark_secs[name] = round(best, 4)
+            times.append(time.perf_counter() - t0)
+        spark_secs[name] = round(min(times), 4)
+        spark_med[name] = round(statistics.median(times), 4)
         # free py4j refs so ContextCleaner can unpersist this query's
         # checkpoint blocks before the next one runs (see conf above)
         gc.collect()
 
     # DuckDB side: identical SQL, identical parquet, all cores.
     duck_secs: dict[str, float] = {}
+    duck_med: dict[str, float] = {}
     try:
         import duckdb
 
@@ -158,30 +169,31 @@ def main() -> None:
         for name in names:
             if name not in oracles:
                 continue
-            best = float("inf")
+            times = []
             for _ in range(runs):
                 t0 = time.perf_counter()
                 con.sql(oracles[name]).fetchdf()
-                best = min(best, time.perf_counter() - t0)
-            duck_secs[name] = round(best, 4)
+                times.append(time.perf_counter() - t0)
+            duck_secs[name] = round(min(times), 4)
+            duck_med[name] = round(statistics.median(times), 4)
     except Exception as exc:  # bench must still emit its line
         print(f"duckdb comparison skipped: {exc}", file=sys.stderr)
 
-    total = round(sum(spark_secs.values()), 4)
+    total = round(sum(spark_med.values()), 4)
     # Ratio only over queries both engines ran (rows-only queries have no
     # oracle and would inflate the Spark side).
-    common = round(sum(spark_secs[n] for n in duck_secs), 4)
-    duck_total = round(sum(duck_secs.values()), 4) or None
+    common = round(sum(spark_med[n] for n in duck_med), 4)
+    duck_total = round(sum(duck_med.values()), 4) or None
     # Batch-only decomposition: each stream_* query pays ~0.7-1.2 s of
     # Structured Streaming machinery (micro-batch planning, WAL/offset
     # commits, state-store lifecycle) against a batch DuckDB query —
     # a real cost in a one-shot bench, amortized to zero on a
     # continuous stream.  Both ratios are reported so the comparison
     # is decomposable, not hidden.
-    stream_names = [n for n in duck_secs if n.startswith("stream_")]
-    batch_spark = round(common - sum(spark_secs[n] for n in stream_names), 4)
+    stream_names = [n for n in duck_med if n.startswith("stream_")]
+    batch_spark = round(common - sum(spark_med[n] for n in stream_names), 4)
     batch_duck = round(
-        (duck_total or 0) - sum(duck_secs[n] for n in stream_names), 4
+        (duck_total or 0) - sum(duck_med[n] for n in stream_names), 4
     ) or None
     ratios = {
         n: round(spark_secs[n] / d, 3) if d else None
@@ -191,12 +203,13 @@ def main() -> None:
         (n for n, r in ratios.items() if r is not None and r > 2.0),
         key=lambda n: -ratios[n],
     )
-    # The stdout line must PARSE in the driver artifact — the round-3
-    # line carried every per-query dict (~12 KB) and was captured
-    # truncated ("parsed": null).  stdout now carries the headline
-    # aggregates + the per-query Spark seconds the driver format asks
-    # for (~3 KB); the DuckDB per-query timings, ratios and the full
-    # over-2x list live in BENCH_FULL.json next to this script.
+    # The stdout line must PARSE in the driver artifact — the driver's
+    # tail capture is ~2000 chars, and both the round-3 line (every
+    # per-query dict, ~12 KB) and the round-4 line (118-entry spark
+    # `queries` dict, ~3 KB) blew past it and recorded "parsed": null.
+    # stdout now carries ONLY scalar aggregates (<400 bytes); every
+    # per-query number (spark secs, duckdb secs, ratios, over-2x list)
+    # lives in BENCH_FULL.json next to this script.
     headline = {
         "metric": "total_wall",
         "value": total,
@@ -209,13 +222,17 @@ def main() -> None:
         "vs_duckdb_batch": (
             round(batch_spark / batch_duck, 3) if batch_duck else None
         ),
-        "stream_secs": round(sum(spark_secs[n] for n in stream_names), 4),
+        "stream_secs": round(sum(spark_med[n] for n in stream_names), 4),
         "n_over_2x": len(over_2x),
-        "queries": {n: round(s, 3) for n, s in spark_secs.items()},
+        "runs": runs,
+        "aggregation": "median",
     }
     out = dict(
         headline,
+        queries={n: round(s, 3) for n, s in spark_secs.items()},
+        queries_median={n: round(s, 3) for n, s in spark_med.items()},
         duckdb=duck_secs,
+        duckdb_median=duck_med,
         vs_duckdb_per_query=ratios,
         over_2x=over_2x,
     )
