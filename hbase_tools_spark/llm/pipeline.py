@@ -63,22 +63,47 @@ def _contam_shingles_of(text: str):
     )
 
 
+def _shingles_exploded(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle) relation: each doc's DISTINCT word
+    {_CONTAM_SHINGLE}-grams, exploded — the Spark twin of
+    ``_CONTAM_SHINGLES_SQL`` (per-doc distinct happens inside the array
+    builder, so the explode is a pure map stage)."""
+    w = _CONTAM_SHINGLE
+    return (
+        docs.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+        .where(F.size("toks") >= w)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"array_distinct(transform(sequence(0, size(toks) - {w}),"
+                    f" i -> concat_ws(' ', slice(toks, i + 1, {w}))))"
+                )
+            ).alias("shingle"),
+        )
+    )
+
+
 def _bench_shingle_set(m: Model) -> frozenset:
     """The benchmark source's distinct shingle set, memoized per
     fixture dir (a static dim; see functions/memo.py) — the single
     builder behind the shared 'contam_bench_set' cache key, so the
-    three consumers cannot drift apart."""
+    consumers cannot drift apart.  Shingling and dedup run
+    DISTRIBUTED (explode + distinct); only the distinct shingle
+    strings — the very payload consumers broadcast — ever reach the
+    driver, never full document texts."""
     from ..functions.memo import sf_cached
 
     return sf_cached(
         m.sf_dir,
         "contam_bench_set",
         lambda: frozenset(
-            sh
-            for r in m.documents.where(F.col("source") == _CONTAM_BENCH)
-            .select("text")
+            r["shingle"]
+            for r in _shingles_exploded(
+                m.documents.where(F.col("source") == _CONTAM_BENCH)
+            )
+            .distinct()
             .collect()
-            for sh in (_contam_shingles_of(r["text"]) or ())
         ),
     )
 
@@ -911,87 +936,113 @@ def bloom_contamination(m: Model) -> DataFrame:
     filter built from the benchmark shingle set; per doc the bloom hit
     count, the exact hit count, and the false positives the (m, k)
     choice cost (m is sized ~10 bits/shingle for ~1% FP; an undersized
-    filter saturates and flags everything) — `flagged` docs are the set a second exact pass must
-    verify.
+    filter saturates and flags everything) — `flagged` docs are the set
+    a second exact pass must verify.
 
     Why this exists next to ``ngram_contamination``: the exact shingle
     set is benchmark-proportional, the Bloom filter is CONSTANT SIZE
     ({131072} bits here; ~1.2 GB for a 1-billion-shingle suite at 1% FP) —
     at 100 TB this is the object you can always broadcast.  Bloom
     no-false-negatives means unflagged docs are provably clean, so the
-    expensive exact verify (a shuffled shingle join) runs only over the
-    flagged sliver; here both counts come from one Arrow pass so the
-    certificate covers the FP accounting too.  Plan: driver builds the
-    bitset from the benchmark dim (same collect contract as
-    ``ngram_contamination``), then ONE zero-shuffle ``pandas_udf`` map
-    over candidates — no shingle crosses the worker boundary."""
-    import hashlib
+    expensive exact verify runs only over the flagged sliver.
 
-    import pandas as pd
-
+    Plan — entirely JVM-side (round-4 verdict: the Arrow probe pass was
+    3.2x DuckDB; built-in md5/conv/bit expressions sit in whole-stage
+    codegen instead): shingles explode in a map stage (per-doc distinct
+    inside the array builder), the K bit positions derive from disjoint
+    8-hex slices of ONE md5, and each position tests the filter as an
+    O(1) word-index + bit-shift against the CONSTANT-SIZE bitmap
+    LITERAL (m/64 longs — the object that broadcasts at any suite
+    size; training the bitmap is a distributed explode+distinct whose
+    collect is bounded by m, never by the suite).  No Python, no probe
+    joins; the only shuffle is the final per-doc aggregate, which
+    map-side-combines to doc grain.  The exact-hit column (the FP
+    accounting this query certifies) broadcast-joins the bench shingle
+    relation; for a suite too large for THAT broadcast the Bloom
+    columns are unaffected — drop the exact join and verify flagged
+    docs with the shuffled shingle join (``ngram_contamination``'s
+    fallback)."""
     M, K = _BLOOM_M, _BLOOM_K
-    shingles_of = _contam_shingles_of
 
-    def positions(sh: str):
-        # One md5 per shingle: the K bit positions are disjoint 8-hex
-        # slices of a single digest (md5 gives 32 hex chars; K*8 <= 32).
-        h = hashlib.md5(sh.encode()).hexdigest()
-        return tuple(int(h[8 * i : 8 * i + 8], 16) % M for i in range(K))
+    sh_bench = _shingles_exploded(
+        m.documents.where(F.col("source") == _CONTAM_BENCH)
+    ).select("shingle").distinct()
+
+    def pos(i: int, col: str = "h") -> Column:
+        # disjoint 8-hex slices of one md5 digest (32 hex chars; K*8<=32)
+        return (
+            F.conv(F.substring(F.col(col), 1 + 8 * i, 8), 16, 10)
+            .cast("bigint") % M
+        )
 
     from ..functions.memo import sf_cached
 
-    bench_set = _bench_shingle_set(m)
-    bloom_bits = sf_cached(
-        m.sf_dir,
-        "contam_bloom_bits",
-        lambda: frozenset(p for sh in bench_set for p in positions(sh)),
-    )
+    def _train_bitmap() -> list:
+        # distributed: shingle -> K positions -> distinct; the collect
+        # is bounded by m bit positions regardless of suite size
+        rows = (
+            sh_bench.select(F.md5(F.col("shingle")).alias("h"))
+            .select(
+                F.explode(F.array(*[pos(i) for i in range(K)])).alias("p")
+            )
+            .distinct()
+            .collect()
+        )
+        words = [0] * (M // 64)
+        for r in rows:
+            p = r["p"]
+            words[p >> 6] |= 1 << (p & 63)
+        # two's-complement fold into signed int64 for the array<long> literal
+        return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
 
-    @F.pandas_udf(
-        "n_shingles: bigint, n_bloom_hits: bigint, n_exact_hits: bigint"
-    )
-    def probe(texts: pd.Series) -> pd.DataFrame:
-        # Shingle verdicts are pure functions of the shingle string;
-        # corpora are Zipfian, so an in-worker cache skips the 3-md5
-        # probe for every repeated shingle (measured 2.5x on the
-        # fixture — same trick as the DSIR bucket cache).
-        verdict: dict[str, bool] = {}
-        n_all, n_bloom, n_exact = [], [], []
-        for text in texts:
-            seen = shingles_of(text)
-            if seen is None:
-                n_all.append(None)
-                n_bloom.append(None)
-                n_exact.append(None)
-                continue
-            b = 0
-            for sh in seen:
-                v = verdict.get(sh)
-                if v is None:
-                    v = all(p in bloom_bits for p in positions(sh))
-                    verdict[sh] = v
-                b += v
-            e = sum(1 for sh in seen if sh in bench_set)
-            n_all.append(len(seen))
-            n_bloom.append(b)
-            n_exact.append(e)
-        return pd.DataFrame(
-            {"n_shingles": n_all, "n_bloom_hits": n_bloom, "n_exact_hits": n_exact}
+    words = sf_cached(m.sf_dir, "contam_bloom_words", _train_bitmap)
+    # The bitmap travels as DATA (a one-row array<bigint> relation,
+    # broadcast into a nested-loop join) rather than as an expression
+    # literal: F.lit(list) builds thousands of py4j Literal objects per
+    # plan build (~1.5 s of driver chatter measured) and a SQL-string
+    # array literal still costs ~0.4 s of parse per build; one Arrow
+    # createDataFrame row is milliseconds, and a broadcast relation is
+    # the exact shape a production job ships the filter in.
+    bm_rel = m.spark.createDataFrame([(words,)], "bm array<bigint>")
+
+    def bit_test(p: Column) -> Column:
+        w = F.element_at(F.col("bm"), F.shiftright(p, 6).cast("int") + 1)
+        # dynamic shift amount -> SQL ShiftRight via call_function
+        # (arithmetic sign-fill is masked off by the & 1)
+        return (
+            F.call_function("shiftright", w, (p % 64).cast("int"))
+            .bitwiseAND(F.lit(1))
+            == 1
         )
 
     from ..functions.partitioning import spread_if_undersplit
 
-    # The probe parallelism equals the scan's split count: thousands at
-    # real scale (no repartition — a corpus shuffle just to spread
-    # Python would be a 100 TB own-goal), but a single split on the
-    # one-file fixture, so spread only when the scan is under-split.
-    cand = spread_if_undersplit(
-        m.documents.where(F.col("source") != _CONTAM_BENCH), "doc_id"
+    # Probe parallelism follows the scan's split count (thousands at
+    # real scale); the one-file fixture is under-split, so spread the
+    # doc relation BEFORE the explode fans out.
+    cand = (
+        _shingles_exploded(
+            spread_if_undersplit(
+                m.documents.where(F.col("source") != _CONTAM_BENCH), "doc_id"
+            )
+        )
+        .withColumn("h", F.md5(F.col("shingle")))
+        .crossJoin(F.broadcast(bm_rel))
+    )
+    bloom_hit = bit_test(pos(0)) & bit_test(pos(1)) & bit_test(pos(2))
+    exact_hit = F.col("bs").isNotNull()
+    probed = cand.join(
+        F.broadcast(sh_bench.select(F.col("shingle").alias("bs"))),
+        F.col("shingle") == F.col("bs"),
+        "left",
     )
     return (
-        cand.select("doc_id", probe("text").alias("p"))
-        .select("doc_id", "p.n_shingles", "p.n_bloom_hits", "p.n_exact_hits")
-        .filter(F.col("n_shingles").isNotNull())
+        probed.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum(bloom_hit.cast("int")).cast("bigint").alias("n_bloom_hits"),
+            F.sum(exact_hit.cast("int")).cast("bigint").alias("n_exact_hits"),
+        )
         .select(
             "doc_id",
             "n_shingles",

@@ -94,12 +94,27 @@ def stream_membership_in(m: Model) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Streaming funnel (S-series depth beyond membership): per-user journey
 # stage advanced incrementally as events arrive.  The batch twin is
-# operators/funnels.events_funnel; the stateful form keeps per-user
-# per-type time arrays so the chain REPLAYS exactly under any arrival
-# order — a late-arriving early 'view' can retroactively unlock a
-# 'click' that already sits in state, which a naive min-so-far state
-# machine gets wrong.  State is bounded by per-user funnel activity
-# (three integer arrays), partitioned by user_id.
+# operators/funnels.events_funnel; the stateful form re-derives the
+# chain each batch so it REPLAYS exactly under any arrival order — a
+# late-arriving early 'view' can retroactively unlock a 'click' that
+# already sits in state, which a naive min-so-far state machine gets
+# wrong.
+#
+# State is PRUNED to the provably-sufficient set on every update
+# (round-4 verdict: the naive per-type arrays grew with total per-user
+# event count).  The chain is t1 = min(views), t2 = min(clicks > t1),
+# t3 = min(purchases > t2).  Over a stream t1 is non-increasing (views
+# only lower the min), therefore click eligibility {c : c > t1} only
+# GROWS, so t2 is non-increasing once defined, and likewise t3.  Hence:
+#   * views: only the min can ever matter -> ONE scalar.
+#   * clicks: any click > current t2 can never win (t2 stays eligible
+#     forever and only decreases), so keep clicks <= t2; those are the
+#     clicks a future lower t1 could still promote.
+#   * purchases: same argument against t3.
+# In the steady state (user has viewed) the kept clicks/purchases are
+# the few events that PRECEDE the current chain times — O(1) for
+# in-order streams, bounded by pre-chain stragglers otherwise — so the
+# state store scales with #users, not with per-user traffic.
 # ---------------------------------------------------------------------------
 
 FUNNEL_STAGES = ("view", "click", "purchase")
@@ -107,29 +122,33 @@ FUNNEL_OUTPUT_SCHEMA = (
     "user_id bigint, stage_reached int, t1 bigint, t2 bigint, t3 bigint"
 )
 FUNNEL_STATE_SCHEMA = (
-    "views array<bigint>, clicks array<bigint>, purchases array<bigint>"
+    "vmin bigint, clicks array<bigint>, purchases array<bigint>"
 )
 
 
 def _advance_funnel(key, pdfs, state: GroupState):
-    """Fold the batch's events into per-type time arrays and emit the
-    user's CURRENT funnel snapshot (stage + chain times)."""
+    """Fold the batch's events into the pruned funnel state and emit
+    the user's CURRENT funnel snapshot (stage + chain times)."""
     (user,) = key
-    views, clicks, purchases = (
-        [list(a) for a in state.get] if state.exists else ([], [], [])
+    vmin, clicks, purchases = (
+        (state.get[0], list(state.get[1]), list(state.get[2]))
+        if state.exists
+        else (None, [], [])
     )
-    bucket = {"view": views, "click": clicks, "purchase": purchases}
     saw = False
     for pdf in pdfs:
         if len(pdf) == 0:
             continue
         saw = True
         for tus, et in zip(pdf["tus"], pdf["event_type"]):
-            bucket[et].append(int(tus))
-    state.update((views, clicks, purchases))
-    if not saw:
-        return
-    t1 = min(views) if views else None
+            t = int(tus)
+            if et == "view":
+                vmin = t if vmin is None else min(vmin, t)
+            elif et == "click":
+                clicks.append(t)
+            else:
+                purchases.append(t)
+    t1 = vmin
     t2 = (
         min((t for t in clicks if t > t1), default=None)
         if t1 is not None
@@ -140,6 +159,15 @@ def _advance_funnel(key, pdfs, state: GroupState):
         if t2 is not None
         else None
     )
+    # Prune events that can never enter the chain (see module comment):
+    # once t2/t3 exist they only decrease, so anything later is dead.
+    if t2 is not None:
+        clicks = [c for c in clicks if c <= t2]
+    if t3 is not None:
+        purchases = [p for p in purchases if p <= t3]
+    state.update((vmin, clicks, purchases))
+    if not saw:
+        return
     stage = 3 if t3 is not None else 2 if t2 is not None else 1 if t1 is not None else 0
     yield pd.DataFrame(
         {
@@ -194,8 +222,9 @@ def stream_funnel_stage(m: Model) -> DataFrame:
     """Streaming funnel snapshot: per user the furthest
     view→click→purchase stage reached with the chain timestamps,
     maintained by the stateful operator as events arrive.  Out-of-order
-    safe by construction (state keeps the per-type time arrays and
-    re-derives the chain each batch); with one AvailableNow batch the
+    safe by construction (state keeps min(view) plus the still-winnable
+    clicks/purchases and re-derives the chain each batch — bounded per
+    user, see _advance_funnel); with one AvailableNow batch the
     drain equals the batch funnel semantics, so the result is
     oracle-checkable.  Multi-batch/late-arrival behavior is pinned in
     tests/test_streaming.py."""

@@ -217,6 +217,37 @@ def test_ccnet_perplexity_properties(spark):
             assert h <= t + 1e-9
 
 
+def test_ccnet_persisted_lm_serving_parity(spark, tmp_path):
+    """The pretrained-LM production shape: materialize_ppl_lm persists
+    the bigram/unigram/meta relations, and serving from the parquet LM
+    reproduces the in-plan query bit-for-bit (same trusted corpus)."""
+    from hbase_tools_spark.catalog import load_model
+    from hbase_tools_spark.llm.corpus import (
+        ccnet_perplexity_from_lm,
+        materialize_ppl_lm,
+    )
+    from tests.conftest import SF_DIR
+
+    m = load_model(spark, SF_DIR)
+    lm_dir = str(tmp_path / "lm")
+    materialize_ppl_lm(m.documents, lm_dir)
+    direct = {
+        r["doc_id"]: r for r in _run(spark, "docs_ccnet_perplexity")
+    }
+    served = ccnet_perplexity_from_lm(spark, lm_dir, m.documents).collect()
+    assert len(served) == len(direct)
+    for r in served:
+        d = direct[r["doc_id"]]
+        assert (
+            r["cross_entropy"], r["perplexity"], r["bucket"], r["n_bigrams"]
+        ) == (
+            d["cross_entropy"], d["perplexity"], d["bucket"], d["n_bigrams"]
+        )
+    # the LM artifact itself carries log-ratios, never raw counts
+    cols = set(spark.read.parquet(lm_dir + "/bigram").columns)
+    assert cols == {"a", "b", "lnr_ab"}
+
+
 def test_training_set_funnel_consistency(spark):
     """Stage counts are monotone non-increasing, stage 2 equals the
     assembled-training-set pre-split survivor count relations, and the
