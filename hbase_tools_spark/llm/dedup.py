@@ -931,20 +931,26 @@ def corpus_novelty_curve(m: Model) -> DataFrame:
     data stops paying for itself (novelty falls as the corpus
     saturates; a cliff marks a duplicated dump).
 
-    Plan: the Arrow shingler feeds ONE (window-hash, batch)
-    pre-aggregate — the only corpus-shaped shuffle, keyed on
-    ``xxhash64(window)`` 8-byte ints with map-side partials; the
+    Plan: the Arrow shingler feeds ONE (window, batch) pre-aggregate —
+    the only corpus-shaped shuffle, keyed on the RAW window string with
+    map-side partials (round-4 advice: keying on ``xxhash64(window)``
+    silently merges colliding windows, and at the 100 TB posture this
+    docstring claims — ~4B distinct windows — a 64-bit birthday
+    collision is statistically expected, so the hash key would break
+    the exact first-seen accounting AND the oracle certificate); the
     first-batch relation derives from THAT reduced relation (min per
-    hash), and the two meet in a co-keyed shuffle-hash join before
-    collapsing to batch grain (a handful of rows).  At 100 TB the
+    window), and the two meet in a co-keyed merge join before
+    collapsing to batch grain (a handful of rows).  If shuffle WIDTH
+    ever dominates, the scale knob is keying on (xxhash64(window),
+    length(window)) and accepting a documented ~2^-80 per-pair merge
+    tolerance — a deliberate trade, not a default.  At 100 TB the
     incremental form keeps the first-seen relation as a persisted
-    index keyed by window hash (the ``materialize_signatures``
-    contract) and each new batch probes it instead of recomputing
-    history."""
+    index keyed by window (the ``materialize_signatures`` contract)
+    and each new batch probes it instead of recomputing history."""
     B = _NOVELTY_BATCH
     batch = F.floor(F.col("doc_id") / B).cast("bigint")
     posts = _shingles_with_size(m, width=_DUP_WINDOW).select(
-        batch.alias("batch"), F.xxhash64("shingle").alias("wh")
+        batch.alias("batch"), F.col("shingle").alias("wh")
     )
     bc = (
         posts.groupBy("wh", "batch")

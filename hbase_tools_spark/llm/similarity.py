@@ -1010,7 +1010,7 @@ a0 AS (
     FROM embeddings e CROSS JOIN init cb
   ) t WHERE rnk = 1
 ),
-cb AS (
+cb_agg AS (
   SELECT m, k, list(CAST(s AS DOUBLE) / n ORDER BY sd) AS c
   FROM (
     SELECT a0.m, a0.k, sd.sd,
@@ -1019,6 +1019,13 @@ cb AS (
     FROM a0 CROSS JOIN range(1, {S} + 1) sd(sd)
     GROUP BY a0.m, a0.k, sd.sd
   ) d GROUP BY m, k
+),
+cb AS (
+  -- a (m, k) cell no vector chose keeps its SEED centroid, mirroring
+  -- the Spark trainer's cb.copy() (round-4 advice: a K'<K codebook
+  -- would silently diverge from the fixed-K ADC stride)
+  SELECT init.m, init.k, coalesce(cb_agg.c, init.c) AS c
+  FROM init LEFT JOIN cb_agg ON init.m = cb_agg.m AND init.k = cb_agg.k
 ),
 codes AS (
   SELECT vec_id, m, k FROM (
@@ -1065,19 +1072,24 @@ WHERE rank <= {_TOPK}
 def _pq_codes_udf(cbm):
     """Scalar pandas UDF assigning each vector its M PQ codes against
     the closed-over (M, K, S) codebook — numpy argmin returns the
-    FIRST minimal k, the oracle's (dist, k) tie-break; the 8-element
-    squared-diff sums are below numpy's pairwise-sum block size, so
-    they fold sequentially like the SQL list_sum."""
+    FIRST minimal k, the oracle's (dist, k) tie-break.  The S squared
+    diffs accumulate in an EXPLICIT dim-by-dim left fold: numpy's
+    ``.sum(axis)`` switches to blocked pairwise summation at exactly
+    n=8, which can differ from the oracle's sequential list_sum in the
+    last ulp and flip an argmin on a near-tie (round-4 advice)."""
     import numpy as np
     import pandas as pd
 
-    M, S = _PQ_M, _PQ_SUB
+    M, K, S = _PQ_M, _PQ_K, _PQ_SUB
 
     @F.pandas_udf("array<int>")
     def assign_codes(embedding: pd.Series) -> pd.Series:
-        ed = np.stack(embedding.values).astype(np.float64).reshape(-1, M, 1, S)
-        d = ((ed - cbm[None, :, :, :]) ** 2).sum(axis=3)  # (n, M, K)
-        return pd.Series(list(d.argmin(axis=2).astype(np.int32)))
+        ed = np.stack(embedding.values).astype(np.float64).reshape(-1, M, S)
+        acc = np.zeros((len(ed), M, K))
+        for i in range(S):  # sequential fold == SQL list_sum order
+            dlt = ed[:, :, i][:, :, None] - cbm[None, :, :, i]
+            acc += dlt * dlt
+        return pd.Series(list(acc.argmin(axis=2).astype(np.int32)))
 
     return assign_codes
 
@@ -1394,7 +1406,7 @@ a0 AS (
     FROM res CROSS JOIN init cb
   ) t WHERE rnk = 1
 ),
-cb AS (
+cb_agg AS (
   SELECT m, k, list(CAST(s AS DOUBLE) / n ORDER BY sd) AS c
   FROM (
     SELECT a0.m, a0.k, sd.sd,
@@ -1403,6 +1415,12 @@ cb AS (
     FROM a0 CROSS JOIN range(1, {S} + 1) sd(sd)
     GROUP BY a0.m, a0.k, sd.sd
   ) d GROUP BY m, k
+),
+cb AS (
+  -- empty (m, k) cells keep their SEED residual centroid, mirroring
+  -- the Spark trainer's cb.copy() (round-4 advice)
+  SELECT init.m, init.k, coalesce(cb_agg.c, init.c) AS c
+  FROM init LEFT JOIN cb_agg ON init.m = cb_agg.m AND init.k = cb_agg.k
 ),
 codes AS (
   SELECT vec_id, cell, m, k FROM (

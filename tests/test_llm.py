@@ -369,3 +369,30 @@ def test_embedding_pair_bucket_cap_drops_hot_bucket(spark):
     finally:
         spark.conf.set("spark.hbase_tools.model_dir", "")
         load_model(spark, SF_DIR)
+
+
+def test_int8_codes_column_matches_oracle_sql(spark, ducksql):
+    """The Spark Column quantizer (_codes) and the oracle's _CODES_SQL
+    must stay pinned together: the query path scores via a numpy UDF,
+    so without this test the Column definition could silently drift
+    from the real quantizer (round-4 advice)."""
+    from pyspark.sql import functions as F
+
+    from hbase_tools_spark.llm.similarity import _CODES_SQL, _codes
+
+    m = load_model(spark, SF_DIR)
+    got = {
+        r["vec_id"]: list(r["code"])
+        for r in m.embeddings.select(
+            "vec_id", _codes(F.col("embedding")).alias("code")
+        ).collect()
+    }
+    pdf = ducksql(
+        "SELECT vec_id, "
+        + _CODES_SQL.format(a="embedding")
+        + " AS code FROM embeddings"
+    )
+    want = {
+        int(v): list(c) for v, c in zip(pdf["vec_id"], pdf["code"])
+    }
+    assert got == want
