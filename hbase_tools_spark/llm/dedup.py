@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..catalog import Model
 from ..functions.exprs import fround, fround_sql
@@ -881,6 +882,176 @@ def docs_window_dedup(m: Model) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Exact duplicated-SPAN extraction (Lee et al. 2022 §4, the ExactSubstr
+# remover): docs_window_dedup says HOW MUCH of a doc is duplicated;
+# this says WHERE — the maximal verbatim-duplicated token spans, i.e.
+# what a span-level remover would actually cut.  A position is
+# duplicated iff its {_DUP_WINDOW}-word window occurs >= 2 times in
+# the corpus (any doc, any position — the suffix-array criterion at
+# window granularity); duplicated positions whose windows overlap in
+# TOKEN space (gap <= window-1) merge into one span.
+# ---------------------------------------------------------------------------
+
+_SPAN_POSTS_SQL = f"""
+SELECT doc_id,
+       CAST(unnest(range(1, greatest(len(toks) - {_DUP_WINDOW - 2}, 1)))
+            AS BIGINT) AS pos,
+       unnest(list_transform(range(1, greatest(len(toks) - {_DUP_WINDOW - 2}, 1)),
+              i -> array_to_string(toks[i:i+{_DUP_WINDOW - 1}], ' '))) AS shingle
+FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t
+WHERE len(toks) >= {_DUP_WINDOW}
+"""
+
+
+@query(
+    "docs_dup_spans",
+    oracle=f"""
+WITH p AS ({_SPAN_POSTS_SQL}),
+wf AS (SELECT shingle FROM p GROUP BY shingle HAVING count(*) >= 2),
+d AS (SELECT p.doc_id, p.pos FROM p JOIN wf USING (shingle)),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   <= {_DUP_WINDOW - 1}
+              THEN 0 ELSE 1 END AS brk
+  FROM d
+),
+sp AS (
+  SELECT doc_id, min(pos) AS span_start,
+         max(pos) + {_DUP_WINDOW} - min(pos) AS span_tokens
+  FROM (SELECT doc_id, pos,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM isl) g
+  GROUP BY doc_id, island
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_spans, sum(span_tokens) AS dup_tokens
+  FROM sp GROUP BY doc_id
+),
+top AS (
+  SELECT doc_id, span_start, span_tokens FROM (
+    SELECT doc_id, span_start, span_tokens,
+           row_number() OVER (
+             PARTITION BY doc_id ORDER BY span_tokens DESC, span_start
+           ) AS rn
+    FROM sp) r WHERE rn = 1
+),
+base AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+  WHERE len(string_split(text, ' ')) >= {_DUP_WINDOW}
+)
+SELECT base.doc_id,
+       CAST(base.n_tokens AS BIGINT)              AS n_tokens,
+       CAST(coalesce(agg.n_spans, 0) AS BIGINT)   AS n_dup_spans,
+       CAST(coalesce(agg.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       CAST(top.span_start AS BIGINT)             AS longest_span_start,
+       CAST(coalesce(top.span_tokens, 0) AS BIGINT) AS longest_span_tokens,
+       {fround_sql('coalesce(agg.dup_tokens, 0) * 1.0 / base.n_tokens', 6)}
+                                                  AS dup_token_fraction
+FROM base
+LEFT JOIN agg ON base.doc_id = agg.doc_id
+LEFT JOIN top ON base.doc_id = top.doc_id
+""",
+    views=[],
+)
+def docs_dup_spans(m: Model) -> DataFrame:
+    """Exact duplicated-span extraction: per document the maximal
+    token spans whose every {8}-word window appears verbatim >= 2
+    times in the corpus — span count, total duplicated tokens, and the
+    longest span's (start, length); ties on length break to the
+    earliest start.  This is what a Lee-et-al.-style span remover cuts
+    (the sibling ``docs_window_dedup`` only scores the fraction).
+
+    Plan: ALL window positions explode in a map stage (position index
+    kept — no per-doc distinct here, the position grain IS the
+    signal); the duplicated-window relation is a count>=2 HAVING over
+    one corpus-keyed aggregate, and re-associates to positions via a
+    co-keyed shuffle-hash LEFT SEMI join (inherent to span recovery —
+    the window key must come back to its positions; both sides are
+    already reduced).  Span assembly is gap-and-island: a lag() break
+    flag and a running sum group positions whose windows overlap in
+    token space, all inside per-doc windows (bounded by doc length,
+    never corpus-wide).  At 100 TB the duplicated-window relation is
+    the persistable artifact (the ``materialize_signatures`` contract)
+    — incremental ingest probes it instead of recomputing the corpus
+    aggregate.  Reference criterion: Lee et al. 2022 §4 ExactSubstr
+    (suffix-array granularity tightened to fixed windows so the
+    result is certifiable against ANSI SQL)."""
+    W = _DUP_WINDOW
+    toks = F.split(F.col("text"), " ")
+    base = m.documents.select(
+        "doc_id", toks.alias("toks"), F.size(toks).alias("n_tokens")
+    ).where(F.col("n_tokens") >= W)
+    p = base.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(toks) - {W}),"
+                f" i -> concat_ws(' ', slice(toks, i + 1, {W})))"
+            )
+        ).alias("pos0", "shingle"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "shingle")
+    wf = (
+        p.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= 2)
+        .select("shingle")
+    )
+    d = p.join(wf.hint("shuffle_hash"), "shingle", "left_semi").select(
+        "doc_id", "pos"
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(F.col("pos") - F.lag("pos").over(wd) <= W - 1, 0).otherwise(1)
+    isl = d.select("doc_id", "pos", brk.alias("brk")).select(
+        "doc_id",
+        "pos",
+        F.sum("brk")
+        .over(wd.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("island"),
+    )
+    sp = isl.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + W - F.min("pos")).alias("span_tokens"),
+    )
+    agg = sp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("span_tokens").alias("dup_tokens"),
+    )
+    top = (
+        sp.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(
+                    F.desc("span_tokens"), F.asc("span_start")
+                )
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select("doc_id", "span_start", "span_tokens")
+    )
+    return (
+        base.select("doc_id", "n_tokens")
+        .join(agg, "doc_id", "left")
+        .join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.coalesce(F.col("n_spans"), F.lit(0)).cast("bigint").alias("n_dup_spans"),
+            F.coalesce(F.col("dup_tokens"), F.lit(0))
+            .cast("bigint")
+            .alias("dup_tokens"),
+            F.col("span_start").cast("bigint").alias("longest_span_start"),
+            F.coalesce(F.col("span_tokens"), F.lit(0))
+            .cast("bigint")
+            .alias("longest_span_tokens"),
+            fround(
+                F.coalesce(F.col("dup_tokens"), F.lit(0)) * 1.0 / F.col("n_tokens"), 6
+            ).alias("dup_token_fraction"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Novelty curve — duplication over ingest time.  Curation reports track
 # what fraction of newly ingested content is first-seen vs already in
 # the corpus (the novelty-decay curve: as a crawl matures, marginal
@@ -983,6 +1154,120 @@ def corpus_novelty_curve(m: Model) -> DataFrame:
         )
         .join(F.broadcast(nd), "batch")
         .select(
+            "batch",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            "n_windows",
+            "n_novel",
+            "novelty_rate",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-source novelty curves — the corpus novelty curve broken down by
+# ingest source: the crawl-ops view a curation team actually watches
+# (which feed has stopped contributing new content, which dump is a
+# re-crawl).  Novelty stays GLOBAL (a window is novel only in the
+# corpus-wide batch of its first appearance), so a source re-ingesting
+# another source's content correctly scores near zero.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "novelty_by_source",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
+),
+w AS (
+  SELECT doc_id, source, unnest(list_distinct(
+           list_transform(range(1, greatest(len(toks) - {_DUP_WINDOW - 2}, 1)),
+                          i -> array_to_string(toks[i:i+{_DUP_WINDOW - 1}], ' '))
+         )) AS shingle
+  FROM t WHERE len(toks) >= {_DUP_WINDOW}
+),
+bc AS (
+  SELECT source, CAST(floor(doc_id / {_NOVELTY_BATCH}) AS BIGINT) AS batch,
+         shingle, count(*) AS c
+  FROM w GROUP BY 1, 2, 3
+),
+fb AS (SELECT shingle, min(batch) AS fb FROM bc GROUP BY shingle),
+nd AS (
+  SELECT source, CAST(floor(doc_id / {_NOVELTY_BATCH}) AS BIGINT) AS batch,
+         count(*) AS n_docs
+  FROM t WHERE len(toks) >= {_DUP_WINDOW}
+  GROUP BY 1, 2
+)
+SELECT bc.source, bc.batch,
+       CAST(max(nd.n_docs) AS BIGINT) AS n_docs,
+       CAST(sum(bc.c) AS BIGINT)      AS n_windows,
+       CAST(sum(CASE WHEN bc.batch = fb.fb THEN bc.c ELSE 0 END) AS BIGINT)
+                                      AS n_novel,
+       {fround_sql('sum(CASE WHEN bc.batch = fb.fb THEN bc.c ELSE 0 END) * 1.0 / sum(bc.c)', 6)}
+                                      AS novelty_rate
+FROM bc
+JOIN fb USING (shingle)
+JOIN nd ON nd.source = bc.source AND nd.batch = bc.batch
+GROUP BY bc.source, bc.batch
+""",
+    views=[],
+)
+def novelty_by_source(m: Model) -> DataFrame:
+    """Per-source novelty-decay curves: for every (source, ingest
+    batch), the fraction of its distinct {8}-word windows that are
+    seen for the first time in the WHOLE corpus at that batch.  A
+    healthy fresh feed stays high; a source re-publishing existing
+    content (or a duplicated dump) drops toward zero — the per-feed
+    signal the mixture planner (``corpus_mixture_weights``) weighs
+    when deciding which feed still pays for its ingest.
+
+    Plan mirrors ``corpus_novelty_curve`` with a source dimension:
+    windows explode in a map stage (per-doc distinct inside the array
+    builder, source rides along — no doc->source join), ONE corpus-
+    shaped (source, batch, window) pre-aggregate, the global
+    first-batch relation derived from THAT reduced relation, a merge
+    join on the window key (fb is corpus-proportional — never
+    broadcast, never an unspillable hash build), and a broadcast
+    join against the (source, batch)-grain doc counts."""
+    W, B = _DUP_WINDOW, _NOVELTY_BATCH
+    toks = F.split(F.col("text"), " ")
+    base = m.documents.select(
+        "doc_id",
+        "source",
+        toks.alias("toks"),
+        F.floor(F.col("doc_id") / B).cast("bigint").alias("batch"),
+    ).where(F.size("toks") >= W)
+    posts = base.select(
+        "source",
+        "batch",
+        F.explode(
+            F.expr(
+                f"array_distinct(transform(sequence(0, size(toks) - {W}),"
+                f" i -> concat_ws(' ', slice(toks, i + 1, {W}))))"
+            )
+        ).alias("shingle"),
+    )
+    bc = posts.groupBy("source", "batch", "shingle").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    fb = bc.groupBy("shingle").agg(F.min("batch").alias("fb"))
+    nd = base.groupBy("source", "batch").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    novel = F.sum(
+        F.when(F.col("batch") == F.col("fb"), F.col("c")).otherwise(0)
+    )
+    return (
+        bc.join(fb.hint("merge"), "shingle")
+        .groupBy("source", "batch")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_windows"),
+            novel.cast("bigint").alias("n_novel"),
+            fround(novel * 1.0 / F.sum("c"), 6).alias("novelty_rate"),
+        )
+        .join(F.broadcast(nd), ["source", "batch"])
+        .select(
+            "source",
             "batch",
             F.col("n_docs").cast("bigint").alias("n_docs"),
             "n_windows",

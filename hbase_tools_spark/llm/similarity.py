@@ -1236,10 +1236,23 @@ def embedding_pq_topk(m: Model) -> DataFrame:
     codes = emb.select(
         "vec_id", "label", "embedding", _pq_codes_udf(cb2)("embedding").alias("codes")
     )
-    ranked = _pq_adc_ranked(codes.drop("embedding"), q)
-    # Exact-L2 recall reference rides a float join back onto the ranked
-    # sliver's query set (a production index has no floats to join —
-    # this column exists to certify the quantizer's recall).
+    # ONE fused pair relation carries both scores (the int8 design,
+    # round-4 verdict): the ADC decimal fold over the code array AND
+    # the exact-L2 recall reference (sequential zip_with fold — exists
+    # only to certify the quantizer's recall; a production index has no
+    # floats to read), so both rank windows sit on a single (query_id)
+    # exchange instead of two cross joins meeting in a broadcast join.
+    K = _PQ_K
+    adc_dec = F.aggregate(
+        F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
+        F.lit(__import__("decimal").Decimal(0)).cast("decimal(28,12)"),
+        lambda acc, mm: (
+            acc
+            + F.element_at(
+                F.col("lut"), mm * K + F.element_at(F.col("codes"), mm + 1) + 1
+            )
+        ).cast("decimal(28,12)"),
+    )
     exact_d = F.aggregate(
         F.zip_with(
             F.col("qe"),
@@ -1250,27 +1263,33 @@ def embedding_pq_topk(m: Model) -> DataFrame:
         lambda acc, x: acc + x,
     )
     w = Window.partitionBy("query_id")
-    eranked = (
-        F.broadcast(q.select("query_id", "qe"))
-        .crossJoin(emb.select("vec_id", "embedding"))
+    return (
+        F.broadcast(q)
+        .crossJoin(codes)
         .filter(F.col("query_id") != F.col("vec_id"))
-        .select("query_id", "vec_id", exact_d.alias("exact_d"))
+        .select(
+            "query_id",
+            "vec_id",
+            "label",
+            adc_dec.alias("adc_dec"),
+            exact_d.alias("exact_d"),
+        )
+        .withColumn(
+            "rank",
+            F.row_number().over(w.orderBy(F.asc("adc_dec"), F.asc("vec_id"))),
+        )
         .withColumn(
             "erank",
             F.row_number().over(w.orderBy(F.asc("exact_d"), F.asc("vec_id"))),
         )
-        .filter(F.col("erank") <= _TOPK)
-        .select("query_id", "vec_id", F.lit(True).alias("hit"))
-    )
-    return (
-        ranked.join(F.broadcast(eranked), ["query_id", "vec_id"], "left")
+        .filter(F.col("rank") <= _TOPK)
         .select(
             "query_id",
             "vec_id",
             "label",
             F.round(F.col("adc_dec"), 6).cast("double").alias("approx_distance"),
             "rank",
-            F.coalesce(F.col("hit"), F.lit(False)).alias("in_exact_topk"),
+            (F.col("erank") <= _TOPK).alias("in_exact_topk"),
         )
     )
 

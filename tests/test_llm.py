@@ -396,3 +396,69 @@ def test_int8_codes_column_matches_oracle_sql(spark, ducksql):
         int(v): list(c) for v, c in zip(pdf["vec_id"], pdf["code"])
     }
     assert got == want
+
+
+def test_dup_spans_planted_duplicates(spark):
+    """Span semantics on hand-built docs: a 10-token sentence planted
+    verbatim in two docs becomes one duplicated span of exactly 10
+    tokens in each (windows merge in token space); the surrounding
+    unique text contributes nothing; a doc with no repeated windows
+    reports zero spans."""
+    from hbase_tools_spark.catalog import Model, load_model
+    from hbase_tools_spark.llm.dedup import docs_dup_spans
+
+    from conftest import SF_DIR
+
+    dup = " ".join(f"D{i}" for i in range(10))        # 10-token span
+    u = lambda tag, n: " ".join(f"{tag}{i}" for i in range(n))  # noqa: E731
+    rows = [
+        (0, f"{u('a', 12)} {dup} {u('b', 12)}"),      # span at pos 13
+        (1, f"{dup} {u('c', 20)}"),                   # span at pos 1
+        (2, u("z", 30)),                              # all unique
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    try:
+        docs.createOrReplaceTempView("documents")
+        got = {
+            r["doc_id"]: r
+            for r in docs_dup_spans(Model(spark, "synthetic")).collect()
+        }
+        assert got[0]["n_dup_spans"] == 1
+        assert got[0]["longest_span_tokens"] == 10
+        assert got[0]["longest_span_start"] == 13
+        assert got[0]["dup_tokens"] == 10
+        assert got[1]["longest_span_start"] == 1
+        assert got[1]["longest_span_tokens"] == 10
+        assert got[2]["n_dup_spans"] == 0
+        assert got[2]["dup_tokens"] == 0
+        assert got[2]["longest_span_start"] is None
+        assert got[2]["dup_token_fraction"] == 0.0
+    finally:
+        spark.conf.set("spark.hbase_tools.model_dir", "")
+        load_model(spark, SF_DIR)
+
+
+def test_novelty_by_source_sums_to_corpus_curve(spark):
+    """Consistency: summing the per-source novelty rows over sources
+    must reproduce the corpus-wide novelty curve exactly (every doc
+    belongs to one source and first-batch attribution is global)."""
+    from collections import defaultdict
+
+    import hbase_tools_spark.llm  # noqa: F401 — registers queries
+    from hbase_tools_spark.registry import QUERIES
+
+    m = load_model(spark, SF_DIR)
+    per_src = QUERIES["novelty_by_source"].fn(m).collect()
+    corpus = {
+        r["batch"]: r for r in QUERIES["corpus_novelty_curve"].fn(m).collect()
+    }
+    sums = defaultdict(lambda: [0, 0, 0])  # n_docs, n_windows, n_novel
+    for r in per_src:
+        s = sums[r["batch"]]
+        s[0] += r["n_docs"]
+        s[1] += r["n_windows"]
+        s[2] += r["n_novel"]
+    assert set(sums) == set(corpus)
+    for b, (nd, nw, nn) in sums.items():
+        c = corpus[b]
+        assert (nd, nw, nn) == (c["n_docs"], c["n_windows"], c["n_novel"]), b
