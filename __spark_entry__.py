@@ -49,7 +49,7 @@ _R5_EDITED = [
     "docs_ccnet_perplexity", "embedding_pq_topk",
     "embedding_ivf_kmeans_topk", "embedding_ivfpq_topk",
     "docs_dsir_weights", "bloom_contamination", "ngram_contamination",
-    "corpus_novelty_curve", "stream_funnel_stage",
+    "corpus_novelty_curve", "stream_funnel_stage", "training_set_funnel",
 ]
 
 

@@ -1,12 +1,16 @@
 """Multimodal column handling (M8): images/audio/video as opaque binary
 columns with typed metadata, processed by Arrow-batched ``mapInPandas``.
 
-The decode/feature-extraction libraries (PIL/ffmpeg/torchaudio) are not
-in this container, so the decode step is STUBBED behind
-``decode_stub=True`` (deterministic fake features) /
-``NotImplementedError`` otherwise — but the Spark-side plumbing is real
-and tested: binary column + metadata struct schema, mapInPandas batch
-iteration, output schema contract, partition-parallel execution.
+Decode honesty, by format: PNG decode is REAL (full chunk/CRC/DEFLATE/
+unfilter codec in :mod:`.png`, stdlib-only — see
+``multimodal_png_stats``), and BMP/RIFF-WAVE headers are really parsed
+(``multimodal_decode_headers``).  JPEG/video decode genuinely needs
+external libraries (PIL/ffmpeg, not in this container) and is STUBBED
+behind ``decode_stub=True`` (deterministic fake features) /
+``NotImplementedError`` otherwise — with the Spark-side plumbing real
+and tested either way: binary column + metadata struct schema,
+mapInPandas batch iteration, output schema contract, partition-parallel
+execution.
 
 Scale: mapInPandas streams Arrow batches — constant memory per task;
 repartition by doc_id spreads decode cost; no shuffle after extraction
@@ -415,3 +419,111 @@ def multimodal_frame_sample(m: Model) -> DataFrame:
     per-frame featurization chains another map stage."""
     media = media_table(m).filter(F.col("media_type") == "video/mp4")
     return media.mapInPandas(_frame_sample(decode_stub=True), FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL image decode: PNG via the pure-stdlib codec (llm/png.py).
+# PIL is absent, but PNG is chunk framing + CRC-32 + DEFLATE (zlib is
+# stdlib) + five scanline filters — all implemented for real.  This
+# query builds genuine PNGs (any external viewer could open them) from
+# the document bytes, runs them through the full encode→DEFLATE→
+# decode→unfilter path in the executors, and emits pixel statistics
+# computed FROM THE DECODED BUFFER.  The oracle predicts those stats
+# independently from the source bytes — a codec bug (wrong filter
+# math, wrong stride, bad CRC handling) hash-mismatches immediately.
+# JPEG/video remain honestly stubbed: entropy-coded codecs genuinely
+# need external libraries.
+# ---------------------------------------------------------------------------
+
+_PNG_W = 16  # fixed image width; height = ceil(n_bytes / width)
+
+PNG_STATS_SCHEMA = (
+    "doc_id bigint, width int, height int, n_pixels bigint, "
+    "px_sum bigint, px_min int, px_max int, n_pad_zero bigint"
+)
+
+
+def _png_roundtrip_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from .png import decode_png, encode_png
+
+    W = _PNG_W
+    for pdf in batches:
+        out = {k: [] for k in (
+            "doc_id", "width", "height", "n_pixels", "px_sum",
+            "px_min", "px_max", "n_pad_zero",
+        )}
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            data = text.encode("utf-8")
+            n = len(data)
+            if n == 0:
+                continue
+            h = (n + W - 1) // W
+            px = data + bytes(W * h - n)
+            # vary the row filter deterministically so every decode
+            # exercises all five unfilter branches over real data
+            png = encode_png(W, h, px, 0, [y % 5 for y in range(h)])
+            w2, h2, _, decoded = decode_png(png)
+            out["doc_id"].append(doc_id)
+            out["width"].append(w2)
+            out["height"].append(h2)
+            out["n_pixels"].append(w2 * h2)
+            out["px_sum"].append(sum(decoded))
+            out["px_min"].append(min(decoded))
+            out["px_max"].append(max(decoded))
+            out["n_pad_zero"].append(decoded.count(0))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.array(out["doc_id"], dtype="Int64"),
+                "width": pd.array(out["width"], dtype="Int32"),
+                "height": pd.array(out["height"], dtype="Int32"),
+                "n_pixels": pd.array(out["n_pixels"], dtype="Int64"),
+                "px_sum": pd.array(out["px_sum"], dtype="Int64"),
+                "px_min": pd.array(out["px_min"], dtype="Int32"),
+                "px_max": pd.array(out["px_max"], dtype="Int32"),
+                "n_pad_zero": pd.array(out["n_pad_zero"], dtype="Int64"),
+            }
+        )
+
+
+@query(
+    "multimodal_png_stats",
+    oracle=f"""
+WITH media AS ({_MEDIA_SQL}),
+b AS (
+  SELECT doc_id, length(text) AS n,
+         ((length(text) + {_PNG_W - 1}) // {_PNG_W}) AS h,
+         list_transform(range(1, length(text) + 1),
+                        i -> ascii(substring(text, i, 1))) AS bytes
+  FROM media WHERE media_type = 'image/png' AND length(text) > 0
+)
+SELECT doc_id,
+       CAST({_PNG_W} AS INTEGER)            AS width,
+       CAST(h AS INTEGER)                   AS height,
+       CAST({_PNG_W} * h AS BIGINT)         AS n_pixels,
+       CAST(list_sum(bytes) AS BIGINT)      AS px_sum,
+       CAST(CASE WHEN {_PNG_W} * h > n THEN 0 ELSE list_min(bytes) END
+            AS INTEGER)                     AS px_min,
+       CAST(list_max(bytes) AS INTEGER)     AS px_max,
+       CAST({_PNG_W} * h - n
+            + len(list_filter(bytes, x -> x = 0)) AS BIGINT) AS n_pad_zero
+FROM b
+""",
+    views=[],
+)
+def multimodal_png_stats(m: Model) -> DataFrame:
+    """REAL PNG decode statistics: each image doc's bytes become a
+    genuine {16}-wide grayscale PNG (stdlib DEFLATE, per-row filters
+    cycling through all five PNG filter types), which is then decoded
+    — signature check, per-chunk CRC-32 verification, DEFLATE
+    inflate, unfiltering — and the emitted pixel stats come from the
+    DECODED buffer.  The oracle predicts the stats straight from the
+    source bytes, so any codec defect hash-mismatches.  One
+    zero-shuffle Arrow map stage; cost scales with bytes."""
+    media = m.documents.select("doc_id", "text").where(
+        (F.col("doc_id") % 3 == 0) & (F.length("text") > 0)
+    )
+    from ..functions.partitioning import spread_if_undersplit
+
+    return spread_if_undersplit(media, "doc_id").mapInPandas(
+        _png_roundtrip_stats, PNG_STATS_SCHEMA
+    )
