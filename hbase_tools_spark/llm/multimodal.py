@@ -527,3 +527,118 @@ def multimodal_png_stats(m: Model) -> DataFrame:
     return spread_if_undersplit(media, "doc_id").mapInPandas(
         _png_roundtrip_stats, PNG_STATS_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL audio decode: 16-bit PCM inside RIFF-WAVE, parsed sample by
+# sample (struct — stdlib; PCM is not entropy-coded, so unlike JPEG
+# the full decode is honestly expressible without external codecs).
+# The samples are SIGNED (text byte pairs recentered around zero), so
+# the stats exercise genuine audio math: peak amplitude, RMS energy,
+# zero-crossing rate — the standard cheap audio-quality features a
+# corpus pipeline gates on.
+# ---------------------------------------------------------------------------
+
+_PCM_BIAS = 16384  # recenter byte-pair samples into a signed range
+
+WAV_STATS_SCHEMA = (
+    "doc_id bigint, n_samples bigint, peak int, sum_sq bigint, "
+    "n_zero_cross bigint"
+)
+
+
+def _wav_pcm_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = {k: [] for k in (
+            "doc_id", "n_samples", "peak", "sum_sq", "n_zero_cross",
+        )}
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            data = text.encode("utf-8")
+            ns = len(data) // 2
+            if ns == 0:
+                continue
+            samples = [
+                data[2 * i] + 256 * data[2 * i + 1] - _PCM_BIAS
+                for i in range(ns)
+            ]
+            wav = build_wav(8000, 1, struct.pack(f"<{ns}h", *samples))
+            # REAL decode: header fields + every sample back out of the
+            # container bytes
+            rate, ch, bits = parse_wav(wav)
+            if (rate, ch, bits) != (8000, 1, 16):
+                raise ValueError("WAV header roundtrip failed")
+            (dn,) = struct.unpack_from("<I", wav, 40)
+            dec = struct.unpack_from(f"<{dn // 2}h", wav, 44)
+            out["doc_id"].append(doc_id)
+            out["n_samples"].append(len(dec))
+            out["peak"].append(max(abs(v) for v in dec))
+            out["sum_sq"].append(sum(v * v for v in dec))
+            out["n_zero_cross"].append(
+                sum(1 for a, b in zip(dec, dec[1:]) if a * b < 0)
+            )
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.array(out["doc_id"], dtype="Int64"),
+                "n_samples": pd.array(out["n_samples"], dtype="Int64"),
+                "peak": pd.array(out["peak"], dtype="Int32"),
+                "sum_sq": pd.array(out["sum_sq"], dtype="Int64"),
+                "n_zero_cross": pd.array(out["n_zero_cross"], dtype="Int64"),
+            }
+        )
+
+
+from ..functions.exprs import fround, fround_sql  # noqa: E402
+
+
+@query(
+    "multimodal_wav_pcm_stats",
+    oracle=f"""
+WITH a AS (
+  SELECT doc_id, length(text) // 2 AS ns, text FROM documents
+  WHERE doc_id % 3 = 1 AND length(text) >= 2
+),
+s AS (
+  SELECT doc_id, ns,
+         list_transform(range(1, ns + 1),
+           i -> ascii(substring(text, 2*i - 1, 1))
+                + 256 * ascii(substring(text, 2*i, 1)) - {_PCM_BIAS}) AS v
+  FROM a
+)
+SELECT doc_id,
+       CAST(ns AS BIGINT) AS n_samples,
+       CAST(list_max(list_transform(v, x -> abs(x))) AS INTEGER) AS peak,
+       CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT)   AS sum_sq,
+       CAST(coalesce(list_sum(list_transform(range(2, ns + 1),
+              i -> CASE WHEN v[i-1] * v[i] < 0 THEN 1 ELSE 0 END)), 0)
+            AS BIGINT) AS n_zero_cross,
+       {fround_sql('sqrt(CAST(list_sum(list_transform(v, x -> x * x)) AS DOUBLE) / ns)', 6)}
+         AS rms
+FROM s
+""",
+    views=[],
+)
+def multimodal_wav_pcm_stats(m: Model) -> DataFrame:
+    """REAL audio decode statistics: each audio doc's bytes become
+    signed 16-bit PCM inside a genuine RIFF-WAVE container, which is
+    then decoded sample-by-sample from the container bytes (header
+    fields verified, data chunk unpacked), and peak amplitude / RMS
+    energy / zero-crossing count — the standard cheap audio-quality
+    gates — come from the DECODED samples.  The oracle predicts them
+    straight from the source bytes, so a byte-order or offset bug in
+    the PCM parse hash-mismatches.  RMS derives JVM-side from the
+    exact integer sum of squares (IEEE sqrt of an exact-int ratio —
+    identical doubles both engines).  One zero-shuffle Arrow map
+    stage."""
+    from ..functions.partitioning import spread_if_undersplit
+
+    media = m.documents.select("doc_id", "text").where(
+        (F.col("doc_id") % 3 == 1) & (F.length("text") >= 2)
+    )
+    stats = spread_if_undersplit(media, "doc_id").mapInPandas(
+        _wav_pcm_stats, WAV_STATS_SCHEMA
+    )
+    rms = F.sqrt(F.col("sum_sq").cast("double") / F.col("n_samples"))
+    return stats.select(
+        "doc_id", "n_samples", "peak", "sum_sq", "n_zero_cross",
+        fround(rms, 6).alias("rms"),
+    )
