@@ -813,3 +813,106 @@ def ccnet_perplexity_from_lm(spark, lm_dir: str, documents: DataFrame) -> DataFr
         spark.read.parquet(lm_dir + "/unigram"),
         spark.read.parquet(lm_dir + "/meta"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram collocations by pointwise mutual information — the standard
+# phrase-mining signal (PMI = ln p(a,b)/(p(a)p(b))): which word pairs
+# co-occur far above chance.  Corpus analysis for tokenizer merges /
+# multiword-expression lists.  Ranking happens on the RAW probability
+# ratio (ln is monotone) so no logarithm is in the ordering path; the
+# libm ln runs only over the k survivors.
+# ---------------------------------------------------------------------------
+
+_PMI_MIN_COUNT = 5  # bigram support floor (PMI is unstable below)
+_PMI_K = 100        # collocations reported
+
+
+@query(
+    "bigram_pmi_top",
+    oracle=f"""
+WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+cu AS (
+  SELECT w, count(*) AS c FROM (SELECT unnest(toks) AS w FROM t) u GROUP BY w
+),
+n AS (SELECT sum(c) AS n FROM cu),
+cb AS (
+  SELECT a, b, count(*) AS cab FROM (
+    SELECT unnest(toks[1:len(toks)-1]) AS a, unnest(toks[2:len(toks)]) AS b
+    FROM t WHERE len(toks) >= 2
+  ) bg GROUP BY a, b
+),
+nb AS (SELECT sum(cab) AS nb FROM cb),
+scored AS (
+  SELECT cb.a, cb.b, cb.cab,
+         (CAST(cb.cab AS DOUBLE) / nb.nb)
+         / ((CAST(ca.c AS DOUBLE) / n.n) * (CAST(cbb.c AS DOUBLE) / n.n))
+           AS ratio
+  FROM cb
+  JOIN cu ca ON ca.w = cb.a
+  JOIN cu cbb ON cbb.w = cb.b
+  CROSS JOIN n CROSS JOIN nb
+  WHERE cb.cab >= {_PMI_MIN_COUNT}
+)
+SELECT a, b, CAST(cab AS BIGINT) AS n_pair,
+       {fround_sql('ln(ratio)', 6)} AS pmi,
+       CAST(row_number() OVER (ORDER BY ratio DESC, a, b) AS INT) AS rank
+FROM (SELECT * FROM scored ORDER BY ratio DESC, a, b LIMIT {_PMI_K}) s
+""",
+    views=[],
+)
+def bigram_pmi_top(m: Model) -> DataFrame:
+    """Top-{100} bigram collocations by PMI with support >= {5}:
+    ln((c_ab/N_b) / ((c_a/N)(c_b/N))) over whitespace tokens — the
+    phrase-mining relation tokenizer-merge and MWE pipelines read.
+
+    Plan: unigram and bigram counts are two corpus-keyed aggregates
+    (map-side partials); the unigram relation is vocabulary-sized and
+    broadcasts into the bigram side twice (head and tail); the corpus
+    totals ride as broadcast 1-row aggregates.  The global top-k
+    orders on the RAW double ratio (ln is monotone — the logarithm
+    cannot affect the ranking, so it runs libm-side only over the k
+    survivors) via ``TakeOrderedAndProject`` — per-partition heaps,
+    never a global sort; the rank window then touches k rows."""
+    toks = F.split(F.col("text"), " ")
+    t = m.documents.select(toks.alias("toks"))
+    cu = (
+        t.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = cu.agg(F.sum("c").alias("n"))
+    cb = (
+        t.where(F.size("toks") >= 2)
+        .select(
+            F.expr(
+                "explode(transform(sequence(1, size(toks)-1), "
+                "i -> struct(toks[i-1] AS a, toks[i] AS b)))"
+            ).alias("bg")
+        )
+        .select("bg.a", "bg.b")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("cab"))
+    )
+    nb = cb.agg(F.sum("cab").alias("nb"))
+    d = lambda c: c.cast("double")  # noqa: E731
+    ratio = (d(F.col("cab")) / F.col("nb")) / (
+        (d(F.col("ca")) / F.col("n")) * (d(F.col("cb")) / F.col("n"))
+    )
+    scored = (
+        cb.where(F.col("cab") >= _PMI_MIN_COUNT)
+        .join(F.broadcast(cu.select(F.col("w").alias("a"), F.col("c").alias("ca"))), "a")
+        .join(F.broadcast(cu.select(F.col("w").alias("b"), F.col("c").alias("cb"))), "b")
+        .crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(nb))
+        .select("a", "b", "cab", ratio.alias("ratio"))
+    )
+    top = scored.orderBy(F.desc("ratio"), "a", "b").limit(_PMI_K)
+    rank = F.row_number().over(Window.orderBy(F.desc("ratio"), "a", "b"))
+    return top.select(
+        "a",
+        "b",
+        F.col("cab").cast("bigint").alias("n_pair"),
+        fround(_pln(F.col("ratio")), 6).alias("pmi"),
+        rank.cast("int").alias("rank"),
+    )

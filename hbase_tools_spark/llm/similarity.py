@@ -1771,3 +1771,108 @@ def ivfpq_topk_from_index(spark, index_dir: str, probes: list) -> DataFrame:
             "rank",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding outlier detection — corpus QA over the vector space: the
+# vectors FARTHEST from their own label centroid (lowest cosine) are
+# the mislabeled / corrupt / out-of-distribution candidates a curation
+# pass reviews.  Pure map + bounded per-label window; the centroid
+# relation is label-cardinality and broadcasts at any corpus size.
+# ---------------------------------------------------------------------------
+
+_OUTLIER_K = 5  # vectors surfaced per label
+
+
+@query(
+    "embedding_label_outliers",
+    oracle=f"""
+, cent AS (
+  SELECT label,
+         list(CAST(s AS DOUBLE) / n ORDER BY dim) AS c
+  FROM (
+    SELECT label, dim,
+           sum(CAST(embedding[dim] AS DECIMAL(20,9))) AS s,
+           count(*) AS n
+    FROM embeddings
+    CROSS JOIN (SELECT unnest(range(1, 65)) AS dim)
+    GROUP BY label, dim
+  ) d
+  GROUP BY label
+)
+SELECT label, vec_id, cosine, CAST(rank AS INT) AS rank
+FROM (
+  SELECT e.label, e.vec_id,
+         floor(({_DOTVC_SQL.format(a='e.embedding', b='c.c')}
+                / ({_NORM_SQL.format(a='e.embedding')} * {_NORMDD_SQL.format(a='c.c')}))
+               * 1000000.0 + 0.5) / 1000000.0 AS cosine,
+         row_number() OVER (
+           PARTITION BY e.label
+           ORDER BY {_DOTVC_SQL.format(a='e.embedding', b='c.c')}
+                    / ({_NORM_SQL.format(a='e.embedding')} * {_NORMDD_SQL.format(a='c.c')})
+                    ASC, e.vec_id
+         ) AS rank
+  FROM embeddings e JOIN cent c ON c.label = e.label
+) t
+WHERE rank <= {_OUTLIER_K}
+""",
+    views=["servers"],
+)
+def embedding_label_outliers(m: Model) -> DataFrame:
+    """Vector-space corpus QA: per label the {5} vectors with the
+    LOWEST cosine to their own label's exact-decimal mean centroid —
+    the mislabeled/corrupt/out-of-distribution review queue (the
+    cheap first pass before SemDeDup-style cluster inspection).
+
+    Plan: the centroid relation is label-cardinality (a dim at any
+    corpus size) and broadcasts into a single map-side join; cosine is
+    the sequential zip_with/aggregate fold (left fold == the oracle's
+    list_sum order, the pq exact-rerank discipline), and the per-label
+    bottom-k is a window over label partitions — bounded by label
+    cardinality x corpus/label, with ranking on the RAW double and the
+    rounded value only in the output."""
+    cent = _label_centroids(m.embeddings).select(
+        "label", F.col("c").alias("cvec")
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("cvec"),
+            lambda a, b: a.cast("double") * b,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm_e = F.sqrt(
+        F.aggregate(
+            F.transform(
+                F.col("embedding"),
+                lambda x: x.cast("double") * x.cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    norm_c = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("cvec"), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    cos_raw = dot / (norm_e * norm_c)
+    rank = F.row_number().over(
+        Window.partitionBy("label").orderBy(F.asc("cos_raw"), F.asc("vec_id"))
+    )
+    return (
+        m.embeddings.join(F.broadcast(cent), "label")
+        .select("label", "vec_id", cos_raw.alias("cos_raw"))
+        .withColumn("rank", rank)
+        .where(F.col("rank") <= _OUTLIER_K)
+        .select(
+            "label",
+            "vec_id",
+            fround(F.col("cos_raw"), 6).alias("cosine"),
+            F.col("rank").cast("int"),
+        )
+    )
