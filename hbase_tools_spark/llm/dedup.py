@@ -903,6 +903,39 @@ WHERE len(toks) >= {_DUP_WINDOW}
 """
 
 
+def _dup_window_positions(m: Model):
+    """Shared backbone of the span family: (base, d) where ``base`` is
+    (doc_id, toks, n_tokens) for docs long enough to window, and ``d``
+    is the (doc_id, pos) relation of positions whose window occurs
+    >= 2 times anywhere in the corpus (the ExactSubstr criterion at
+    window granularity; see docs_dup_spans for the plan discussion)."""
+    W = _DUP_WINDOW
+    toks = F.split(F.col("text"), " ")
+    base = m.documents.select(
+        "doc_id", toks.alias("toks"), F.size(toks).alias("n_tokens")
+    ).where(F.col("n_tokens") >= W)
+    p = base.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(toks) - {W}),"
+                f" i -> concat_ws(' ', slice(toks, i + 1, {W})))"
+            )
+        ).alias("pos0", "shingle"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "shingle")
+    wf = (
+        p.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= 2)
+        .select("shingle")
+    )
+    d = p.join(wf.hint("shuffle_hash"), "shingle", "left_semi").select(
+        "doc_id", "pos"
+    )
+    return base, d
+
+
+
 @query(
     "docs_dup_spans",
     oracle=f"""
@@ -977,29 +1010,8 @@ def docs_dup_spans(m: Model) -> DataFrame:
     aggregate.  Reference criterion: Lee et al. 2022 §4 ExactSubstr
     (suffix-array granularity tightened to fixed windows so the
     result is certifiable against ANSI SQL)."""
+    base, d = _dup_window_positions(m)
     W = _DUP_WINDOW
-    toks = F.split(F.col("text"), " ")
-    base = m.documents.select(
-        "doc_id", toks.alias("toks"), F.size(toks).alias("n_tokens")
-    ).where(F.col("n_tokens") >= W)
-    p = base.select(
-        "doc_id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, size(toks) - {W}),"
-                f" i -> concat_ws(' ', slice(toks, i + 1, {W})))"
-            )
-        ).alias("pos0", "shingle"),
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "shingle")
-    wf = (
-        p.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .where(F.col("c") >= 2)
-        .select("shingle")
-    )
-    d = p.join(wf.hint("shuffle_hash"), "shingle", "left_semi").select(
-        "doc_id", "pos"
-    )
     wd = Window.partitionBy("doc_id").orderBy("pos")
     brk = F.when(F.col("pos") - F.lag("pos").over(wd) <= W - 1, 0).otherwise(1)
     isl = d.select("doc_id", "pos", brk.alias("brk")).select(
@@ -1273,5 +1285,107 @@ def novelty_by_source(m: Model) -> DataFrame:
             "n_windows",
             "n_novel",
             "novelty_rate",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Span REMOVAL — the consumer of docs_dup_spans: emit each document's
+# text with its duplicated spans excised (Lee et al. 2022 apply this
+# cut before training; combined with canonical selection it keeps one
+# surviving copy corpus-wide — that composition is
+# docs_dedup_canonical's job, this operator performs the cut).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "docs_span_removed",
+    oracle=f"""
+WITH p AS ({_SPAN_POSTS_SQL}),
+wf AS (SELECT shingle FROM p GROUP BY shingle HAVING count(*) >= 2),
+d AS (SELECT p.doc_id, p.pos FROM p JOIN wf USING (shingle)),
+cov AS (
+  SELECT DISTINCT doc_id, pos + r.i AS t
+  FROM d CROSS JOIN range({_DUP_WINDOW}) r(i)
+),
+tt AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+tok AS (
+  SELECT doc_id,
+         CAST(unnest(range(1, len(toks) + 1)) AS BIGINT) AS t,
+         unnest(toks) AS w
+  FROM tt
+),
+kept AS (
+  SELECT tok.doc_id, tok.t, tok.w
+  FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.t = cov.t
+  WHERE cov.t IS NULL
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(w, ' ' ORDER BY t) AS cleaned_text
+  FROM kept GROUP BY doc_id
+)
+SELECT tt.doc_id,
+       CAST(len(tt.toks) AS BIGINT)                          AS n_tokens,
+       CAST(len(tt.toks) - coalesce(agg.n_kept, 0) AS BIGINT) AS n_removed,
+       coalesce(agg.cleaned_text, '')                         AS cleaned_text,
+       {fround_sql('(len(tt.toks) - coalesce(agg.n_kept, 0)) * 1.0 / len(tt.toks)', 6)}
+                                                              AS removed_fraction
+FROM tt LEFT JOIN agg ON tt.doc_id = agg.doc_id
+""",
+    views=[],
+)
+def docs_span_removed(m: Model) -> DataFrame:
+    """Span-level dedup REWRITE: every document's text with its
+    verbatim-duplicated token spans removed (tokens covered by any
+    corpus-duplicated {8}-word window), plus the removal accounting —
+    the actual Lee-et-al. cut, downstream of the ``docs_dup_spans``
+    diagnostic.  Short docs (< {8} tokens) pass through unchanged.
+
+    Plan: the duplicated-position backbone is shared with
+    docs_dup_spans (one corpus aggregate + one co-keyed semi join);
+    coverage expands each duplicated position into its {8} token
+    indices (a bounded explode, then per-doc distinct), tokens
+    anti-join coverage on (doc, index) — co-partitioned, map-side
+    combinable — and the cleaned text reassembles via the
+    sort-inside-aggregate trick (array_sort over collect_list structs,
+    per-doc bounded) rather than a per-doc ORDER BY.  Emitting
+    rewritten text keeps this a pure relational rewrite — at 100 TB
+    the output IS the next pipeline stage's input table."""
+    W = _DUP_WINDOW
+    base, d = _dup_window_positions(m)
+    cov = d.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + F.lit(W - 1))
+        ).alias("t"),
+    ).distinct()
+    all_docs = m.documents.select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    )
+    tok = all_docs.select(
+        "doc_id", F.posexplode("toks").alias("t0", "w")
+    ).select("doc_id", (F.col("t0") + 1).cast("bigint").alias("t"), "w")
+    kept = tok.join(cov.hint("shuffle_hash"), ["doc_id", "t"], "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("t", "w"))),
+                lambda x: x["w"],
+            ),
+        ).alias("cleaned_text"),
+    )
+    n_tokens = F.size("toks").cast("bigint")
+    n_removed = n_tokens - F.coalesce(F.col("n_kept"), F.lit(0))
+    return (
+        all_docs.join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_tokens.alias("n_tokens"),
+            n_removed.cast("bigint").alias("n_removed"),
+            F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
+            fround(n_removed * 1.0 / n_tokens, 6).alias("removed_fraction"),
         )
     )

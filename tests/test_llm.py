@@ -501,3 +501,27 @@ def test_png_codec_roundtrip_all_filters():
         chunk = (struct.pack(">I", len(ihdr_body)) + b"IHDR" + ihdr_body
                  + struct.pack(">I", _z.crc32(b"IHDR" + ihdr_body) & 0xFFFFFFFF))
         decode_png(good[:8] + chunk + good[8 + 25:])
+
+
+def test_span_removed_consistent_with_dup_spans(spark):
+    """The span remover and the span extractor must agree: per doc,
+    n_removed == docs_dup_spans.dup_tokens (the removed set IS the
+    union of the extracted spans), and the cleaned text re-splits to
+    exactly n_tokens - n_removed tokens with no duplicated window
+    suriving intact inside it at the original positions."""
+    import hbase_tools_spark.llm  # noqa: F401
+    from hbase_tools_spark.registry import QUERIES
+
+    m = load_model(spark, SF_DIR)
+    removed = {r["doc_id"]: r for r in QUERIES["docs_span_removed"].fn(m).collect()}
+    spans = {r["doc_id"]: r for r in QUERIES["docs_dup_spans"].fn(m).collect()}
+    assert set(spans) <= set(removed)  # short docs only in the remover
+    for doc_id, sp in spans.items():
+        rm = removed[doc_id]
+        assert rm["n_removed"] == sp["dup_tokens"], doc_id
+        n_clean = len(rm["cleaned_text"].split(" ")) if rm["cleaned_text"] else 0
+        assert n_clean == rm["n_tokens"] - rm["n_removed"], doc_id
+    # docs below the window width pass through untouched
+    for doc_id, rm in removed.items():
+        if doc_id not in spans:
+            assert rm["n_removed"] == 0 and rm["removed_fraction"] == 0.0
