@@ -13,6 +13,8 @@ AQE skew-join handles residual hot buckets.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -1389,3 +1391,93 @@ def docs_span_removed(m: Model) -> DataFrame:
             fround(n_removed * 1.0 / n_tokens, 6).alias("removed_fraction"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental novelty — the 100 TB production shape of the novelty
+# curves: a crawl never recomputes history.  The first-seen window
+# relation persists as a parquet index partitioned by the batch that
+# introduced each window; each new ingest batch (a) probes the index
+# to score its own novelty and (b) appends only its genuinely-new
+# windows.  Mirrors the materialize_signatures / incremental_pairs
+# contract of the MinHash index.
+# ---------------------------------------------------------------------------
+
+
+def _batch_windows(docs: DataFrame) -> DataFrame:
+    """Per-doc distinct {_DUP_WINDOW}-word windows of a document batch
+    (the same window definition as the novelty curves)."""
+    W = _DUP_WINDOW
+    toks = F.split(F.col("text"), " ")
+    return (
+        docs.select("doc_id", toks.alias("toks"))
+        .where(F.size("toks") >= W)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"array_distinct(transform(sequence(0, size(toks) - {W}),"
+                    f" i -> concat_ws(' ', slice(toks, i + 1, {W}))))"
+                )
+            ).alias("shingle"),
+        )
+    )
+
+
+def novelty_ingest_batch(
+    spark, index_dir: str, docs: DataFrame, batch_id: int
+) -> dict:
+    """Score one ingest batch's novelty against the persisted
+    first-seen index and append its new windows — ONE window pass over
+    the batch, history never recomputed.
+
+    Returns the batch's novelty row
+    ``{batch, n_docs, n_windows, n_novel, novelty_rate}`` — identical
+    to the corresponding ``corpus_novelty_curve`` row when batches are
+    ingested in order (pinned by test).  The index at
+    ``{index_dir}`` is parquet partitioned by ``first_batch``: the
+    probe reads only the shingle column, and the append writes one new
+    partition per batch (no rewrite of history — the same
+    dynamic-partition discipline as streaming/ingest.py)."""
+    import os
+
+    w = _batch_windows(docs)
+    bc = w.groupBy("shingle").agg(F.count(F.lit(1)).alias("c"))
+    n_docs = docs.where(
+        F.size(F.split(F.col("text"), " ")) >= _DUP_WINDOW
+    ).count()
+    have_index = os.path.isdir(index_dir) and any(
+        not e.startswith(("_", ".")) for e in os.listdir(index_dir)
+    )
+    if have_index:
+        seen = spark.read.parquet(index_dir).select("shingle")
+        # corpus-proportional on BOTH sides -> co-keyed join, never a
+        # broadcast; novel windows are the anti-join survivors
+        novel = bc.join(seen.hint("shuffle_hash"), "shingle", "left_anti")
+    else:
+        novel = bc
+    novel = novel.localCheckpoint(eager=False)  # scored AND appended
+    agg = novel.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).alias("nc"),
+        F.count(F.lit(1)).alias("nd"),
+    ).collect()[0]
+    totals = bc.agg(F.coalesce(F.sum("c"), F.lit(0)).alias("t")).collect()[0]
+    (
+        novel.select("shingle", F.lit(batch_id).alias("first_batch"))
+        .write.mode("append")
+        .partitionBy("first_batch")
+        .parquet(index_dir)
+    )
+    n_windows = int(totals["t"])
+    n_novel = int(agg["nc"])
+    return {
+        "batch": batch_id,
+        "n_docs": int(n_docs),
+        "n_windows": n_windows,
+        "n_novel": n_novel,
+        "novelty_rate": (
+            math.floor((n_novel * 1.0 / n_windows) * 1e6 + 0.5) / 1e6
+            if n_windows
+            else None
+        ),
+    }

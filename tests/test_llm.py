@@ -525,3 +525,35 @@ def test_span_removed_consistent_with_dup_spans(spark):
     for doc_id, rm in removed.items():
         if doc_id not in spans:
             assert rm["n_removed"] == 0 and rm["removed_fraction"] == 0.0
+
+
+def test_incremental_novelty_matches_full_curve(spark, tmp_path):
+    """The persisted first-seen index is the incremental production
+    shape: ingesting the fixture's batches in order through
+    novelty_ingest_batch must reproduce corpus_novelty_curve's rows
+    EXACTLY, while each step only probes the index (no history
+    recompute) and appends one new partition."""
+    import os
+
+    import hbase_tools_spark.llm  # noqa: F401
+    from pyspark.sql import functions as F
+
+    from hbase_tools_spark.llm.dedup import _NOVELTY_BATCH, novelty_ingest_batch
+    from hbase_tools_spark.registry import QUERIES
+
+    m = load_model(spark, SF_DIR)
+    full = {r["batch"]: r for r in QUERIES["corpus_novelty_curve"].fn(m).collect()}
+    idx = str(tmp_path / "first_seen")
+    batches = sorted(full)
+    for b in batches[:4]:  # four steps keep the test fast
+        docs = m.documents.where(
+            F.floor(F.col("doc_id") / _NOVELTY_BATCH) == b
+        )
+        got = novelty_ingest_batch(spark, idx, docs, int(b))
+        want = full[b]
+        assert got["n_docs"] == want["n_docs"], b
+        assert got["n_windows"] == want["n_windows"], b
+        assert got["n_novel"] == want["n_novel"], b
+        assert got["novelty_rate"] == want["novelty_rate"], b
+    parts = [e for e in os.listdir(idx) if e.startswith("first_batch=")]
+    assert len(parts) == 4  # one partition per ingested batch
