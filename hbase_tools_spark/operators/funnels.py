@@ -412,3 +412,129 @@ def events_anomaly_zscore(m: Model) -> DataFrame:
             (F.abs(z) > _ANOMALY_Z).alias("anomalous"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Conversion attribution — the last-touch model: every purchase is
+# credited to the user's most recent preceding click (else view)
+# within the lookback window, else counted organic.  The as-of
+# resolution is a running-max WINDOW over the user's own event
+# stream — no self-join, no point-in-range join: the standard
+# "decorate facts with the latest preceding dimension event" shape.
+# ---------------------------------------------------------------------------
+
+_ATTR_LOOKBACK_US = 7 * 24 * 3600 * 1_000_000  # 7 days, integer µs
+
+
+@query(
+    "events_attribution",
+    oracle=f"""
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS tus, event_id FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')
+),
+dec AS (
+  SELECT user_id, event_type, tus,
+         max(CASE WHEN event_type = 'click' THEN tus END)
+           OVER (PARTITION BY user_id ORDER BY tus, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS last_click,
+         max(CASE WHEN event_type = 'view' THEN tus END)
+           OVER (PARTITION BY user_id ORDER BY tus, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS last_view
+  FROM ev
+),
+attr AS (
+  SELECT CASE
+           WHEN last_click IS NOT NULL
+                AND tus - last_click <= {_ATTR_LOOKBACK_US} THEN 'click'
+           WHEN last_view IS NOT NULL
+                AND tus - last_view <= {_ATTR_LOOKBACK_US} THEN 'view'
+           ELSE 'organic'
+         END AS attributed_to,
+         CASE
+           WHEN last_click IS NOT NULL
+                AND tus - last_click <= {_ATTR_LOOKBACK_US}
+             THEN tus - last_click
+           WHEN last_view IS NOT NULL
+                AND tus - last_view <= {_ATTR_LOOKBACK_US}
+             THEN tus - last_view
+         END AS latency_us
+  FROM dec WHERE event_type = 'purchase'
+)
+SELECT attributed_to,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(avg(CAST(latency_us AS DOUBLE) / 1000000.0) AS DOUBLE)
+         IS NOT NULL AS has_latency,
+       {fround_sql('coalesce(avg(CAST(latency_us AS DOUBLE)), 0) / 1000000.0', 6)}
+         AS avg_latency_sec
+FROM attr
+GROUP BY attributed_to
+""",
+    views=[],
+)
+def events_attribution(m: Model) -> DataFrame:
+    """Last-touch conversion attribution: each purchase credits the
+    same user's most recent PRECEDING click — else view — within a
+    {7}-day lookback, else 'organic'; per attribution source the
+    purchase count and mean click/view→purchase latency.
+
+    Plan: ONE window pass decorates every event with the running max
+    of prior click/view timestamps over the user's stream (integer-µs,
+    strictly-preceding frame with event_id tie-break), then purchases
+    filter out and aggregate — no self-join, no per-purchase probe;
+    the user-partitioned window is the exact shape the J7 as-of joins
+    use, here with zero shuffle beyond the user partitioning.  The
+    mean divides an exact integer-µs average only at the end (IEEE-
+    identical both engines)."""
+    from pyspark.sql.window import Window
+
+    ev = m.events.where(
+        F.col("event_type").isin("view", "click", "purchase")
+    ).select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("tus"),
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tus", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_click = F.max(
+        F.when(F.col("event_type") == "click", F.col("tus"))
+    ).over(w)
+    last_view = F.max(
+        F.when(F.col("event_type") == "view", F.col("tus"))
+    ).over(w)
+    dec = ev.select(
+        "event_type",
+        "tus",
+        last_click.alias("last_click"),
+        last_view.alias("last_view"),
+    ).where(F.col("event_type") == "purchase")
+    click_ok = F.col("last_click").isNotNull() & (
+        F.col("tus") - F.col("last_click") <= _ATTR_LOOKBACK_US
+    )
+    view_ok = F.col("last_view").isNotNull() & (
+        F.col("tus") - F.col("last_view") <= _ATTR_LOOKBACK_US
+    )
+    attr = dec.select(
+        F.when(click_ok, "click")
+        .when(view_ok, "view")
+        .otherwise("organic")
+        .alias("attributed_to"),
+        F.when(click_ok, F.col("tus") - F.col("last_click"))
+        .when(view_ok, F.col("tus") - F.col("last_view"))
+        .alias("latency_us"),
+    )
+    avg_lat = F.avg(F.col("latency_us").cast("double"))
+    return attr.groupBy("attributed_to").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+        avg_lat.isNotNull().alias("has_latency"),
+        fround(F.coalesce(avg_lat, F.lit(0.0)) / 1000000.0, 6).alias(
+            "avg_latency_sec"
+        ),
+    )
