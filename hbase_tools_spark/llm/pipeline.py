@@ -1270,3 +1270,74 @@ def training_set_funnel(m: Model) -> DataFrame:
         ),
     )
     return counts.select(F.explode(stages).alias("s")).select("s.*")
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without RNG — distributed weighted reservoir
+# (Efraimidis–Spirakis 2006): each doc draws u ~ U(0,1) and ranks by
+# u^(1/w); the top-k ARE a weighted-without-replacement sample.  The
+# "random" u derives from md5(doc_id), so the sample is reproducible
+# across runs, engines, and shard layouts (the same determinism
+# contract as docs_split_assign) and certifiable.  Ranking uses
+# ln(u)/w (monotone in u^(1/w)) — libm ln over bit-identical doubles.
+# ---------------------------------------------------------------------------
+
+_WSAMPLE_K = 100  # docs kept
+
+
+@query(
+    "docs_weighted_sample",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id,
+         CAST(length(string_split(text, ' ')) AS BIGINT) AS weight,
+         ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) + 1.0) / 4294967297.0)
+           / length(string_split(text, ' ')) AS key
+  FROM documents
+)
+SELECT doc_id, weight,
+       {fround_sql('key', 6)} AS sample_key,
+       CAST(row_number() OVER (ORDER BY key DESC, doc_id) AS BIGINT) AS rank
+FROM (SELECT * FROM scored ORDER BY key DESC, doc_id LIMIT {_WSAMPLE_K}) s
+""",
+    views=[],
+)
+def docs_weighted_sample(m: Model) -> DataFrame:
+    """Deterministic weighted sample: top-{100} docs by the
+    Efraimidis–Spirakis key u^(1/w) with w = token count and
+    u = md5(doc_id)-derived uniform — longer docs are proportionally
+    likelier, yet membership is a pure function of the ids (rerunnable
+    across engines and shard layouts; swap w for a quality score to
+    get quality-weighted subcorpus selection).
+
+    Plan: one narrow map computes the key (ranking uses ln(u)/w —
+    monotone in u^(1/w), libm ln of the bit-identical JVM-computed
+    double ratio), then ``TakeOrderedAndProject`` top-k — bounded
+    per-partition heaps, no global sort; the rank window touches k
+    rows."""
+    from ..functions.exprs import pln
+
+    toks = F.split(F.col("text"), " ")
+    w = F.size(toks).cast("bigint")
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        + F.lit(1.0)
+    ) / F.lit(4294967297.0)
+    scored = m.documents.select(
+        "doc_id",
+        w.alias("weight"),
+        (pln(u) / w.cast("double")).alias("key"),
+    )
+    top = scored.orderBy(F.desc("key"), "doc_id").limit(_WSAMPLE_K)
+    rank = F.row_number().over(Window.orderBy(F.desc("key"), "doc_id"))
+    return top.select(
+        "doc_id",
+        "weight",
+        fround(F.col("key"), 6).alias("sample_key"),
+        rank.cast("bigint").alias("rank"),
+    )

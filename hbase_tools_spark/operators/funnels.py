@@ -538,3 +538,66 @@ def events_attribution(m: Model) -> DataFrame:
             "avg_latency_sec"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-transition matrix — the Markov view of user journeys: from
+# each event to the SAME user's next event, the transition count and
+# row-normalized probability.  One lead() window + one aggregate.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_transition_matrix",
+    oracle=f"""
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS tus, event_id FROM events
+),
+tr AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY tus, event_id
+         ) AS to_type
+  FROM ev
+)
+SELECT from_type, to_type,
+       CAST(count(*) AS BIGINT) AS n_transitions,
+       {fround_sql('count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY from_type)', 6)}
+         AS probability
+FROM tr WHERE to_type IS NOT NULL
+GROUP BY from_type, to_type
+""",
+    views=[],
+)
+def events_transition_matrix(m: Model) -> DataFrame:
+    """User-journey Markov matrix: P(next event type | current event
+    type) over each user's time-ordered stream, with the raw
+    transition counts — the input to journey simulation, anomaly
+    scoring, and funnel design.
+
+    Plan: one lead() window over user partitions (integer-µs order,
+    event_id tie-break) pairs each event with its successor; the
+    (from, to) aggregate is at most |types|² rows, and the row
+    normalization is a window over THAT tiny relation — the heavy
+    shuffle is the single user partitioning."""
+    from pyspark.sql.window import Window
+
+    ev = m.events.select(
+        "user_id", "event_type", F.unix_micros("ts").alias("tus"), "event_id"
+    )
+    to_type = F.lead("event_type").over(
+        Window.partitionBy("user_id").orderBy("tus", "event_id")
+    )
+    tr = ev.select(
+        F.col("event_type").alias("from_type"), to_type.alias("to_type")
+    ).where(F.col("to_type").isNotNull())
+    counts = tr.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = F.sum("n").over(Window.partitionBy("from_type"))
+    return counts.select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("bigint").alias("n_transitions"),
+        fround(F.col("n") * 1.0 / total, 6).alias("probability"),
+    )

@@ -392,3 +392,35 @@ def test_ivfpq_index_matches_direct(spark, tmp_path):
         for r in _run(spark, "embedding_ivfpq_topk")
     }
     assert served == direct
+
+
+def test_weighted_sample_favors_heavy_docs(spark):
+    """Efraimidis–Spirakis semantics: with extreme weight separation
+    the top-k is dominated by heavy docs, and the emitted keys are
+    ranked descending (ties impossible: keys derive from distinct
+    md5(doc_id) uniforms)."""
+    import hbase_tools_spark.llm  # noqa: F401
+    from hbase_tools_spark.catalog import Model, load_model
+    from hbase_tools_spark.llm.pipeline import _WSAMPLE_K, docs_weighted_sample
+    from tests.conftest import SF_DIR
+
+    heavy = " ".join(["w"] * 2000)
+    light = "w"
+    rows = [(i, heavy) for i in range(150)] + [
+        (1000 + i, light) for i in range(150)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    try:
+        docs.createOrReplaceTempView("documents")
+        got = docs_weighted_sample(Model(spark, "synthetic")).collect()
+        assert len(got) == min(_WSAMPLE_K, 300)
+        keys = [r["sample_key"] for r in sorted(got, key=lambda r: r["rank"])]
+        assert keys == sorted(keys, reverse=True)
+        n_heavy = sum(1 for r in got if r["weight"] == 2000)
+        # a light doc needs u > ~0.9993 to beat a median heavy doc
+        # (key ln(u)/1 vs ln(u)/2000), so a stray light admit or two is
+        # CORRECT E-S behavior; demand heavy dominance, not purity
+        assert n_heavy >= 90, n_heavy
+    finally:
+        spark.conf.set("spark.hbase_tools.model_dir", "")
+        load_model(spark, SF_DIR)
