@@ -236,3 +236,138 @@ def stream_funnel_stage(m: Model) -> DataFrame:
         .select("user_id", "event_type", F.unix_micros("ts").alias("tus"))
     )
     return run_to_table(funnel_stages(ev), "stream_funnel_stage", "append")
+
+
+# ---------------------------------------------------------------------------
+# Streaming last-touch attribution — the streaming twin of
+# operators/funnels.events_attribution.  State is TWO SCALARS per user
+# (last click / last view time) — bounded by construction at any
+# stream length, the contrast case to the funnel's pruned-array state.
+# Purchases attribute against state as of their position in the
+# per-user (tus, event_id) order; a click arriving in a LATER batch
+# than the purchase it preceded is missed (append-mode streaming
+# semantics — attribution rows are emitted once, not revised), so with
+# one AvailableNow batch the drain equals the batch window semantics
+# and the result is oracle-checkable.
+# ---------------------------------------------------------------------------
+
+_ATTR_LOOKBACK_US = 7 * 24 * 3600 * 1_000_000  # mirror of the batch twin
+
+ATTR_OUTPUT_SCHEMA = (
+    "user_id bigint, tus bigint, attributed_to string, latency_us bigint"
+)
+ATTR_STATE_SCHEMA = "last_click bigint, last_view bigint"
+
+
+def _advance_attribution(key, pdfs, state: GroupState):
+    """Replay the batch's events in (tus, event_id) order against the
+    two-scalar state, emitting one attribution row per purchase."""
+    (user,) = key
+    last_click, last_view = state.get if state.exists else (None, None)
+    out_t, out_a, out_l = [], [], []
+    rows = []
+    for pdf in pdfs:
+        rows.extend(
+            zip(pdf["tus"], pdf["event_id"], pdf["event_type"])
+        )
+    for tus, _eid, et in sorted(rows, key=lambda r: (r[0], r[1])):
+        t = int(tus)
+        if et == "click":
+            last_click = t if last_click is None else max(last_click, t)
+        elif et == "view":
+            last_view = t if last_view is None else max(last_view, t)
+        else:  # purchase: attribute against state BEFORE this event
+            if last_click is not None and t - last_click <= _ATTR_LOOKBACK_US:
+                out_a.append("click")
+                out_l.append(t - last_click)
+            elif last_view is not None and t - last_view <= _ATTR_LOOKBACK_US:
+                out_a.append("view")
+                out_l.append(t - last_view)
+            else:
+                out_a.append("organic")
+                out_l.append(None)
+            out_t.append(t)
+    state.update((last_click, last_view))
+    if out_t:
+        yield pd.DataFrame(
+            {
+                "user_id": pd.array([user] * len(out_t), dtype="Int64"),
+                "tus": pd.array(out_t, dtype="Int64"),
+                "attributed_to": out_a,
+                "latency_us": pd.array(out_l, dtype="Int64"),
+            }
+        )
+
+
+def attribution_stream(events: DataFrame) -> DataFrame:
+    """Stateful per-user last-touch attribution over a streaming
+    (user_id, event_id, event_type, tus) relation."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _advance_attribution,
+        outputStructType=ATTR_OUTPUT_SCHEMA,
+        stateStructType=ATTR_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+@query(
+    "stream_attribution",
+    oracle=f"""
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS tus, event_id FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')
+),
+dec AS (
+  SELECT user_id, event_type, tus,
+         max(CASE WHEN event_type = 'click' THEN tus END)
+           OVER (PARTITION BY user_id ORDER BY tus, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS last_click,
+         max(CASE WHEN event_type = 'view' THEN tus END)
+           OVER (PARTITION BY user_id ORDER BY tus, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS last_view
+  FROM ev
+)
+SELECT CASE
+         WHEN last_click IS NOT NULL
+              AND tus - last_click <= {_ATTR_LOOKBACK_US} THEN 'click'
+         WHEN last_view IS NOT NULL
+              AND tus - last_view <= {_ATTR_LOOKBACK_US} THEN 'view'
+         ELSE 'organic'
+       END AS attributed_to,
+       CAST(count(*) AS BIGINT) AS n_purchases
+FROM dec WHERE event_type = 'purchase'
+GROUP BY 1
+""",
+    views=[],
+)
+def stream_attribution(m: Model) -> DataFrame:
+    """Streaming last-touch attribution: per-user two-scalar state
+    (last click / last view) advanced as events arrive, one
+    attribution row per purchase; the registered query drains the
+    stream and returns the per-source purchase counts.  With one
+    AvailableNow batch the drain equals the batch window semantics
+    (``events_attribution``), so the result is oracle-checkable;
+    multi-batch behavior is pinned in tests/test_streaming.py.  State
+    is O(1) per user by construction — the design target the funnel
+    state needed pruning to reach."""
+    from .jobs import events_stream, run_to_table
+
+    ev = (
+        events_stream(m.spark, m.sf_dir)
+        .where(F.col("event_type").isin("view", "click", "purchase"))
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.unix_micros("ts").alias("tus"),
+        )
+    )
+    drained = run_to_table(
+        attribution_stream(ev), "stream_attribution", "append"
+    )
+    return drained.groupBy("attributed_to").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_purchases")
+    )

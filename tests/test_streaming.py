@@ -751,3 +751,58 @@ def test_funnel_prune_keeps_retroactive_candidates():
     out = feed([(40, "view")])[0]
     assert (int(out["t1"][0]), int(out["t2"][0]), int(out["t3"][0])) == (
         40, 50, 60)
+
+
+def test_stream_attribution_multibatch(spark, tmp_path):
+    """Streaming attribution across micro-batches: state carries the
+    last click/view into later batches; a click arriving AFTER the
+    purchase's batch is missed (append semantics, documented); within
+    a batch events replay in (tus, event_id) order regardless of file
+    row order."""
+    import os
+    import time as _time
+
+    from hbase_tools_spark.streaming.stateful import attribution_stream
+
+    src = str(tmp_path / "aev")
+    os.makedirs(src)
+    schema = "user_id bigint, event_id bigint, event_type string, tus bigint"
+    # batch 1: user 1 clicks@100; user 2's purchase@150 (no prior touch)
+    #          also user 3: rows OUT OF ORDER in the file — purchase
+    #          first, its click later in the file but earlier in time
+    b1 = [(1, 1, "click", 100), (2, 2, "purchase", 150),
+          (3, 3, "purchase", 300), (3, 4, "click", 200)]
+    # batch 2: user 1 purchases@500 (attributed to batch-1 click);
+    #          user 2's click@120 arrives late -> purchase NOT revised
+    b2 = [(1, 5, "purchase", 500), (2, 6, "click", 120)]
+    f1, f2 = os.path.join(src, "b1.parquet"), os.path.join(src, "b2.parquet")
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(f1)
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(f2)
+    now = _time.time()
+    for i, f in enumerate((f1, f2)):
+        for root, _, files in os.walk(f):
+            for name in files:
+                os.utime(os.path.join(root, name), (now + i * 10, now + i * 10))
+        os.utime(f, (now + i * 10, now + i * 10))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*.parquet")
+    )
+    q = (
+        attribution_stream(stream)
+        .writeStream.format("memory")
+        .queryName("attr_rows")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {(r["user_id"], r["tus"]): r for r in spark.table("attr_rows").collect()}
+    assert rows[(1, 500)]["attributed_to"] == "click"
+    assert rows[(1, 500)]["latency_us"] == 400
+    assert rows[(2, 150)]["attributed_to"] == "organic"  # late click missed
+    assert rows[(3, 300)]["attributed_to"] == "click"    # in-batch reorder
+    assert rows[(3, 300)]["latency_us"] == 100
+    assert len(rows) == 3
