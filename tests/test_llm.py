@@ -557,3 +557,38 @@ def test_incremental_novelty_matches_full_curve(spark, tmp_path):
         assert got["novelty_rate"] == want["novelty_rate"], b
     parts = [e for e in os.listdir(idx) if e.startswith("first_batch=")]
     assert len(parts) == 4  # one partition per ingested batch
+
+
+def test_png_codec_roundtrip_property():
+    """Property-based codec check: ANY image in the supported subset
+    (random dims, pixels, per-row filter choices, color type) must
+    roundtrip byte-exactly through encode -> decode."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from hbase_tools_spark.llm.png import decode_png, encode_png
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.integers(1, 12),           # width
+        st.integers(1, 12),           # height
+        st.sampled_from([(0, 1), (2, 3), (6, 4)]),  # (color_type, ch)
+        st.data(),
+    )
+    def roundtrip(w, h, ct_ch, data):
+        ct, ch = ct_ch
+        px = bytes(
+            data.draw(
+                st.lists(
+                    st.integers(0, 255),
+                    min_size=w * h * ch,
+                    max_size=w * h * ch,
+                )
+            )
+        )
+        filters = data.draw(
+            st.lists(st.integers(0, 4), min_size=h, max_size=h)
+        )
+        assert decode_png(encode_png(w, h, px, ct, filters)) == (w, h, ch, px)
+
+    roundtrip()
