@@ -62,27 +62,30 @@ TOOL_QUERIES: dict[str, list[str]] = {
         "minhash_similarity_estimates", "neardup_clusters_converged",
         "docs_neardup_survivors", "docs_window_dedup",
         "semantic_only_dup_pairs", "corpus_novelty_curve",
+        "novelty_by_source", "docs_dup_spans", "docs_span_removed",
     ],
     "llm_prep": [
         "docs_split_assign", "docs_stratified_sample", "docs_chunk_spans",
         "docs_pack_bins", "corpus_mixture_weights", "training_set_assembly",
         "docs_dsir_weights", "docs_ccnet_perplexity", "bloom_contamination",
-        "training_set_funnel",
+        "training_set_funnel", "docs_weighted_sample",
     ],
     "llm_text": [
         "text_stats", "lang_id_heuristic", "docs_quality_filter",
         "token_count_hist", "corpus_stats_by_lang", "vocab_top_terms",
         "tfidf_top_terms", "docs_char_entropy", "oov_rate_by_source",
-        "source_unigram_divergence", "token_zipf_fit",
+        "source_unigram_divergence", "token_zipf_fit", "bigram_pmi_top",
     ],
     "llm_embed": [
         "embedding_topk", "embedding_ivf_kmeans_topk",
         "embedding_neardup_pairs", "embedding_int8_topk",
         "embedding_pq_topk", "embedding_ivfpq_topk",
+        "embedding_label_outliers",
     ],
     "llm_multimodal": [
         "multimodal_decode_headers", "multimodal_features",
-        "multimodal_frame_sample",
+        "multimodal_frame_sample", "multimodal_png_stats",
+        "multimodal_wav_pcm_stats",
     ],
     # Event-stream batch analytics (sessionization + skew detection) —
     # the batch twins of the stream_* jobs and the salting advisor.
@@ -90,7 +93,8 @@ TOOL_QUERIES: dict[str, list[str]] = {
         "events_user_cardinality", "events_salted_rollup",
         "events_sessionize", "events_heavy_hitters", "events_funnel",
         "events_retention_cohorts", "events_props_rollup",
-        "events_anomaly_zscore",
+        "events_anomaly_zscore", "events_attribution",
+        "events_transition_matrix",
     ],
 }
 
