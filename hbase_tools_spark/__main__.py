@@ -63,6 +63,7 @@ TOOL_QUERIES: dict[str, list[str]] = {
         "docs_neardup_survivors", "docs_window_dedup",
         "semantic_only_dup_pairs", "corpus_novelty_curve",
         "novelty_by_source", "docs_dup_spans", "docs_span_removed",
+        "neardup_pagerank",
     ],
     "llm_prep": [
         "docs_split_assign", "docs_stratified_sample", "docs_chunk_spans",

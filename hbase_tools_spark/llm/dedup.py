@@ -1481,3 +1481,114 @@ def novelty_ingest_batch(
             else None
         ),
     }
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the near-duplicate graph — which documents sit at the
+# CENTER of duplication clusters (high-rank nodes are the template /
+# boilerplate sources worth human review; the complement of the
+# survivor-selection view).  Fixed damping, fixed iteration count,
+# exact-decimal contribution sums — so the DuckDB oracle replays the
+# identical trajectory (the k-means chained-CTE discipline).
+# ---------------------------------------------------------------------------
+
+_PR_D = 0.85      # damping
+_PR_ITERS = 3     # fixed power iterations
+
+
+def _pr_oracle() -> str:
+    it = """,
+r{k} AS (
+  SELECT d.s AS v,
+         0.15 / n.n + 0.85 * CAST(coalesce(x.sm, 0) AS DOUBLE) AS r
+  FROM deg d CROSS JOIN n
+  LEFT JOIN (
+    SELECT e.t AS v,
+           sum(CAST(p.r / dd.deg AS DECIMAL(28,12))) AS sm
+    FROM e
+    JOIN r{p} p ON p.v = e.s
+    JOIN deg dd ON dd.s = e.s
+    GROUP BY e.t
+  ) x ON x.v = d.s
+)"""
+    parts = [f"""
+WITH jp AS ({_JACCARD_PAIRS_SQL}),
+e AS (
+  SELECT doc_a AS s, doc_b AS t FROM jp
+  UNION ALL
+  SELECT doc_b AS s, doc_a AS t FROM jp
+),
+deg AS (SELECT s, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY s),
+n AS (SELECT count(*) AS n FROM deg),
+r0 AS (SELECT s AS v, 1.0 / n.n AS r FROM deg CROSS JOIN n)"""]
+    for k in range(1, _PR_ITERS + 1):
+        parts.append(it.format(k=k, p=k - 1))
+    parts.append(f"""
+SELECT deg.s AS doc_id, deg.deg AS degree,
+       {fround_sql('r.r', 6)} AS pagerank
+FROM deg JOIN r{_PR_ITERS} r ON r.v = deg.s
+""")
+    return "".join(parts)
+
+
+@query("neardup_pagerank", oracle=_pr_oracle(), views=[])
+def neardup_pagerank(m: Model) -> DataFrame:
+    """PageRank ({3} fixed power iterations, d = {0.85}) over the
+    undirected word-{5}-gram Jaccard near-dup graph: high-rank docs
+    are the hubs of duplication clusters — the template/boilerplate
+    sources a curation review inspects first (the complementary view
+    to ``docs_neardup_survivors``).
+
+    Plan: the pair relation computes ONCE (lazy localCheckpoint — it
+    feeds all {3} iterations); each iteration is one co-keyed
+    contribution join + aggregate, with every per-edge contribution
+    quantized DECIMAL(28,12) so the sums are order-independent and
+    the oracle's chained CTEs replay the trajectory bit-for-bit.  No
+    driver sync anywhere — the {3} iterations are a single nested
+    declarative plan (contrast: Lloyd's k-means needs its per-round
+    collects because the next centroids must broadcast; PageRank's
+    next state is a RELATION, so the loop stays in the engine)."""
+    jp = ngram_jaccard_pairs(m).select("doc_a", "doc_b").localCheckpoint(
+        eager=False
+    )
+    e = jp.union(
+        jp.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).select(F.col("doc_a").alias("s"), F.col("doc_b").alias("t"))
+    deg = e.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    n = deg.agg(F.count(F.lit(1)).alias("n"))
+    r = (
+        deg.crossJoin(F.broadcast(n))
+        .select(F.col("s").alias("v"), (F.lit(1.0) / F.col("n")).alias("r"))
+    )
+    from decimal import Decimal
+
+    for _ in range(_PR_ITERS):
+        contrib = (
+            e.join(r, e["s"] == r["v"])
+            .join(deg.select(F.col("s").alias("ds"), "deg"), F.col("s") == F.col("ds"))
+            .select(
+                F.col("t").alias("v"),
+                (F.col("r") / F.col("deg")).cast("decimal(28,12)").alias("c"),
+            )
+            .groupBy("v")
+            .agg(F.sum("c").alias("sm"))
+        )
+        r = (
+            deg.crossJoin(F.broadcast(n))
+            .join(contrib, deg["s"] == contrib["v"], "left")
+            .select(
+                F.col("s").alias("v"),
+                (
+                    F.lit(0.15) / F.col("n")
+                    + F.lit(0.85)
+                    * F.coalesce(
+                        F.col("sm"), F.lit(Decimal(0)).cast("decimal(28,12)")
+                    ).cast("double")
+                ).alias("r"),
+            )
+        )
+    return deg.join(r, deg["s"] == r["v"]).select(
+        F.col("s").alias("doc_id"),
+        F.col("deg").alias("degree"),
+        fround(F.col("r"), 6).alias("pagerank"),
+    )

@@ -592,3 +592,45 @@ def test_png_codec_roundtrip_property():
         assert decode_png(encode_png(w, h, px, ct, filters)) == (w, h, ch, px)
 
     roundtrip()
+
+
+def test_pagerank_mass_and_regular_components(spark):
+    """PageRank invariants on the fixture graph: total mass stays ~1
+    (an undirected pair graph has no dangling nodes, so each power
+    iteration conserves mass exactly up to rounding), every rank is
+    positive, and - since near-dup groups form CLIQUES, i.e. regular
+    components - every node of the same clique carries the same rank
+    (uniformity on regular graphs, a sharp closed-form check)."""
+    from collections import defaultdict
+
+    import hbase_tools_spark.llm  # noqa: F401
+    from hbase_tools_spark.llm.dedup import ngram_jaccard_pairs
+    from hbase_tools_spark.registry import QUERIES
+
+    m = load_model(spark, SF_DIR)
+    rows = QUERIES["neardup_pagerank"].fn(m).collect()
+    assert rows
+    total = sum(r["pagerank"] for r in rows)
+    assert abs(total - 1.0) < 1e-3 * len(rows)
+    assert all(r["pagerank"] > 0 for r in rows)
+    # union-find the pair graph; within a REGULAR component (every
+    # degree equal) all ranks must agree to the rounding grain
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in ngram_jaccard_pairs(m).collect():
+        parent[find(r["doc_a"])] = find(r["doc_b"])
+    comp = defaultdict(list)
+    for r in rows:
+        comp[find(r["doc_id"])].append(r)
+    checked = 0
+    for members in comp.values():
+        if len({r["degree"] for r in members}) == 1 and len(members) > 1:
+            assert len({r["pagerank"] for r in members}) == 1, members
+            checked += 1
+    assert checked > 0, "fixture produced no regular component"
