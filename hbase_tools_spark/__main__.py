@@ -70,6 +70,7 @@ TOOL_QUERIES: dict[str, list[str]] = {
         "docs_pack_bins", "corpus_mixture_weights", "training_set_assembly",
         "docs_dsir_weights", "docs_ccnet_perplexity", "bloom_contamination",
         "training_set_funnel", "docs_weighted_sample",
+        "docs_budget_selection",
     ],
     "llm_text": [
         "text_stats", "lang_id_heuristic", "docs_quality_filter",

@@ -1341,3 +1341,133 @@ def docs_weighted_sample(m: Model) -> DataFrame:
         fround(F.col("key"), 6).alias("sample_key"),
         rank.cast("bigint").alias("rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget selection — the LAST act of curation: given a token
+# budget, keep the best-scoring documents that fit.  The oracle is the
+# naive global ordered running sum; the Spark plan is the SCALE-SAFE
+# two-phase form — a global ordered cumsum over 100 TB of docs is a
+# single-partition window, so instead (1) scores histogram into
+# {1024} buckets whose tiny running sum locates the threshold bucket,
+# and (2) only the ONE boundary bucket needs an ordered within-bucket
+# cumsum (expected corpus/{1024} rows); everything above is selected
+# wholesale.  Selections are identical by construction: bucketing is
+# order-compatible with the global (score desc, doc_id) order.
+# ---------------------------------------------------------------------------
+
+_BUDGET_FRACTION = "0.25"  # budget = floor(fraction * total corpus tokens)
+_BUDGET_BUCKETS = 1024
+
+
+@query(
+    "docs_budget_selection",
+    oracle=f"""
+WITH s AS (
+  SELECT doc_id, word, count(*) AS c
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents) w
+  GROUP BY doc_id, word
+),
+sc AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n_tokens,
+         count(*) * 1.0 / sum(c) AS score
+  FROM s GROUP BY doc_id
+),
+b AS (SELECT CAST(floor({_BUDGET_FRACTION} * sum(n_tokens)) AS BIGINT)
+        AS budget FROM sc),
+r AS (
+  SELECT doc_id, n_tokens, score,
+         sum(n_tokens) OVER (ORDER BY score DESC, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM sc
+)
+SELECT r.doc_id, r.n_tokens,
+       {fround_sql('r.score', 6)} AS score,
+       CAST(r.cum AS BIGINT) AS cum_tokens
+FROM r CROSS JOIN b
+WHERE r.cum <= b.budget
+""",
+    views=[],
+)
+def docs_budget_selection(m: Model) -> DataFrame:
+    """Budgeted corpus selection: keep the highest-scoring docs (score
+    = distinct-word ratio, the Gopher repetition signal — swap in any
+    per-doc quality score) whose cumulative token count fits within
+    {0.25} of the corpus' total tokens; emits each kept doc with its
+    global cumulative position.
+
+    Scale plan (the oracle is the naive single-partition running sum —
+    correct but unshardable): scores histogram into {1024} buckets;
+    the bucket-grain running sum (a window over {1024} rows) finds the
+    boundary bucket; buckets strictly above it are selected WHOLESALE
+    with their cumulative offsets derived from the bucket prefix sums,
+    and only the boundary bucket runs an ordered within-bucket cumsum
+    (expected corpus/{1024} rows in one partition).  All token math is
+    exact integers, so the two-phase selection equals the naive
+    oracle's row-for-row."""
+    B = _BUDGET_BUCKETS
+    wc = (
+        m.documents.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+        )
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sc = (
+        wc.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            (F.count(F.lit(1)) * 1.0 / F.sum("c")).alias("score"),
+        )
+        # bucket index: score in [0, 1] -> floor(score * B), order-
+        # compatible with (score desc) since the map is monotone
+        .withColumn(
+            "bkt", F.floor(F.col("score") * B).cast("int")
+        )
+        .localCheckpoint(eager=False)  # feeds histogram AND selection
+    )
+    budget_rel = F.broadcast(
+        sc.agg(
+            F.floor(F.lit(float(_BUDGET_FRACTION)) * F.sum("n_tokens"))
+            .cast("bigint")
+            .alias("budget")
+        )
+    )
+    hist = sc.groupBy("bkt").agg(F.sum("n_tokens").alias("btok"))
+    wb = Window.orderBy(F.desc("bkt")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    # prefix = tokens in strictly-higher buckets ({1024}-row window)
+    pref = hist.select(
+        "bkt",
+        "btok",
+        F.coalesce(F.sum("btok").over(wb), F.lit(0)).alias("prefix"),
+    ).crossJoin(budget_rel)
+    # boundary bucket: the highest bucket whose prefix+btok overflows;
+    # buckets above it fit wholesale, buckets below are fully out
+    marked = F.broadcast(
+        pref.select(
+            "bkt",
+            "prefix",
+            (F.col("prefix") + F.col("btok") <= F.col("budget")).alias("whole"),
+            (F.col("prefix") < F.col("budget")).alias("touched"),
+            "budget",
+        ).where(F.col("touched"))
+    )
+    joined = sc.join(marked, "bkt")
+    wdoc = Window.partitionBy("bkt").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = F.col("prefix") + F.sum("n_tokens").over(wdoc)
+    return (
+        joined.withColumn("cum", cum)
+        .where(F.col("whole") | (F.col("cum") <= F.col("budget")))
+        .select(
+            "doc_id",
+            "n_tokens",
+            fround(F.col("score"), 6).alias("score"),
+            F.col("cum").cast("bigint").alias("cum_tokens"),
+        )
+    )
