@@ -77,6 +77,7 @@ TOOL_QUERIES: dict[str, list[str]] = {
         "token_count_hist", "corpus_stats_by_lang", "vocab_top_terms",
         "tfidf_top_terms", "docs_char_entropy", "oov_rate_by_source",
         "source_unigram_divergence", "token_zipf_fit", "bigram_pmi_top",
+        "corpus_dataset_card",
     ],
     "llm_embed": [
         "embedding_topk", "embedding_ivf_kmeans_topk",

@@ -916,3 +916,138 @@ def bigram_pmi_top(m: Model) -> DataFrame:
         fround(_pln(F.col("ratio")), 6).alias("pmi"),
         rank.cast("int").alias("rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dataset card — the one-relation per-source summary a curation review
+# reads first: volume, length profile, exact-duplicate rate,
+# repetition rate, and vocabulary breadth, composed from the same
+# definitions the dedicated operators certify individually.
+# ---------------------------------------------------------------------------
+
+_CARD_SHORT_T = 8  # docs under this many tokens count as "short"
+
+
+@query(
+    "corpus_dataset_card",
+    oracle=f"""
+WITH wc AS ({_WC_SQL}),
+per_doc AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT)   AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         max(c) * 1.0 / sum(c)    AS top_ratio,
+         count(*) * 1.0 / sum(c)  AS distinct_ratio
+  FROM wc GROUP BY doc_id
+),
+meta AS (
+  SELECT doc_id, source, md5(text) AS h FROM documents
+),
+dup AS (
+  SELECT h FROM meta GROUP BY h HAVING count(*) >= 2
+),
+j AS (
+  SELECT meta.source, per_doc.n_tokens, per_doc.n_distinct,
+         per_doc.distinct_ratio, per_doc.top_ratio,
+         (dup.h IS NOT NULL) AS is_dup,
+         (per_doc.distinct_ratio < 0.45 OR per_doc.top_ratio > 0.12)
+           AS repetitive,
+         (per_doc.n_tokens < {_CARD_SHORT_T}) AS short
+  FROM meta
+  JOIN per_doc ON per_doc.doc_id = meta.doc_id
+  LEFT JOIN dup ON dup.h = meta.h
+),
+types AS (
+  SELECT meta.source, count(DISTINCT wc.word) AS n_types
+  FROM wc JOIN meta ON meta.doc_id = wc.doc_id
+  GROUP BY meta.source
+)
+SELECT j.source,
+       CAST(count(*) AS BIGINT)        AS n_docs,
+       CAST(sum(j.n_tokens) AS BIGINT) AS n_tokens,
+       {fround_sql('sum(j.n_tokens) * 1.0 / count(*)', 6)} AS mean_tokens,
+       CAST(types.n_types AS BIGINT)   AS n_word_types,
+       {fround_sql("sum(CASE WHEN j.short THEN 1 ELSE 0 END) * 1.0 / count(*)", 6)}
+                                       AS pct_short,
+       {fround_sql("sum(CASE WHEN j.is_dup THEN 1 ELSE 0 END) * 1.0 / count(*)", 6)}
+                                       AS pct_exact_dup,
+       {fround_sql("sum(CASE WHEN j.repetitive THEN 1 ELSE 0 END) * 1.0 / count(*)", 6)}
+                                       AS pct_repetitive
+FROM j JOIN types ON types.source = j.source
+GROUP BY j.source, types.n_types
+""",
+    views=[],
+)
+def corpus_dataset_card(m: Model) -> DataFrame:
+    """Per-source dataset card: document and token volume, mean doc
+    length, vocabulary breadth (distinct word types), and the three
+    health rates — short-doc fraction (< {8} tokens), exact-duplicate
+    fraction (md5(text) appearing >= 2 times anywhere, both copies
+    counted), and Gopher-repetitive fraction — composed from the same
+    definitions the dedicated operators (`docs_exact_dedup`,
+    `docs_repetition_ratio`) certify individually.
+
+    Plan: ONE (doc, word) pre-aggregate feeds both the per-doc length/
+    repetition stats and the per-source type counts; the duplicate
+    flag is a broadcast-or-hash join against the >= 2 content-hash
+    relation (corpus-proportional worst case — co-keyed hash join);
+    everything collapses to source grain with map-side partials."""
+    wc = _wc(m).localCheckpoint(eager=False)  # two consumers
+    per_doc = wc.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        (F.max("c") * 1.0 / F.sum("c")).alias("top_ratio"),
+        (F.count(F.lit(1)) * 1.0 / F.sum("c")).alias("distinct_ratio"),
+    )
+    meta = m.documents.select(
+        "doc_id", "source", F.md5(F.col("text").cast("binary")).alias("h")
+    )
+    dup = (
+        meta.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("nh"))
+        .where(F.col("nh") >= 2)
+        .select("h", F.lit(True).alias("is_dup"))
+    )
+    j = (
+        meta.join(per_doc, "doc_id")
+        .join(dup.hint("shuffle_hash"), "h", "left")
+        .select(
+            "source",
+            "n_tokens",
+            F.coalesce(F.col("is_dup"), F.lit(False)).alias("is_dup"),
+            (
+                (F.col("distinct_ratio") < 0.45) | (F.col("top_ratio") > 0.12)
+            ).alias("repetitive"),
+            (F.col("n_tokens") < _CARD_SHORT_T).alias("short"),
+        )
+    )
+    types = (
+        wc.join(F.broadcast(meta.select("doc_id", "source")), "doc_id")
+        .groupBy("source")
+        .agg(F.countDistinct("word").cast("bigint").alias("n_word_types"))
+    )
+    flag = lambda c: F.sum(F.when(F.col(c), 1).otherwise(0))  # noqa: E731
+    card = j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        fround(F.sum("n_tokens") * 1.0 / F.count(F.lit(1)), 6).alias(
+            "mean_tokens"
+        ),
+        fround(flag("short") * 1.0 / F.count(F.lit(1)), 6).alias("pct_short"),
+        fround(flag("is_dup") * 1.0 / F.count(F.lit(1)), 6).alias(
+            "pct_exact_dup"
+        ),
+        fround(flag("repetitive") * 1.0 / F.count(F.lit(1)), 6).alias(
+            "pct_repetitive"
+        ),
+    )
+    return card.join(types, "source").select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "mean_tokens",
+        "n_word_types",
+        "pct_short",
+        "pct_exact_dup",
+        "pct_repetitive",
+    )
