@@ -927,6 +927,10 @@ def bigram_pmi_top(m: Model) -> DataFrame:
 
 _CARD_SHORT_T = 8  # docs under this many tokens count as "short"
 
+from .pipeline import _REP_DISTINCT_MIN, _REP_TOP_MAX  # noqa: E402 — the
+# ONE pair of Gopher repetition thresholds (docs_repetition_ratio,
+# docs_quality_filter and this card must never drift apart)
+
 
 @query(
     "corpus_dataset_card",
@@ -950,7 +954,8 @@ j AS (
   SELECT meta.source, per_doc.n_tokens, per_doc.n_distinct,
          per_doc.distinct_ratio, per_doc.top_ratio,
          (dup.h IS NOT NULL) AS is_dup,
-         (per_doc.distinct_ratio < 0.45 OR per_doc.top_ratio > 0.12)
+         (per_doc.distinct_ratio < {_REP_DISTINCT_MIN}
+          OR per_doc.top_ratio > {_REP_TOP_MAX})
            AS repetitive,
          (per_doc.n_tokens < {_CARD_SHORT_T}) AS short
   FROM meta
@@ -1016,13 +1021,16 @@ def corpus_dataset_card(m: Model) -> DataFrame:
             "n_tokens",
             F.coalesce(F.col("is_dup"), F.lit(False)).alias("is_dup"),
             (
-                (F.col("distinct_ratio") < 0.45) | (F.col("top_ratio") > 0.12)
+                (F.col("distinct_ratio") < _REP_DISTINCT_MIN)
+                | (F.col("top_ratio") > _REP_TOP_MAX)
             ).alias("repetitive"),
             (F.col("n_tokens") < _CARD_SHORT_T).alias("short"),
         )
     )
     types = (
-        wc.join(F.broadcast(meta.select("doc_id", "source")), "doc_id")
+        # doc-grain dim: corpus-proportional, so NEVER broadcast —
+        # co-keyed hash join on doc_id (wc is already doc-keyed)
+        wc.join(meta.select("doc_id", "source"), "doc_id")
         .groupBy("source")
         .agg(F.countDistinct("word").cast("bigint").alias("n_word_types"))
     )

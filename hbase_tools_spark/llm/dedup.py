@@ -1355,7 +1355,7 @@ def docs_span_removed(m: Model) -> DataFrame:
     rewritten text keeps this a pure relational rewrite — at 100 TB
     the output IS the next pipeline stage's input table."""
     W = _DUP_WINDOW
-    base, d = _dup_window_positions(m)
+    _, d = _dup_window_positions(m)  # all_docs below must cover short docs too
     cov = d.select(
         "doc_id",
         F.explode(
@@ -1459,7 +1459,6 @@ def novelty_ingest_batch(
     novel = novel.localCheckpoint(eager=False)  # scored AND appended
     agg = novel.agg(
         F.coalesce(F.sum("c"), F.lit(0)).alias("nc"),
-        F.count(F.lit(1)).alias("nd"),
     ).collect()[0]
     totals = bc.agg(F.coalesce(F.sum("c"), F.lit(0)).alias("t")).collect()[0]
     (

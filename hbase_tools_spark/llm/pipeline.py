@@ -102,6 +102,7 @@ def _bench_shingle_set(m: Model) -> frozenset:
             for r in _shingles_exploded(
                 m.documents.where(F.col("source") == _CONTAM_BENCH)
             )
+            .select("shingle")
             .distinct()
             .collect()
         ),
@@ -1041,7 +1042,11 @@ def bloom_contamination(m: Model) -> DataFrame:
         .withColumn("h", F.md5(F.col("shingle")))
         .crossJoin(F.broadcast(bm_rel))
     )
-    bloom_hit = bit_test(pos(0)) & bit_test(pos(1)) & bit_test(pos(2))
+    from functools import reduce as _reduce
+
+    bloom_hit = _reduce(
+        lambda a, b: a & b, [bit_test(pos(i)) for i in range(K)]
+    )
     exact_hit = F.col("bs").isNotNull()
     probed = cand.join(
         F.broadcast(sh_bench.select(F.col("shingle").alias("bs"))),

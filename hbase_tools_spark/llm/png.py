@@ -127,9 +127,10 @@ def decode_png(data: bytes):
         body = data[pos + 8 : pos + 8 + length]
         if len(body) != length:
             raise ValueError("truncated chunk body")
-        (crc,) = struct.unpack(
-            ">I", data[pos + 8 + length : pos + 12 + length]
-        )
+        crc_bytes = data[pos + 8 + length : pos + 12 + length]
+        if len(crc_bytes) != 4:
+            raise ValueError("truncated chunk CRC")
+        (crc,) = struct.unpack(">I", crc_bytes)
         if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
             raise ValueError(f"bad CRC in {ctype!r} chunk")
         if ctype == b"IHDR":

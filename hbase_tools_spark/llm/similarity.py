@@ -1159,14 +1159,18 @@ def _pq_probe_df(spark, cb2, probes: list) -> DataFrame:
     )
 
 
-def _pq_adc_ranked(codes_df: DataFrame, q: DataFrame) -> DataFrame:
-    """ADC ranking over a (vec_id, label, codes) relation: an exact-
-    decimal M-term fold over the broadcast lookup tables, one
-    (query_id) rank-window exchange; candidates never touch floats."""
-    K = _PQ_K
-    adc_dec = F.aggregate(
-        F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
-        F.lit(__import__("decimal").Decimal(0)).cast("decimal(28,12)"),
+def _adc_fold() -> Column:
+    """The exact-decimal ADC accumulation: fold the M per-subspace
+    lookup-table terms (lut index = m*K + code[m] + 1) into one
+    DECIMAL(28,12) sum — THE one definition of the ADC stride shared
+    by the per-query PQ search, the persisted-index serving path, and
+    both IVFPQ paths (a stride or quantization fix lands everywhere)."""
+    from decimal import Decimal
+
+    M, K = _PQ_M, _PQ_K
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(M - 1)),
+        F.lit(Decimal(0)).cast("decimal(28,12)"),
         lambda acc, mm: (
             acc
             + F.element_at(
@@ -1174,6 +1178,13 @@ def _pq_adc_ranked(codes_df: DataFrame, q: DataFrame) -> DataFrame:
             )
         ).cast("decimal(28,12)"),
     )
+
+
+def _pq_adc_ranked(codes_df: DataFrame, q: DataFrame) -> DataFrame:
+    """ADC ranking over a (vec_id, label, codes) relation: an exact-
+    decimal M-term fold over the broadcast lookup tables, one
+    (query_id) rank-window exchange; candidates never touch floats."""
+    adc_dec = _adc_fold()
     w = Window.partitionBy("query_id")
     return (
         F.broadcast(q)
@@ -1242,17 +1253,7 @@ def embedding_pq_topk(m: Model) -> DataFrame:
     # only to certify the quantizer's recall; a production index has no
     # floats to read), so both rank windows sit on a single (query_id)
     # exchange instead of two cross joins meeting in a broadcast join.
-    K = _PQ_K
-    adc_dec = F.aggregate(
-        F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
-        F.lit(__import__("decimal").Decimal(0)).cast("decimal(28,12)"),
-        lambda acc, mm: (
-            acc
-            + F.element_at(
-                F.col("lut"), mm * K + F.element_at(F.col("codes"), mm + 1) + 1
-            )
-        ).cast("decimal(28,12)"),
-    )
+    adc_dec = _adc_fold()
     exact_d = F.aggregate(
         F.zip_with(
             F.col("qe"),
@@ -1598,16 +1599,7 @@ def embedding_ivfpq_topk(m: Model) -> DataFrame:
         [(qid, c, lut_of(qr)) for qid, c, qr in probes],
         "query_id int, cell int, lut array<decimal(28,12)>",
     )
-    adc_dec = F.aggregate(
-        F.sequence(F.lit(0), F.lit(M - 1)),
-        F.lit(Decimal(0)).cast("decimal(28,12)"),
-        lambda acc, mm: (
-            acc
-            + F.element_at(
-                F.col("lut"), mm * K + F.element_at(F.col("codes"), mm + 1) + 1
-            )
-        ).cast("decimal(28,12)"),
-    )
+    adc_dec = _adc_fold()
     w = Window.partitionBy("query_id")
     return (
         codes.join(F.broadcast(q), "cell")
@@ -1740,16 +1732,7 @@ def ivfpq_topk_from_index(spark, index_dir: str, probes: list) -> DataFrame:
     codes = spark.read.parquet(index_dir + "/codes").where(
         F.col("cell").isin(probed)
     )
-    adc_dec = F.aggregate(
-        F.sequence(F.lit(0), F.lit(M - 1)),
-        F.lit(Decimal(0)).cast("decimal(28,12)"),
-        lambda acc, mm: (
-            acc
-            + F.element_at(
-                F.col("lut"), mm * K + F.element_at(F.col("codes"), mm + 1) + 1
-            )
-        ).cast("decimal(28,12)"),
-    )
+    adc_dec = _adc_fold()
     w = Window.partitionBy("query_id")
     return (
         codes.join(F.broadcast(q), "cell")

@@ -251,7 +251,9 @@ def stream_funnel_stage(m: Model) -> DataFrame:
 # and the result is oracle-checkable.
 # ---------------------------------------------------------------------------
 
-_ATTR_LOOKBACK_US = 7 * 24 * 3600 * 1_000_000  # mirror of the batch twin
+from ..operators.funnels import (  # noqa: E402 — the ONE lookback constant
+    _ATTR_LOOKBACK_US,
+)
 
 ATTR_OUTPUT_SCHEMA = (
     "user_id bigint, tus bigint, attributed_to string, latency_us bigint"

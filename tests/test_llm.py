@@ -634,3 +634,15 @@ def test_pagerank_mass_and_regular_components(spark):
             assert len({r["pagerank"] for r in members}) == 1, members
             checked += 1
     assert checked > 0, "fixture produced no regular component"
+
+
+def test_png_truncated_crc_raises_value_error():
+    """A PNG cut inside a trailing CRC must raise the documented
+    ValueError, not struct.error (review finding)."""
+    import pytest
+
+    from hbase_tools_spark.llm.png import decode_png, encode_png
+
+    good = encode_png(2, 2, bytes(range(4)))
+    with pytest.raises(ValueError, match="truncated chunk CRC"):
+        decode_png(good[:-2])
