@@ -806,3 +806,59 @@ def test_stream_attribution_multibatch(spark, tmp_path):
     assert rows[(3, 300)]["attributed_to"] == "click"    # in-batch reorder
     assert rows[(3, 300)]["latency_us"] == 100
     assert len(rows) == 3
+
+
+def test_stream_batch_cost_amortizes(spark, tmp_path):
+    """The bench's stream_* queries pay one-shot drain machinery that a
+    continuous stream amortizes — claimed in bench.py, MEASURED here:
+    over a 12-micro-batch windowed aggregation the steady-state batch
+    duration must fall well below the first batch's (state-store
+    bootstrap + first planning)."""
+    import datetime
+    import os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "amort_src")
+    os.makedirs(src)
+    schema = "user_id bigint, event_type string, ts timestamp"
+    base = datetime.datetime(2025, 1, 1)
+    for b in range(12):
+        rows = [
+            (i, "view", base + datetime.timedelta(seconds=b * 600 + i % 600))
+            for i in range(2000)
+        ]
+        f = f"{src}/b{b:02d}.parquet"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(f)
+        t = _time.time() + b * 10
+        for root, _, files in os.walk(f):
+            for name in files:
+                os.utime(os.path.join(root, name), (t, t))
+        os.utime(f, (t, t))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*.parquet")
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes"), "event_type")
+        .count()
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("amort_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    durs = [p["batchDuration"] for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(durs) == 12
+    steady = sum(durs[1:]) / len(durs[1:])
+    # measured ~2400 ms first vs ~480 ms steady on an idle host; the
+    # 60% bar keeps the test robust to load while still catching a
+    # regression that makes EVERY batch pay bootstrap costs
+    assert steady < 0.6 * durs[0], (durs[0], steady)
