@@ -758,6 +758,39 @@ def _ppl_score(cand: DataFrame, lm_ab, lm_a, lm_v) -> DataFrame:
     )
 
 
+_PPL_ORACLE = None  # set below, after the base query registers
+
+
+def _lm_artifact_dir(m: Model) -> str:
+    """Materialize the trained LM ONCE per (process, fixture dir) into
+    a scratch location and memoize the path — the pretrained-artifact
+    shape: in production the LM parquet exists before any query runs,
+    so the serving query's measured cost is scoring alone.  (The BASE
+    ``docs_ccnet_perplexity`` deliberately re-trains in-plan every run
+    — that path measures training; this one measures serving.)"""
+    import tempfile
+
+    from ..functions.memo import sf_cached
+
+    def build() -> str:
+        base = "/dev/shm" if __import__("os").path.isdir("/dev/shm") else None
+        out = tempfile.mkdtemp(prefix="ppl_lm_", dir=base)
+        materialize_ppl_lm(m.documents, out)
+        return out
+
+    return sf_cached(m.sf_dir, "ppl_lm_artifact_dir", build)
+
+
+def docs_ccnet_perplexity_served(m: Model) -> DataFrame:
+    """CCNet perplexity bucketing SERVED from the persisted LM — the
+    query-many production twin of ``docs_ccnet_perplexity``: identical
+    output (same trusted corpus trains the artifact), but the query
+    path reads only the LM parquet + the candidate documents, so its
+    cost is the scoring join, not LM training.  Bit-parity with the
+    in-plan trainer is pinned in tests/test_funnels.py."""
+    return ccnet_perplexity_from_lm(m.spark, _lm_artifact_dir(m), m.documents)
+
+
 def materialize_ppl_lm(documents: DataFrame, out_dir: str) -> None:
     """Persist the trained bigram LM as relations (the pretrained-LM
     production shape — CCNet ships a KenLM artifact the same way):
@@ -1059,3 +1092,15 @@ def corpus_dataset_card(m: Model) -> DataFrame:
         "pct_exact_dup",
         "pct_repetitive",
     )
+
+
+# Registered AFTER both definitions: the serving twin shares the base
+# query's oracle verbatim (same corpus -> same LM -> same scores).
+from ..registry import QUERIES as _Q  # noqa: E402
+from ..registry import query as _query  # noqa: E402
+
+_query(
+    "docs_ccnet_perplexity_served",
+    oracle=_Q["docs_ccnet_perplexity"].oracle,
+    views=[],
+)(docs_ccnet_perplexity_served)
