@@ -2,10 +2,14 @@
 columns with typed metadata, processed by Arrow-batched ``mapInPandas``.
 
 Decode honesty, by format: PNG decode is REAL (full chunk/CRC/DEFLATE/
-unfilter codec in :mod:`.png`, stdlib-only — see
-``multimodal_png_stats``), and BMP/RIFF-WAVE headers are really parsed
-(``multimodal_decode_headers``).  JPEG/video decode genuinely needs
-external libraries (PIL/ffmpeg, not in this container) and is STUBBED
+unfilter codec in :mod:`.png`, stdlib-only — ``multimodal_png_stats``),
+baseline JPEG encode+decode is REAL (full DCT/zigzag/quant/Huffman
+pipeline in :mod:`.jpeg`, numpy-only, spec-anchored tests —
+``multimodal_jpeg_roundtrip``; progressive/subsampled variants raise
+``ValueError``), WAV PCM is decoded sample-by-sample
+(``multimodal_wav_pcm_stats``) and BMP/RIFF-WAVE headers are really
+parsed (``multimodal_decode_headers``).  VIDEO decode genuinely needs
+external libraries (ffmpeg, not in this container) and remains STUBBED
 behind ``decode_stub=True`` (deterministic fake features) /
 ``NotImplementedError`` otherwise — with the Spark-side plumbing real
 and tested either way: binary column + metadata struct schema,
@@ -641,4 +645,99 @@ def multimodal_wav_pcm_stats(m: Model) -> DataFrame:
     return stats.select(
         "doc_id", "n_samples", "peak", "sum_sq", "n_zero_cross",
         fround(rms, 6).alias("rms"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# REAL lossy-image decode: baseline JPEG via the pure-numpy codec
+# (llm/jpeg.py — DCT, zigzag, quantization, differential-DC/RLE-AC,
+# canonical Huffman with byte stuffing; tables travel in DQT/DHT so
+# the decoder is a genuine spec parser).  JPEG is LOSSY, so unlike
+# the PNG stats the decoded pixels are not SQL-predictable — instead
+# the CERTIFIED claims are the ones that are: the parsed frame
+# dimensions, and a deterministic reconstruction-quality floor
+# (PSNR >= the constant below; the codec is RNG-free, so the bound
+# either holds for a fixture doc forever or never).
+# ---------------------------------------------------------------------------
+
+_JPEG_W = 16        # image width; height = ceil(n_bytes / width)
+_JPEG_PSNR_MIN = 30.0  # certified reconstruction floor (fixture min: 33.0)
+
+JPEG_STATS_SCHEMA = (
+    "doc_id bigint, width int, height int, n_pixels bigint, psnr_ok boolean"
+)
+
+
+def _jpeg_roundtrip_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from .jpeg import decode_jpeg, encode_jpeg
+
+    W = _JPEG_W
+    for pdf in batches:
+        out = {k: [] for k in ("doc_id", "width", "height", "n_pixels",
+                               "psnr_ok")}
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            data = text.encode("utf-8")
+            n = len(data)
+            if n == 0:
+                continue
+            h = (n + W - 1) // W
+            px = data + bytes(W * h - n)
+            jpg = encode_jpeg(W, h, px, 1)
+            w2, h2, _, decoded = decode_jpeg(jpg)
+            a = np.frombuffer(px, np.uint8).astype(np.float64)
+            b = np.frombuffer(decoded, np.uint8).astype(np.float64)
+            mse = float(((a - b) ** 2).mean())
+            psnr = 10.0 * np.log10(255.0 ** 2 / max(mse, 1e-12))
+            out["doc_id"].append(doc_id)
+            out["width"].append(w2)
+            out["height"].append(h2)
+            out["n_pixels"].append(w2 * h2)
+            out["psnr_ok"].append(bool(psnr >= _JPEG_PSNR_MIN))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.array(out["doc_id"], dtype="Int64"),
+                "width": pd.array(out["width"], dtype="Int32"),
+                "height": pd.array(out["height"], dtype="Int32"),
+                "n_pixels": pd.array(out["n_pixels"], dtype="Int64"),
+                "psnr_ok": out["psnr_ok"],
+            }
+        )
+
+
+@query(
+    "multimodal_jpeg_roundtrip",
+    oracle=f"""
+WITH media AS ({_MEDIA_SQL})
+SELECT doc_id,
+       CAST({_JPEG_W} AS INTEGER) AS width,
+       CAST((length(text) + {_JPEG_W - 1}) // {_JPEG_W} AS INTEGER)
+         AS height,
+       CAST({_JPEG_W} * ((length(text) + {_JPEG_W - 1}) // {_JPEG_W})
+            AS BIGINT) AS n_pixels,
+       TRUE AS psnr_ok
+FROM media WHERE media_type = 'image/png' AND length(text) > 0
+""",
+    views=[],
+)
+def multimodal_jpeg_roundtrip(m: Model) -> DataFrame:
+    """REAL baseline-JPEG roundtrip: each image doc's bytes become a
+    {16}-wide grayscale image, pass through the full DCT → quantize →
+    entropy-code pipeline and back (marker parsing, DQT/DHT tables
+    from the file, Huffman + byte-unstuffing, dequant, IDCT), and the
+    certified output is what lossy compression leaves certifiable:
+    the decoded frame DIMENSIONS and a deterministic PSNR >= {30} dB
+    reconstruction floor (fixture minimum 33.0 dB; the codec is
+    RNG-free so the flag is stable).  Codec spec-anchors — exact
+    uniform-block roundtrip under unit quantization, single-frequency
+    cosine survival, near-lossless 58 dB at q=1 — are pinned in
+    tests/test_llm.py.  One zero-shuffle Arrow map stage."""
+    from ..functions.partitioning import spread_if_undersplit
+
+    media = m.documents.select("doc_id", "text").where(
+        (F.col("doc_id") % 3 == 0) & (F.length("text") > 0)
+    )
+    return spread_if_undersplit(media, "doc_id").mapInPandas(
+        _jpeg_roundtrip_stats, JPEG_STATS_SCHEMA
     )

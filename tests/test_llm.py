@@ -646,3 +646,63 @@ def test_png_truncated_crc_raises_value_error():
     good = encode_png(2, 2, bytes(range(4)))
     with pytest.raises(ValueError, match="truncated chunk CRC"):
         decode_png(good[:-2])
+
+
+def test_jpeg_codec_spec_anchors():
+    """Spec anchors for the baseline JPEG codec (self-roundtrip alone
+    could hide a shared encoder/decoder mistake; these bounds are
+    ANALYTIC): a uniform block round-trips EXACTLY under unit
+    quantization (only the DC coefficient exists and q=1 preserves
+    it), a single-frequency cosine pattern survives (pins the zigzag
+    and dequant paths), unit-quant random data is near-lossless, and
+    unsupported shapes fail honestly."""
+    import numpy as np
+    import pytest
+
+    from hbase_tools_spark.llm.jpeg import decode_jpeg, encode_jpeg
+
+    unit = np.ones((8, 8))
+    for v in (0, 37, 128, 255):
+        px = bytes([v] * (16 * 24))
+        w, h, c, out = decode_jpeg(encode_jpeg(16, 24, px, 1, qt_luma=unit))
+        assert (w, h, c) == (16, 24, 1) and out == px, v
+
+    x = np.arange(16)
+    row = np.clip(
+        np.round(128 + 60 * np.cos((2 * (x % 8) + 1) * 3 * np.pi / 16)),
+        0, 255,
+    ).astype(np.uint8)
+    plane = np.tile(row, (8, 1))
+    _, _, _, out = decode_jpeg(
+        encode_jpeg(16, 8, plane.tobytes(), 1, qt_luma=unit)
+    )
+    err = np.abs(
+        np.frombuffer(out, np.uint8).astype(int)
+        - plane.flatten().astype(int)
+    ).max()
+    assert err <= 1, err
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=40 * 56, dtype=np.uint8).tobytes()
+    _, _, _, out = decode_jpeg(encode_jpeg(56, 40, px, 1, qt_luma=unit))
+    a = np.frombuffer(px, np.uint8).astype(float)
+    b = np.frombuffer(out, np.uint8).astype(float)
+    psnr = 10 * np.log10(255**2 / max(((a - b) ** 2).mean(), 1e-12))
+    assert psnr > 45, psnr
+
+    # RGB with the default lossy tables: sane PSNR and real compression
+    smooth = np.clip(
+        np.round(128 + 80 * np.sin(np.arange(64 * 64) / 97.0)), 0, 255
+    ).astype(np.uint8)
+    jpg = encode_jpeg(64, 64, smooth.tobytes(), 1)
+    assert len(jpg) < 64 * 64 // 4  # >= 4x smaller on smooth data
+    _, _, _, out = decode_jpeg(jpg)
+    a = smooth.astype(float)
+    b = np.frombuffer(out, np.uint8).astype(float)
+    psnr = 10 * np.log10(255**2 / ((a - b) ** 2).mean())
+    assert psnr > 40, psnr
+
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"nonsense")
+    with pytest.raises(ValueError):
+        encode_jpeg(4, 4, b"\x00" * 15, 1)  # size mismatch
