@@ -90,6 +90,7 @@ TOOL_QUERIES: dict[str, list[str]] = {
         "multimodal_decode_headers", "multimodal_features",
         "multimodal_frame_sample", "multimodal_png_stats",
         "multimodal_wav_pcm_stats", "multimodal_jpeg_roundtrip",
+        "multimodal_mp4_boxes",
     ],
     # Event-stream batch analytics (sessionization + skew detection) —
     # the batch twins of the stream_* jobs and the salting advisor.

@@ -706,3 +706,23 @@ def test_jpeg_codec_spec_anchors():
         decode_jpeg(b"nonsense")
     with pytest.raises(ValueError):
         encode_jpeg(4, 4, b"\x00" * 15, 1)  # size mismatch
+
+
+def test_mp4_box_roundtrip_and_errors():
+    """ISO BMFF build/parse must roundtrip (timescale, duration,
+    per-track ids and 16.16-fixed dims, mdat size), and malformed
+    boxes fail honestly."""
+    import pytest
+
+    from hbase_tools_spark.llm.multimodal import build_mp4, parse_mp4
+
+    mp4 = build_mp4(90000, 123456, [(1, 1920, 1080), (2, 640, 360)], b"xyz" * 7)
+    assert mp4[4:8] == b"ftyp"
+    ts, dur, tracks, mdat = parse_mp4(mp4)
+    assert (ts, dur) == (90000, 123456)
+    assert tracks == [(1, 1920, 1080), (2, 640, 360)]
+    assert mdat == 21
+    with pytest.raises(ValueError, match="ISO BMFF"):
+        parse_mp4(b"\x00\x00\x00\x08free")
+    with pytest.raises(ValueError, match="bad box size"):
+        parse_mp4(mp4[:10])
