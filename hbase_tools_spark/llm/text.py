@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import Model
-from ..functions.exprs import fround
+from ..functions.exprs import fround, fround_sql
 from ..registry import query
 
 _STOPWORDS = ("the", "a")
@@ -451,4 +451,214 @@ def corpus_stats_by_lang(m: Model) -> DataFrame:
         ),
         F.min(F.length("text").cast("bigint")).alias("min_chars"),
         F.max(F.length("text").cast("bigint")).alias("max_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style rule battery (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", table A1): the
+# standard multi-rule pretraining quality gate.  Every threshold below
+# is evaluated in INTEGER arithmetic (count*k vs n*k comparisons), so
+# the flags are bit-identical across engines with no FP epsilon.
+# ---------------------------------------------------------------------------
+
+_GR_MIN_WORDS = 30
+_GR_MAX_WORDS = 100_000
+_GR_MIN_MEAN_WLEN = 3   # mean word length in [3, 10]
+_GR_MAX_MEAN_WLEN = 10
+_GR_MIN_STOP_HITS = 2   # >= 2 stopword occurrences
+# >= 80% of words contain an alphabetic character  ->  5*alpha >= 4*n
+# symbol-to-word ratio <= 0.1 ('#' or '...')       ->  10*sym  <= n
+
+
+@query(
+    "docs_gopher_rules",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(length(replace(text, ' ', '')) AS BIGINT) AS nonspace,
+         CAST(len(list_filter(string_split(text, ' '),
+                              x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS alpha_cnt,
+         CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS BIGINT) AS sym_cnt,
+         CAST(len(list_filter(string_split(text, ' '),
+                              x -> x IN ('the', 'a'))) AS BIGINT) AS stop_cnt
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       (n_tokens BETWEEN {_GR_MIN_WORDS} AND {_GR_MAX_WORDS})          AS ok_word_count,
+       (nonspace >= {_GR_MIN_MEAN_WLEN} * n_tokens
+        AND nonspace <= {_GR_MAX_MEAN_WLEN} * n_tokens)                AS ok_mean_word_len,
+       (5 * alpha_cnt >= 4 * n_tokens)                                 AS ok_alpha_words,
+       (10 * sym_cnt <= n_tokens)                                      AS ok_symbol_ratio,
+       (stop_cnt >= {_GR_MIN_STOP_HITS})                               AS ok_stopwords,
+       (n_tokens BETWEEN {_GR_MIN_WORDS} AND {_GR_MAX_WORDS}
+        AND nonspace >= {_GR_MIN_MEAN_WLEN} * n_tokens
+        AND nonspace <= {_GR_MAX_MEAN_WLEN} * n_tokens
+        AND 5 * alpha_cnt >= 4 * n_tokens
+        AND 10 * sym_cnt <= n_tokens
+        AND stop_cnt >= {_GR_MIN_STOP_HITS})                           AS pass_all
+FROM t
+""",
+    views=[],
+)
+def docs_gopher_rules(m: Model) -> DataFrame:
+    """Gopher rule battery (Rae et al. 2021 table A1): word-count band,
+    mean-word-length band, alphabetic-word fraction >= 80%, symbol-to-
+    word ratio <= 0.1, minimum stopword hits — per-document flags plus
+    the conjunction, the standard pretraining quality gate.
+
+    Every rule compares integer counts scaled by integer constants
+    (``5*alpha >= 4*n`` instead of ``alpha/n >= 0.8``), so there is no
+    floating-point boundary anywhere — flags are exact in both engines.
+    Pure narrow projection: at 100 TB this runs inside the scan stage
+    with zero shuffle."""
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks).cast("bigint")
+    nonspace = F.length(F.regexp_replace(F.col("text"), " ", "")).cast("bigint")
+    alpha_cnt = F.size(F.filter(toks, lambda x: x.rlike("[a-z]"))).cast("bigint")
+    sym_cnt = F.regexp_count(F.col("text"), F.lit(r"#|\.\.\.")).cast("bigint")
+    stop_cnt = F.size(F.filter(toks, lambda x: x.isin(*_STOPWORDS))).cast("bigint")
+    base = m.documents.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        nonspace.alias("nonspace"),
+        alpha_cnt.alias("alpha_cnt"),
+        sym_cnt.alias("sym_cnt"),
+        stop_cnt.alias("stop_cnt"),
+    )
+    ok_words = F.col("n_tokens").between(_GR_MIN_WORDS, _GR_MAX_WORDS)
+    ok_wlen = (F.col("nonspace") >= _GR_MIN_MEAN_WLEN * F.col("n_tokens")) & (
+        F.col("nonspace") <= _GR_MAX_MEAN_WLEN * F.col("n_tokens")
+    )
+    ok_alpha = 5 * F.col("alpha_cnt") >= 4 * F.col("n_tokens")
+    ok_sym = 10 * F.col("sym_cnt") <= F.col("n_tokens")
+    ok_stop = F.col("stop_cnt") >= _GR_MIN_STOP_HITS
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        ok_words.alias("ok_word_count"),
+        ok_wlen.alias("ok_mean_word_len"),
+        ok_alpha.alias("ok_alpha_words"),
+        ok_sym.alias("ok_symbol_ratio"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_words & ok_wlen & ok_alpha & ok_sym & ok_stop).alias("pass_all"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility — subword tokens per whitespace word, by language:
+# the metric teams watch when a tokenizer under-serves a language (high
+# fertility = more compute per word).  The "subword" tokenizer here is
+# the BPE-ish fixed-width chunk regex ([a-z]{1,4}); a real pipeline
+# swaps in its tokenizer via the same per-doc count contract.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tokenizer_fertility",
+    oracle=f"""
+WITH t AS (
+  SELECT lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT)             AS n_words,
+         CAST(len(regexp_extract_all(text, '[a-z]{{1,4}}')) AS BIGINT) AS n_subtokens,
+         CAST(length(text) AS BIGINT)                             AS n_chars_calc
+  FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT)        AS docs,
+       CAST(sum(n_words) AS BIGINT)    AS total_words,
+       CAST(sum(n_subtokens) AS BIGINT) AS total_subtokens,
+       {fround_sql('sum(n_subtokens) * 1.0 / sum(n_words)', 6)}  AS fertility,
+       {fround_sql('sum(n_chars_calc) * 1.0 / sum(n_subtokens)', 6)} AS chars_per_subtoken
+FROM t
+GROUP BY lang
+""",
+    views=[],
+)
+def tokenizer_fertility(m: Model) -> DataFrame:
+    """Tokenizer fertility by language: subword tokens (greedy 1-4 char
+    chunks, a BPE stand-in) per whitespace word, and chars per subword
+    token — the per-language cost profile of a tokenizer over a corpus.
+
+    Integer count sums (exact, order-independent) feed one final
+    division per group, so the doubles are computed identically in both
+    engines.  One low-cardinality groupBy — a single map-side-combined
+    shuffle at any scale."""
+    toks = F.split(F.col("text"), " ")
+    t = m.documents.select(
+        "lang",
+        F.size(toks).cast("bigint").alias("n_words"),
+        F.regexp_count(F.col("text"), F.lit("[a-z]{1,4}"))
+        .cast("bigint")
+        .alias("n_subtokens"),
+        F.length("text").cast("bigint").alias("n_chars_calc"),
+    )
+    return t.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("docs"),
+        F.sum("n_words").cast("bigint").alias("total_words"),
+        F.sum("n_subtokens").cast("bigint").alias("total_subtokens"),
+        fround(F.sum("n_subtokens") * 1.0 / F.sum("n_words"), 6).alias("fertility"),
+        fround(F.sum("n_chars_calc") * 1.0 / F.sum("n_subtokens"), 6).alias(
+            "chars_per_subtoken"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Percentile length gate — trim corpus length outliers by GLOBAL
+# quantile thresholds: the two-pass "compute scalar thresholds, then
+# broadcast them into a narrow filter" shape (the scale-safe way to
+# filter on corpus-relative statistics — contrast with a window over
+# the whole corpus, which would be one giant partition).
+# ---------------------------------------------------------------------------
+
+_LP_LO = 0.05
+_LP_HI = 0.95
+
+
+@query(
+    "docs_length_percentile_filter",
+    oracle=f"""
+WITH th AS (
+  SELECT quantile_cont(length(text), {_LP_LO}) AS lo,
+         quantile_cont(length(text), {_LP_HI}) AS hi
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) FILTER (WHERE length(text) >= lo AND length(text) <= hi) AS BIGINT) AS n_kept,
+       CAST(count(*) FILTER (WHERE length(text) < lo) AS BIGINT)  AS n_dropped_short,
+       CAST(count(*) FILTER (WHERE length(text) > hi) AS BIGINT)  AS n_dropped_long,
+       {fround_sql('any_value(lo)', 4)} AS lo_chars,
+       {fround_sql('any_value(hi)', 4)} AS hi_chars
+FROM documents, th
+GROUP BY source
+""",
+    views=[],
+)
+def docs_length_percentile_filter(m: Model) -> DataFrame:
+    """Corpus-relative length gate: documents outside the global
+    [p5, p95] char-length band are outliers (truncated fragments and
+    concatenation accidents); per source, the kept/dropped-short/
+    dropped-long counts and the thresholds applied.
+
+    Plan: pass 1 computes the two exact quantiles as a ONE-ROW relation
+    (at 100 TB switch to percentile_approx — same plan shape); the
+    broadcast nested-loop join then decorates the narrow per-doc scan
+    with two scalars, and the per-source aggregate is a single
+    map-side-combined shuffle.  The corpus is never window-sorted."""
+    th = m.documents.agg(
+        F.expr(f"percentile(length(text), {_LP_LO})").alias("lo"),
+        F.expr(f"percentile(length(text), {_LP_HI})").alias("hi"),
+    )
+    dec = m.documents.crossJoin(F.broadcast(th))
+    ln = F.length("text")
+    return dec.groupBy("source").agg(
+        F.count(F.when((ln >= F.col("lo")) & (ln <= F.col("hi")), 1))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.count(F.when(ln < F.col("lo"), 1)).cast("bigint").alias("n_dropped_short"),
+        F.count(F.when(ln > F.col("hi"), 1)).cast("bigint").alias("n_dropped_long"),
+        fround(F.first("lo"), 4).alias("lo_chars"),
+        fround(F.first("hi"), 4).alias("hi_chars"),
     )

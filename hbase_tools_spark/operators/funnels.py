@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..catalog import Model
 from ..functions.exprs import fround, fround_sql
@@ -600,4 +601,262 @@ def events_transition_matrix(m: Model) -> DataFrame:
         "to_type",
         F.col("n").cast("bigint").alias("n_transitions"),
         fround(F.col("n") * 1.0 / total, 6).alias("probability"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# First-touch attribution — the complement of events_attribution: each
+# purchase credits the user's EARLIEST touch (click or view) inside the
+# lookback, not the latest.  "Earliest inside the lookback" cannot be a
+# running min over an unbounded-preceding frame (an out-of-window touch
+# would win), so the frame is a value-based RANGE window bounded by the
+# lookback itself — min over exactly the eligible set.  Channel + time
+# ride in ONE encoded bigint (tus*2 + type bit) so the argmin needs no
+# struct ordering: min(code) is the earliest touch, click beating view
+# on exact timestamp ties.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_attribution_first",
+    oracle=f"""
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS tus FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')
+),
+dec AS (
+  SELECT event_type, tus,
+         min(CASE WHEN event_type IN ('view', 'click')
+                  THEN tus * 2 + CASE WHEN event_type = 'click' THEN 0 ELSE 1 END
+             END)
+           OVER (PARTITION BY user_id ORDER BY tus
+                 RANGE BETWEEN {_ATTR_LOOKBACK_US} PRECEDING AND 1 PRECEDING)
+           AS fc
+  FROM ev
+),
+attr AS (
+  SELECT CASE WHEN fc IS NULL THEN 'organic'
+              WHEN fc % 2 = 0 THEN 'click' ELSE 'view' END AS attributed_to,
+         CASE WHEN fc IS NOT NULL THEN tus - fc // 2 END   AS latency_us
+  FROM dec WHERE event_type = 'purchase'
+)
+SELECT attributed_to,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       {fround_sql('coalesce(avg(CAST(latency_us AS DOUBLE)), 0) / 1000000.0', 6)}
+         AS avg_latency_sec
+FROM attr
+GROUP BY attributed_to
+""",
+    views=[],
+)
+def events_attribution_first(m: Model) -> DataFrame:
+    """First-touch conversion attribution: each purchase credits the
+    same user's EARLIEST click-or-view within the 7-day lookback
+    (click wins exact-timestamp ties), else 'organic'; per channel the
+    purchase count and mean touch->purchase latency.
+
+    Plan: one value-bounded RANGE window (ORDER BY integer-µs,
+    lookback µs PRECEDING .. 1 PRECEDING) takes min over exactly the
+    eligible touches — no self-join, no per-purchase probe, and unlike
+    a running min the lookback bound is part of the frame, so expired
+    touches can never win.  Channel and timestamp share one encoded
+    bigint (tus*2 + bit), making the argmin a plain min().  Single
+    shuffle on user_id."""
+    ev = m.events.where(
+        F.col("event_type").isin("view", "click", "purchase")
+    ).select("user_id", "event_type", F.unix_micros("ts").alias("tus"))
+    code = F.when(
+        F.col("event_type").isin("view", "click"),
+        F.col("tus") * 2
+        + F.when(F.col("event_type") == "click", F.lit(0)).otherwise(F.lit(1)),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tus")
+        .rangeBetween(-_ATTR_LOOKBACK_US, -1)
+    )
+    dec = ev.select(
+        "event_type", "tus", F.min(code).over(w).alias("fc")
+    ).where(F.col("event_type") == "purchase")
+    attr = dec.select(
+        F.when(F.col("fc").isNull(), "organic")
+        .when(F.col("fc") % 2 == 0, "click")
+        .otherwise("view")
+        .alias("attributed_to"),
+        F.when(
+            F.col("fc").isNotNull(), F.col("tus") - F.expr("fc div 2")
+        ).alias("latency_us"),
+    )
+    avg_lat = F.avg(F.col("latency_us").cast("double"))
+    return attr.groupBy("attributed_to").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+        fround(F.coalesce(avg_lat, F.lit(0.0)) / 1000000.0, 6).alias(
+            "avg_latency_sec"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Position-based (U-shaped) attribution — 40% first touch, 40% last
+# touch, 20% split over the middle touches.  Credits are INTEGER
+# millionths of a purchase (first = 400000 + the integer-division
+# remainder of the middle split, so every purchase distributes exactly
+# 1_000_000 units), which makes the channel sums exact bigints —
+# order-independent across engines with no FP accumulation anywhere.
+# Degenerate cases: 1 touch -> 1_000_000; 2 touches -> 500000/500000;
+# 0 touches -> organic.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_attribution_position",
+    oracle=f"""
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS tus FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')
+),
+dec AS (
+  SELECT event_type,
+         min(CASE WHEN event_type IN ('view', 'click')
+                  THEN tus * 2 + CASE WHEN event_type = 'click' THEN 0 ELSE 1 END END)
+           OVER w AS fc,
+         max(CASE WHEN event_type IN ('view', 'click')
+                  THEN tus * 2 + CASE WHEN event_type = 'click' THEN 0 ELSE 1 END END)
+           OVER w AS lc,
+         count(CASE WHEN event_type = 'click' THEN 1 END) OVER w AS n_click,
+         count(CASE WHEN event_type = 'view' THEN 1 END) OVER w AS n_view
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY tus
+               RANGE BETWEEN {_ATTR_LOOKBACK_US} PRECEDING AND 1 PRECEDING)
+),
+per AS (
+  SELECT n_click + n_view AS n_touch,
+         CASE WHEN fc % 2 = 0 THEN 1 ELSE 0 END AS f_click,
+         CASE WHEN lc % 2 = 0 THEN 1 ELSE 0 END AS l_click,
+         n_click, n_view
+  FROM dec WHERE event_type = 'purchase'
+),
+units AS (
+  SELECT n_touch,
+         CASE WHEN n_touch >= 3 THEN 200000 // (n_touch - 2) ELSE 0 END AS mid_each,
+         CASE WHEN n_touch >= 3
+              THEN 200000 - (200000 // (n_touch - 2)) * (n_touch - 2) ELSE 0 END AS rem,
+         f_click, l_click, n_click, n_view
+  FROM per
+),
+credits AS (
+  SELECT CASE WHEN n_touch = 0 THEN 0
+              WHEN n_touch = 1 THEN 1000000 * f_click
+              WHEN n_touch = 2 THEN 500000 * (f_click + l_click)
+              ELSE (400000 + rem) * f_click + 400000 * l_click
+                   + mid_each * (n_click - f_click - l_click)
+         END AS click_units,
+         CASE WHEN n_touch = 0 THEN 0
+              WHEN n_touch = 1 THEN 1000000 * (1 - f_click)
+              WHEN n_touch = 2 THEN 500000 * ((1 - f_click) + (1 - l_click))
+              ELSE (400000 + rem) * (1 - f_click) + 400000 * (1 - l_click)
+                   + mid_each * (n_view - (1 - f_click) - (1 - l_click))
+         END AS view_units,
+         CASE WHEN n_touch = 0 THEN 1000000 ELSE 0 END AS organic_units
+  FROM units
+)
+SELECT CAST(count(*) AS BIGINT)          AS n_purchases,
+       CAST(sum(click_units) AS BIGINT)  AS click_units,
+       CAST(sum(view_units) AS BIGINT)   AS view_units,
+       CAST(sum(organic_units) AS BIGINT) AS organic_units,
+       {fround_sql('sum(click_units) / 1000000.0', 6)}   AS click_credit,
+       {fround_sql('sum(view_units) / 1000000.0', 6)}    AS view_credit,
+       {fround_sql('sum(organic_units) / 1000000.0', 6)} AS organic_credit
+FROM credits
+""",
+    views=[],
+)
+def events_attribution_position(m: Model) -> DataFrame:
+    """Position-based (U-shaped 40/20/40) attribution: per purchase the
+    first eligible touch earns 40%, the last 40%, the middle touches
+    split 20% — fractional credit summed per channel over all
+    purchases.
+
+    Credits are integer MILLIONTHS (first touch also absorbs the
+    integer-division remainder of the middle split, so each purchase
+    distributes exactly 1e6 units): the channel totals are exact bigint
+    sums — no floating-point accumulation, hence order-independent and
+    bit-identical across engines; doubles appear only in the final
+    display division.  Same single RANGE-window pass as first-touch
+    (min/max/two counts over one frame), one shuffle on user_id."""
+    ev = m.events.where(
+        F.col("event_type").isin("view", "click", "purchase")
+    ).select("user_id", "event_type", F.unix_micros("ts").alias("tus"))
+    code = F.when(
+        F.col("event_type").isin("view", "click"),
+        F.col("tus") * 2
+        + F.when(F.col("event_type") == "click", F.lit(0)).otherwise(F.lit(1)),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tus")
+        .rangeBetween(-_ATTR_LOOKBACK_US, -1)
+    )
+    dec = ev.select(
+        "event_type",
+        F.min(code).over(w).alias("fc"),
+        F.max(code).over(w).alias("lc"),
+        F.count(F.when(F.col("event_type") == "click", 1)).over(w).alias("n_click"),
+        F.count(F.when(F.col("event_type") == "view", 1)).over(w).alias("n_view"),
+    ).where(F.col("event_type") == "purchase")
+    per = dec.select(
+        (F.col("n_click") + F.col("n_view")).alias("n_touch"),
+        F.when(F.col("fc") % 2 == 0, 1).otherwise(0).alias("f_click"),
+        F.when(F.col("lc") % 2 == 0, 1).otherwise(0).alias("l_click"),
+        "n_click",
+        "n_view",
+    )
+    units = per.select(
+        "n_touch",
+        F.when(F.col("n_touch") >= 3, F.expr("200000 div (n_touch - 2)"))
+        .otherwise(0)
+        .alias("mid_each"),
+        F.when(
+            F.col("n_touch") >= 3,
+            200000 - F.expr("(200000 div (n_touch - 2)) * (n_touch - 2)"),
+        )
+        .otherwise(0)
+        .alias("rem"),
+        "f_click",
+        "l_click",
+        "n_click",
+        "n_view",
+    )
+    f_view = 1 - F.col("f_click")
+    l_view = 1 - F.col("l_click")
+    credits = units.select(
+        F.when(F.col("n_touch") == 0, 0)
+        .when(F.col("n_touch") == 1, 1000000 * F.col("f_click"))
+        .when(F.col("n_touch") == 2, 500000 * (F.col("f_click") + F.col("l_click")))
+        .otherwise(
+            (400000 + F.col("rem")) * F.col("f_click")
+            + 400000 * F.col("l_click")
+            + F.col("mid_each")
+            * (F.col("n_click") - F.col("f_click") - F.col("l_click"))
+        )
+        .alias("click_units"),
+        F.when(F.col("n_touch") == 0, 0)
+        .when(F.col("n_touch") == 1, 1000000 * f_view)
+        .when(F.col("n_touch") == 2, 500000 * (f_view + l_view))
+        .otherwise(
+            (400000 + F.col("rem")) * f_view
+            + 400000 * l_view
+            + F.col("mid_each") * (F.col("n_view") - f_view - l_view)
+        )
+        .alias("view_units"),
+        F.when(F.col("n_touch") == 0, 1000000).otherwise(0).alias("organic_units"),
+    )
+    return credits.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+        F.sum("click_units").cast("bigint").alias("click_units"),
+        F.sum("view_units").cast("bigint").alias("view_units"),
+        F.sum("organic_units").cast("bigint").alias("organic_units"),
+        fround(F.sum("click_units") / 1000000.0, 6).alias("click_credit"),
+        fround(F.sum("view_units") / 1000000.0, 6).alias("view_credit"),
+        fround(F.sum("organic_units") / 1000000.0, 6).alias("organic_credit"),
     )

@@ -424,3 +424,57 @@ def test_weighted_sample_favors_heavy_docs(spark):
     finally:
         spark.conf.set("spark.hbase_tools.model_dir", "")
         load_model(spark, SF_DIR)
+
+
+def test_attribution_position_units_conserve(spark):
+    """Position-based attribution distributes EXACTLY 1e6 integer units
+    per purchase (the remainder rides on the first touch), so the three
+    channel unit sums must add up to n_purchases * 1e6 — the invariant
+    that makes the channel totals order-independent bigints."""
+    [r] = _run(spark, "events_attribution_position")
+    assert (
+        r["click_units"] + r["view_units"] + r["organic_units"]
+        == r["n_purchases"] * 1_000_000
+    )
+    assert r["n_purchases"] > 0 and r["organic_units"] % 1_000_000 == 0
+
+
+def test_attribution_first_vs_last_differ_and_cover(spark):
+    """First-touch and last-touch see the SAME purchases (identical
+    per-channel totals would mean the encode/window is degenerate;
+    identical organic counts are expected — eligibility is the same)."""
+    first = {r["attributed_to"]: r["n_purchases"] for r in _run(spark, "events_attribution_first")}
+    last = {r["attributed_to"]: r["n_purchases"] for r in _run(spark, "events_attribution")}
+    assert sum(first.values()) == sum(last.values())
+    assert first.get("organic", 0) == last.get("organic", 0)
+    assert first != last  # earliest-vs-latest must actually differ on this data
+
+
+def test_attribution_first_matches_python_replay(spark):
+    """Per-channel purchase counts equal a brute-force per-user replay
+    of "earliest touch within lookback, click wins timestamp ties"."""
+    from hbase_tools_spark.operators.funnels import _ATTR_LOOKBACK_US
+
+    got = {r["attributed_to"]: r["n_purchases"] for r in _run(spark, "events_attribution_first")}
+    by_user = defaultdict(list)
+    for r in _events(spark):
+        if r["event_type"] in ("view", "click", "purchase"):
+            by_user[r["user_id"]].append((r["tus"], r["event_type"]))
+    want = defaultdict(int)
+    for evs in by_user.values():
+        touches = [(t, ty) for t, ty in evs if ty != "purchase"]
+        for t, ty in evs:
+            if ty != "purchase":
+                continue
+            elig = [
+                (tt, tty)
+                for tt, tty in touches
+                if t - _ATTR_LOOKBACK_US <= tt <= t - 1
+            ]
+            if not elig:
+                want["organic"] += 1
+            else:
+                # earliest; click (bit 0) wins ties at the same tus
+                best = min(elig, key=lambda p: p[0] * 2 + (0 if p[1] == "click" else 1))
+                want[best[1]] += 1
+    assert got == dict(want)
