@@ -1104,3 +1104,203 @@ _query(
     oracle=_Q["docs_ccnet_perplexity"].oracle,
     views=[],
 )(docs_ccnet_perplexity_served)
+
+
+# ---------------------------------------------------------------------------
+# In-engine word-embedding training demo: co-occurrence -> PPMI ->
+# hashed random projection -> cosine neighbors.  The classic
+# count-based representation-learning pipeline (Levy & Goldberg 2014
+# showed PPMI+dim-reduction matches word2vec), expressed END TO END as
+# relational operators: the corpus is never collected, the "model" is
+# a DataFrame of (word, dim, value), and the only non-SQL step is the
+# libm ln.  Determinism: the projection matrix is md5-derived signs
+# (no RNG), PPMI terms are decimal-quantized before summing, and dot
+# products / norms are exact decimal sums rounded before the one
+# double division — bit-identical across engines.
+# ---------------------------------------------------------------------------
+
+_WV_DIMS = 16   # projection dimensions
+_WV_TOPV = 20   # vocabulary slice that gets vectors + neighbors
+
+
+@query(
+    "word_embedding_neighbors",
+    oracle=f"""
+WITH tok AS (
+  SELECT string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+),
+prs AS (
+  SELECT unnest(list_slice(toks, 1, greatest(n - 1, 0))) AS w,
+         unnest(list_slice(toks, 2, n)) AS c FROM tok
+  UNION ALL
+  SELECT unnest(list_slice(toks, 2, n)),
+         unnest(list_slice(toks, 1, greatest(n - 1, 0))) FROM tok
+  UNION ALL
+  SELECT unnest(list_slice(toks, 1, greatest(n - 2, 0))),
+         unnest(list_slice(toks, 3, n)) FROM tok
+  UNION ALL
+  SELECT unnest(list_slice(toks, 3, n)),
+         unnest(list_slice(toks, 1, greatest(n - 2, 0))) FROM tok
+),
+cooc AS (SELECT w, c, CAST(count(*) AS BIGINT) AS cnt FROM prs GROUP BY w, c),
+marg AS (SELECT w AS mw, CAST(sum(cnt) AS BIGINT) AS n_w FROM cooc GROUP BY w),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS big_n FROM cooc),
+topv AS (SELECT mw, n_w FROM marg ORDER BY n_w DESC, mw LIMIT {_WV_TOPV}),
+ppmi AS (
+  SELECT cooc.w, cooc.c,
+         CAST({fround_sql('greatest(0.0, ln((cnt * big_n) * 1.0 / (mw1.n_w * mw2.n_w)))', 6)}
+              AS DECIMAL(18,6)) AS p
+  FROM cooc
+  JOIN topv ON cooc.w = topv.mw
+  JOIN marg mw1 ON cooc.w = mw1.mw
+  JOIN marg mw2 ON cooc.c = mw2.mw
+  CROSS JOIN tot
+),
+vec AS (
+  SELECT w, i,
+         CAST(sum(CASE WHEN CAST(('0x' || substr(md5(c || '#' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT) % 2 = 0
+                       THEN p ELSE -p END) AS DECIMAL(18,6)) AS v
+  FROM ppmi, unnest(range(0, {_WV_DIMS})) AS t(i)
+  GROUP BY w, i
+),
+norms AS (
+  SELECT w, sqrt(CAST(round(sum(v * v), 6) AS DOUBLE)) AS nrm
+  FROM vec GROUP BY w
+),
+dots AS (
+  SELECT a.w AS w1, b.w AS w2,
+         CAST(round(sum(a.v * b.v), 6) AS DOUBLE) AS dot
+  FROM vec a JOIN vec b ON a.i = b.i AND a.w < b.w
+  GROUP BY a.w, b.w
+)
+SELECT w1, w2,
+       {fround_sql('dot / (na.nrm * nb.nrm)', 6)} AS cos_sim
+FROM dots
+JOIN norms na ON dots.w1 = na.w
+JOIN norms nb ON dots.w2 = nb.w
+WHERE na.nrm > 0 AND nb.nrm > 0
+""",
+    views=[],
+)
+def word_embedding_neighbors(m: Model) -> DataFrame:
+    """Count-based word embeddings trained fully in-engine: symmetric
+    +-2-window co-occurrence counts -> PPMI weighting -> {_WV_DIMS}-dim
+    signed random projection (md5-derived signs, no RNG) -> pairwise
+    cosine among the top-{_WV_TOPV} vocabulary — the Levy-Goldberg
+    count pipeline as relational algebra.
+
+    Scale shape: pair generation is WITHIN-ROW array slicing (zip of
+    shifted slices — no self-join, no positional explode+join), so the
+    only corpus-wide shuffles are the (w, c) count and the (w, dim)
+    projection sum; marginals and the dim spine are broadcast-sized.
+    Exactness: PPMI quantizes to DECIMAL(18,6) per term, vector
+    components / dots / norms are exact decimal sums rounded to 6
+    before the single double division (unscaled < 2^53), and ln is
+    libm on exact-integer ratios — every stage is order-independent
+    and engine-identical."""
+    toks = F.split(F.col("text"), " ")
+    tok = m.documents.select(toks.alias("toks"), F.size(toks).alias("n"))
+
+    def shifted(d: int):
+        a = F.slice(F.col("toks"), 1, F.greatest(F.col("n") - d, F.lit(0)))
+        b = F.slice(F.col("toks"), 1 + d, F.greatest(F.col("n") - d, F.lit(0)))
+        return F.arrays_zip(a.alias("w"), b.alias("c"))
+
+    one_dir = tok.select(
+        F.explode(F.concat(shifted(1), shifted(2))).alias("p")
+    ).select(F.col("p.w").alias("w"), F.col("p.c").alias("c"))
+    prs = one_dir.unionAll(
+        one_dir.select(F.col("c").alias("w"), F.col("w").alias("c"))
+    )
+    # cooc feeds FOUR consumers (marginals, total, top-V, PPMI) —
+    # checkpoint once so the corpus-wide pair explosion runs once, not
+    # four times (12.6 s -> ~3 s at sf0.1).
+    cooc = (
+        prs.groupBy("w", "c")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    marg = cooc.groupBy(F.col("w").alias("mw")).agg(
+        F.sum("cnt").cast("bigint").alias("n_w")
+    )
+    tot = cooc.agg(F.sum("cnt").cast("bigint").alias("big_n"))
+    topv = marg.orderBy(F.desc("n_w"), "mw").limit(_WV_TOPV)
+
+    ppmi = (
+        cooc.join(F.broadcast(topv.select("mw")), cooc.w == F.col("mw"), "inner")
+        .drop("mw")
+        .join(
+            F.broadcast(marg.select(F.col("mw").alias("w1m"), F.col("n_w").alias("nw1"))),
+            F.col("w") == F.col("w1m"),
+        )
+        .join(
+            F.broadcast(marg.select(F.col("mw").alias("w2m"), F.col("n_w").alias("nw2"))),
+            F.col("c") == F.col("w2m"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w",
+            "c",
+            fround(
+                F.greatest(
+                    F.lit(0.0),
+                    _pln(
+                        (F.col("cnt") * F.col("big_n"))
+                        * 1.0
+                        / (F.col("nw1") * F.col("nw2"))
+                    ),
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("p"),
+        )
+    )
+    dims = ppmi.select(
+        "w",
+        "c",
+        "p",
+        F.explode(F.sequence(F.lit(0), F.lit(_WV_DIMS - 1))).alias("i"),
+    )
+    sign_bit = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("c"), F.lit("#"), F.col("i").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    )
+    # Narrow the summed component back to DECIMAL(18,6) (|v| <= a few
+    # hundred, 6 decimals — exact): without this, Spark's sum type
+    # (28,6) squared overflows precision 38 and TRUNCATES scale, while
+    # DuckDB's (38,6) squared silently promotes to DOUBLE — both
+    # engines would leave exact arithmetic, in different ways.
+    vec = dims.groupBy("w", "i").agg(
+        F.sum(F.when(sign_bit == 0, F.col("p")).otherwise(-F.col("p")))
+        .cast("decimal(18,6)")
+        .alias("v")
+    ).localCheckpoint(eager=False)  # three consumers: norms + both join sides
+    norms = vec.groupBy("w").agg(
+        F.sqrt(F.round(F.sum(F.col("v") * F.col("v")), 6).cast("double")).alias("nrm")
+    )
+    a = vec.select(F.col("w").alias("w1"), "i", F.col("v").alias("va"))
+    b = vec.select(F.col("w").alias("w2"), F.col("i").alias("ib"), F.col("v").alias("vb"))
+    dots = (
+        a.join(b, (F.col("i") == F.col("ib")) & (F.col("w1") < F.col("w2")))
+        .groupBy("w1", "w2")
+        .agg(F.round(F.sum(F.col("va") * F.col("vb")), 6).cast("double").alias("dot"))
+    )
+    na = norms.select(F.col("w").alias("nw1"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("w").alias("nw2"), F.col("nrm").alias("nb"))
+    return (
+        dots.join(F.broadcast(na), F.col("w1") == F.col("nw1"))
+        .join(F.broadcast(nb), F.col("w2") == F.col("nw2"))
+        .where((F.col("na") > 0) & (F.col("nb") > 0))
+        .select("w1", "w2", fround(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("cos_sim"))
+    )

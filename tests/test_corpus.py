@@ -240,3 +240,19 @@ def test_window_dedup_counts_are_consistent(model):
         assert 0 <= r["n_dup_windows"] <= r["n_windows"]
         assert abs(r["dup_fraction"] - r["n_dup_windows"] / r["n_windows"]) < 1e-6
         assert r["dup_heavy"] == (r["n_dup_windows"] / r["n_windows"] >= 0.2)
+
+
+def test_word_embedding_neighbors_geometry(spark):
+    """The projected vectors must behave like a real embedding: every
+    pairwise cosine lies in [-1, 1] (the decimal dot/norm pipeline
+    preserves Cauchy-Schwarz), all C(topv, 2) pairs are present, and
+    the similarity distribution is non-degenerate (not all equal)."""
+    from hbase_tools_spark.llm.corpus import _WV_TOPV
+
+    rows = QUERIES["word_embedding_neighbors"].fn(load_model(spark, SF_DIR)).collect()
+    n = _WV_TOPV * (_WV_TOPV - 1) // 2
+    assert len(rows) == n
+    sims = [r["cos_sim"] for r in rows]
+    assert all(-1.0 - 1e-9 <= s <= 1.0 + 1e-9 for s in sims)
+    assert len(set(sims)) > n // 4  # non-degenerate spread
+    assert all(r["w1"] < r["w2"] for r in rows)  # strict upper triangle
