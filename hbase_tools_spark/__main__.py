@@ -78,7 +78,8 @@ TOOL_QUERIES: dict[str, list[str]] = {
         "token_count_hist", "corpus_stats_by_lang", "vocab_top_terms",
         "tfidf_top_terms", "docs_char_entropy", "oov_rate_by_source",
         "source_unigram_divergence", "token_zipf_fit", "bigram_pmi_top",
-        "corpus_dataset_card",
+        "corpus_dataset_card", "docs_gopher_rules", "tokenizer_fertility",
+        "docs_length_percentile_filter", "word_embedding_neighbors",
     ],
     "llm_embed": [
         "embedding_topk", "embedding_ivf_kmeans_topk",
@@ -90,7 +91,7 @@ TOOL_QUERIES: dict[str, list[str]] = {
         "multimodal_decode_headers", "multimodal_features",
         "multimodal_frame_sample", "multimodal_png_stats",
         "multimodal_wav_pcm_stats", "multimodal_jpeg_roundtrip",
-        "multimodal_mp4_boxes",
+        "multimodal_mp4_boxes", "multimodal_mjpeg_video",
     ],
     # Event-stream batch analytics (sessionization + skew detection) —
     # the batch twins of the stream_* jobs and the salting advisor.
@@ -99,7 +100,8 @@ TOOL_QUERIES: dict[str, list[str]] = {
         "events_sessionize", "events_heavy_hitters", "events_funnel",
         "events_retention_cohorts", "events_props_rollup",
         "events_anomaly_zscore", "events_attribution",
-        "events_transition_matrix",
+        "events_attribution_first", "events_attribution_position",
+        "events_markov_attribution", "events_transition_matrix",
     ],
 }
 

@@ -860,3 +860,253 @@ def events_attribution_position(m: Model) -> DataFrame:
         fround(F.sum("view_units") / 1000000.0, 6).alias("view_credit"),
         fround(F.sum("organic_units") / 1000000.0, 6).alias("organic_credit"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-driven (Markov removal-effect) attribution — the fourth member
+# of the attribution family: model user journeys as a first-order
+# Markov chain (start -> {view, click} -> purchase/end with absorbing
+# ends), compute the K-step conversion probability from 'start', then
+# re-compute it with each channel REMOVED (its incoming transitions
+# redirected to the null absorber, per Anderl et al. 2016); a
+# channel's credit share is its normalized removal effect.
+#
+# The chain iterates IN-ENGINE: the state vector is a relation
+# (variant, state, p) and each step is one join + groupBy against the
+# tiny transition relation — the same next-state-is-a-RELATION shape
+# as neardup_pagerank, so no per-step driver sync.  All probabilities
+# live in DECIMAL(11,7), re-quantized after every step (round on
+# decimal is exact HALF_UP in both engines), so K chained
+# matrix-vector products stay bit-identical with no FP accumulation.
+# ---------------------------------------------------------------------------
+
+_MK_STEPS = 8
+_MK_CHANNELS = ("view", "click")
+
+
+def _markov_tr_sql() -> str:
+    """Transition relations for the full chain and each removed-channel
+    variant, as a DuckDB CTE body (shared by the unrolled oracle)."""
+    variants = ["SELECT 'full' AS variant, from_type, to_type, p FROM pq"]
+    for ch in _MK_CHANNELS:
+        variants.append(f"""
+SELECT 'rm_{ch}' AS variant, from_type,
+       CASE WHEN to_type = '{ch}' THEN 'end' ELSE to_type END AS to_type,
+       CAST(sum(p) AS DECIMAL(11,7)) AS p
+FROM pq WHERE from_type <> '{ch}'
+GROUP BY from_type, CASE WHEN to_type = '{ch}' THEN 'end' ELSE to_type END
+""")
+    variant_sql = " UNION ALL ".join(variants)
+    return f"""
+ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS tus, event_id FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')
+),
+seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY tus, event_id)
+           AS nxt,
+         row_number() OVER (PARTITION BY user_id ORDER BY tus, event_id)
+           AS rn
+  FROM ev
+),
+raw AS (
+  SELECT event_type AS from_type, coalesce(nxt, 'end') AS to_type
+  FROM seq WHERE event_type <> 'purchase'
+  UNION ALL
+  SELECT 'start', event_type FROM seq WHERE rn = 1
+),
+cnts AS (SELECT from_type, to_type, count(*) AS c FROM raw GROUP BY 1, 2),
+pq AS (
+  SELECT from_type, to_type,
+         CAST(floor((c * 1.0 / sum(c) OVER (PARTITION BY from_type))
+                    * 10000000.0 + 0.5) / 10000000.0 AS DECIMAL(11,7)) AS p
+  FROM cnts
+),
+tr AS (
+  SELECT * FROM ({variant_sql}) v
+  UNION ALL
+  SELECT variant, s, s, CAST(1 AS DECIMAL(11,7))
+  FROM (SELECT unnest(['full', 'rm_view', 'rm_click']) AS variant) vs,
+       (SELECT unnest(['purchase', 'end']) AS s) ab
+)
+"""
+
+
+def _markov_oracle() -> str:
+    steps = ""
+    prev = "v0"
+    for k in range(1, _MK_STEPS + 1):
+        steps += f""",
+v{k} AS (
+  SELECT v.variant, t.to_type AS state,
+         CAST(round(sum(t.p * v.p), 7) AS DECIMAL(11,7)) AS p
+  FROM {prev} v JOIN tr t
+    ON t.variant = v.variant AND t.from_type = v.state
+  GROUP BY v.variant, t.to_type
+)"""
+        prev = f"v{k}"
+    chan_rows = " UNION ALL ".join(
+        f"SELECT '{ch}' AS channel, 'rm_{ch}' AS variant" for ch in _MK_CHANNELS
+    )
+    return f"""
+WITH {_markov_tr_sql().strip().rstrip()},
+v0 AS (
+  SELECT variant, 'start' AS state, CAST(1 AS DECIMAL(11,7)) AS p
+  FROM (SELECT unnest(['full', 'rm_view', 'rm_click']) AS variant) vs
+){steps},
+conv AS (
+  SELECT variant, coalesce(max(p), CAST(0 AS DECIMAL(11,7))) AS p
+  FROM {prev} WHERE state = 'purchase' GROUP BY variant
+),
+eff AS (
+  SELECT c.channel,
+         f.p AS p_full,
+         r.p AS p_removed,
+         f.p - r.p AS re
+  FROM ({chan_rows}) c
+  JOIN conv f ON f.variant = 'full'
+  JOIN conv r ON r.variant = c.variant
+)
+SELECT channel,
+       {fround_sql('CAST(p_full AS DOUBLE)', 6)}    AS p_full,
+       {fround_sql('CAST(p_removed AS DOUBLE)', 6)} AS p_removed,
+       {fround_sql('CAST(re AS DOUBLE) / CAST(p_full AS DOUBLE)', 6)}
+         AS removal_effect,
+       {fround_sql('CAST(re AS DOUBLE) / CAST((SELECT sum(re) FROM eff) AS DOUBLE)', 6)}
+         AS credit_share
+FROM eff
+"""
+
+
+@query("events_markov_attribution", oracle=_markov_oracle(), views=[])
+def events_markov_attribution(m: Model) -> DataFrame:
+    """Markov removal-effect attribution over {8} chain steps: journeys
+    (start -> events -> end, purchase absorbing) define the transition
+    matrix; each channel's worth is how much the start->purchase
+    K-step probability drops when that channel's incoming edges are
+    redirected to the null absorber — credit shares are the normalized
+    removal effects.
+
+    The power iteration runs as {8} chained join+groupBy steps over a
+    (variant, state, p) RELATION — all three variants advance in the
+    same plan, no driver synchronization per step (the pagerank shape,
+    not the Lloyd's-kmeans shape).  Probabilities are DECIMAL(11,7),
+    re-quantized after every matrix-vector product, so the chain is
+    exact and order-independent; doubles appear only in the final
+    ratio columns.  The corpus-scale work is ONE user-partitioned
+    window pass; everything after is states^2-sized."""
+    ev = m.events.where(
+        F.col("event_type").isin("view", "click", "purchase")
+    ).select("user_id", "event_type", F.unix_micros("ts").alias("tus"), "event_id")
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type").over(w).alias("nxt"),
+        F.row_number().over(w).alias("rn"),
+    )
+    raw = (
+        seq.where(F.col("event_type") != "purchase")
+        .select(
+            F.col("event_type").alias("from_type"),
+            F.coalesce(F.col("nxt"), F.lit("end")).alias("to_type"),
+        )
+        .unionAll(
+            seq.where(F.col("rn") == 1).select(
+                F.lit("start").alias("from_type"),
+                F.col("event_type").alias("to_type"),
+            )
+        )
+    )
+    cnts = raw.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("c"))
+    tot = Window.partitionBy("from_type")
+    pq = cnts.select(
+        "from_type",
+        "to_type",
+        fround(F.col("c") * 1.0 / F.sum("c").over(tot), 7)
+        .cast("decimal(11,7)")
+        .alias("p"),
+    ).localCheckpoint(eager=False)  # consumed by all three variants
+
+    spark = m.documents.sparkSession
+    variants = [pq.select(F.lit("full").alias("variant"), "from_type", "to_type", "p")]
+    for ch in _MK_CHANNELS:
+        to2 = F.when(F.col("to_type") == ch, "end").otherwise(F.col("to_type"))
+        variants.append(
+            pq.where(F.col("from_type") != ch)
+            .groupBy(F.col("from_type"), to2.alias("to_type"))
+            .agg(F.sum("p").cast("decimal(11,7)").alias("p"))
+            .select(F.lit(f"rm_{ch}").alias("variant"), "from_type", "to_type", "p")
+        )
+    tr = variants[0]
+    for v in variants[1:]:
+        tr = tr.unionAll(v)
+    absorb = spark.createDataFrame(
+        [(v, s) for v in ("full", "rm_view", "rm_click") for s in ("purchase", "end")],
+        "variant string, from_type string",
+    ).select(
+        "variant",
+        "from_type",
+        F.col("from_type").alias("to_type"),
+        F.lit(1).cast("decimal(11,7)").alias("p"),
+    )
+    tr = tr.unionAll(absorb).localCheckpoint(eager=False)
+
+    v = spark.createDataFrame(
+        [(x,) for x in ("full", "rm_view", "rm_click")], "variant string"
+    ).select(
+        "variant", F.lit("start").alias("state"), F.lit(1).cast("decimal(11,7)").alias("p")
+    )
+    for _ in range(_MK_STEPS):
+        v = (
+            v.alias("v")
+            .join(
+                tr.alias("t"),
+                (F.col("t.variant") == F.col("v.variant"))
+                & (F.col("t.from_type") == F.col("v.state")),
+            )
+            .groupBy(F.col("v.variant").alias("variant"), F.col("t.to_type").alias("state"))
+            .agg(
+                F.round(F.sum(F.col("t.p") * F.col("v.p")), 7)
+                .cast("decimal(11,7)")
+                .alias("p")
+            )
+        )
+    conv = (
+        v.where(F.col("state") == "purchase")
+        .groupBy("variant")
+        .agg(F.coalesce(F.max("p"), F.lit(0).cast("decimal(11,7)")).alias("p"))
+        .localCheckpoint(eager=False)  # consumed by full + each channel row
+    )
+    chan = spark.createDataFrame(
+        [(ch, f"rm_{ch}") for ch in _MK_CHANNELS], "channel string, variant string"
+    )
+    full = conv.where(F.col("variant") == "full").select(F.col("p").alias("p_full"))
+    eff = (
+        chan.crossJoin(F.broadcast(full))
+        .join(
+            conv.select(F.col("variant").alias("rv"), F.col("p").alias("p_removed")),
+            F.col("variant") == F.col("rv"),
+        )
+        .select(
+            "channel",
+            "p_full",
+            "p_removed",
+            (F.col("p_full") - F.col("p_removed")).alias("re"),
+        )
+    )
+    tot_re = eff.agg(F.sum("re").alias("sre"))
+    return (
+        eff.crossJoin(F.broadcast(tot_re))
+        .select(
+            "channel",
+            fround(F.col("p_full").cast("double"), 6).alias("p_full"),
+            fround(F.col("p_removed").cast("double"), 6).alias("p_removed"),
+            fround(F.col("re").cast("double") / F.col("p_full").cast("double"), 6).alias(
+                "removal_effect"
+            ),
+            fround(F.col("re").cast("double") / F.col("sre").cast("double"), 6).alias(
+                "credit_share"
+            ),
+        )
+    )

@@ -478,3 +478,76 @@ def test_attribution_first_matches_python_replay(spark):
                 best = min(elig, key=lambda p: p[0] * 2 + (0 if p[1] == "click" else 1))
                 want[best[1]] += 1
     assert got == dict(want)
+
+
+def test_markov_attribution_matches_decimal_replay(spark):
+    """p_full / p_removed equal a driver-side Decimal replay of the
+    quantized chain: transition probs rounded to 7dp, K matrix-vector
+    products each re-rounded to 7dp — the exact arithmetic contract the
+    relational iteration claims."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from hbase_tools_spark.operators.funnels import _MK_CHANNELS, _MK_STEPS
+
+    rows = _run(spark, "events_markov_attribution")
+    got = {r["channel"]: (r["p_full"], r["p_removed"]) for r in rows}
+
+    ev = sorted(
+        (
+            (r["user_id"], r["tus"], r["event_type"])
+            for r in _events(spark)
+            if r["event_type"] in ("view", "click", "purchase")
+        ),
+    )
+    # journeys -> raw transitions (purchase absorbing, start/end virtual)
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for u, t, ty in ev:
+        by_user[u].append(ty)
+    cnt = defaultdict(int)
+    for seq in by_user.values():
+        cnt[("start", seq[0])] += 1
+        for a, b in zip(seq, seq[1:]):
+            if a != "purchase":
+                cnt[(a, b)] += 1
+        if seq[-1] != "purchase":
+            cnt[(seq[-1], "end")] += 1
+    tot = defaultdict(int)
+    for (a, _), c in cnt.items():
+        tot[a] += c
+    q7 = lambda x: Decimal(x).quantize(Decimal("0.0000001"), ROUND_HALF_UP)  # noqa: E731
+    # fround semantics: floor(x*1e7+0.5)/1e7 on the double ratio
+    import math
+
+    P = {
+        k: Decimal(math.floor((c / tot[k[0]]) * 1e7 + 0.5)) / Decimal(10**7)
+        for k, c in cnt.items()
+    }
+
+    def run_chain(removed: str | None) -> Decimal:
+        tr = defaultdict(Decimal)
+        for (a, b), p in P.items():
+            if a == removed:
+                continue
+            tr[(a, "end" if b == removed else b)] += p
+        tr[("purchase", "purchase")] = Decimal(1)
+        tr[("end", "end")] = Decimal(1)
+        v = {"start": Decimal(1)}
+        for _ in range(_MK_STEPS):
+            nxt = defaultdict(Decimal)
+            for (a, b), p in tr.items():
+                if a in v:
+                    nxt[b] += p * v[a]
+            v = {s: q7(x) for s, x in nxt.items()}
+        return v.get("purchase", Decimal(0))
+
+    p_full = run_chain(None)
+    for ch in _MK_CHANNELS:
+        want_full = float(
+            Decimal(math.floor(float(p_full) * 1e6 + 0.5)) / Decimal(10**6)
+        )
+        want_rm = float(
+            Decimal(math.floor(float(run_chain(ch)) * 1e6 + 0.5)) / Decimal(10**6)
+        )
+        assert got[ch] == (want_full, want_rm), (ch, got[ch], want_full, want_rm)
