@@ -80,6 +80,7 @@ TOOL_QUERIES: dict[str, list[str]] = {
         "source_unigram_divergence", "token_zipf_fit", "bigram_pmi_top",
         "corpus_dataset_card", "docs_gopher_rules", "tokenizer_fertility",
         "docs_length_percentile_filter", "word_embedding_neighbors",
+        "docs_lr_quality_train",
     ],
     "llm_embed": [
         "embedding_topk", "embedding_ivf_kmeans_topk",

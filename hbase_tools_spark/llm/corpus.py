@@ -1304,3 +1304,183 @@ def word_embedding_neighbors(m: Model) -> DataFrame:
         .where((F.col("na") > 0) & (F.col("nb") > 0))
         .select("w1", "w2", fround(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("cos_sim"))
     )
+
+
+# ---------------------------------------------------------------------------
+# In-engine logistic-regression training — the supervised sibling of
+# the word-embedding demo: a linear quality/language classifier
+# (the fastText-linear shape) trained by full-batch gradient descent
+# where BOTH the model and the gradient are relations.  Each step is
+# one broadcast of the 1-row weight relation + one aggregate over the
+# feature relation: the inherently sequential structure is the K
+# gradient syncs (like Lloyd's k-means), but each sync is a single
+# exact-decimal aggregate with no driver-side math beyond plan
+# construction.  Weights are re-quantized to DECIMAL(12,7) after
+# every step, gradient sums are per-term DECIMAL(28,12) (dsum
+# discipline), and the sigmoid's exp is libm via Arrow — the whole
+# trajectory is bit-identical across engines.
+# ---------------------------------------------------------------------------
+
+_LR_STEPS = 5
+_LR_RATE = 4.0
+
+
+def _lr_features_sql() -> str:
+    return """
+feat AS (
+  SELECT (floor((len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) * 1.0
+                 / len(string_split(text, ' '))) * 10000.0 + 0.5) / 10000.0) AS x1,
+         (floor((length(replace(text, ' ', '')) * 1.0
+                 / len(string_split(text, ' '))) * 10000.0 + 0.5) / 10000.0) / 10.0 AS x2,
+         CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+  FROM documents
+),
+nn AS (SELECT count(*) AS n FROM feat)
+"""
+
+
+def _lr_step_sql(k: int) -> str:
+    """One unrolled GD step: w{k} from w{k-1}.  The z expression is
+    parenthesized identically to the Spark Column tree."""
+    p = k - 1
+    z = (f"((CAST(w{p}.wa AS DOUBLE) * x1) + (CAST(w{p}.wb AS DOUBLE) * x2))"
+         f" + CAST(w{p}.wc AS DOUBLE)")
+    sig = f"(1.0 / (1.0 + exp(-({z}))))"
+    return f""",
+g{k} AS (
+  SELECT round(sum(CAST(x1 * ({sig} - y) AS DECIMAL(28,12))), 7) AS ga,
+         round(sum(CAST(x2 * ({sig} - y) AS DECIMAL(28,12))), 7) AS gb,
+         round(sum(CAST(1.0 * ({sig} - y) AS DECIMAL(28,12))), 7) AS gc
+  FROM feat, w{p}
+),
+w{k} AS (
+  SELECT CAST(floor((CAST(w{p}.wa AS DOUBLE) - {_LR_RATE} * (CAST(ga AS DOUBLE) / n))
+                    * 10000000.0 + 0.5) / 10000000.0 AS DECIMAL(12,7)) AS wa,
+         CAST(floor((CAST(w{p}.wb AS DOUBLE) - {_LR_RATE} * (CAST(gb AS DOUBLE) / n))
+                    * 10000000.0 + 0.5) / 10000000.0 AS DECIMAL(12,7)) AS wb,
+         CAST(floor((CAST(w{p}.wc AS DOUBLE) - {_LR_RATE} * (CAST(gc AS DOUBLE) / n))
+                    * 10000000.0 + 0.5) / 10000000.0 AS DECIMAL(12,7)) AS wc
+  FROM g{k}, w{p}, nn
+)"""
+
+
+def _lr_oracle() -> str:
+    steps = "".join(_lr_step_sql(k) for k in range(1, _LR_STEPS + 1))
+    K = _LR_STEPS
+    zf = (f"((CAST(w{K}.wa AS DOUBLE) * x1) + (CAST(w{K}.wb AS DOUBLE) * x2))"
+          f" + CAST(w{K}.wc AS DOUBLE)")
+    return f"""
+WITH {_lr_features_sql().strip()},
+w0 AS (SELECT CAST(0 AS DECIMAL(12,7)) AS wa, CAST(0 AS DECIMAL(12,7)) AS wb,
+              CAST(0 AS DECIMAL(12,7)) AS wc){steps}
+SELECT CAST(w{K}.wa AS DOUBLE) AS w_stopword,
+       CAST(w{K}.wb AS DOUBLE) AS w_wordlen,
+       CAST(w{K}.wc AS DOUBLE) AS w_bias,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       {fround_sql(f'sum(CASE WHEN (({zf}) > 0.0) = (y = 1.0) THEN 1 ELSE 0 END) * 1.0 / count(*)', 6)}
+         AS train_accuracy
+FROM feat, w{K}
+GROUP BY w{K}.wa, w{K}.wb, w{K}.wc
+"""
+
+
+@query("docs_lr_quality_train", oracle=_lr_oracle(), views=[])
+def docs_lr_quality_train(m: Model) -> DataFrame:
+    """Linear classifier TRAINED in-engine: logistic regression
+    (features: stopword ratio, scaled mean word length, bias; label:
+    lang == 'en') by {5} full-batch gradient-descent steps where the
+    model is a 1-row RELATION — each step broadcasts the weights into
+    the feature scan and reduces the gradient as one exact-decimal
+    aggregate.  Output: the final weights, corpus size, and training
+    accuracy.
+
+    Exactness: gradients quantize per term to DECIMAL(28,12) and
+    round to 7dp before the (identical-IEEE) update arithmetic; the
+    updated weights re-quantize to DECIMAL(12,7); exp is libm via
+    Arrow on bit-identical doubles — so the whole 5-step trajectory
+    and the final accuracy match the unrolled-CTE oracle bit for bit.
+    Scale: per step ONE corpus scan + map-side-combined scalar
+    aggregate (the K sequential syncs are inherent to full-batch GD —
+    the Lloyd shape); features never materialize wider than 3
+    doubles/row."""
+    feat = m.documents.select(
+        fround(
+            F.size(F.filter(F.split(F.col("text"), " "), lambda x: x.isin("the", "a")))
+            * 1.0
+            / F.size(F.split(F.col("text"), " ")),
+            4,
+        ).alias("x1"),
+        (
+            fround(
+                F.length(F.regexp_replace(F.col("text"), " ", ""))
+                * 1.0
+                / F.size(F.split(F.col("text"), " ")),
+                4,
+            )
+            / 10.0
+        ).alias("x2"),
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+    ).localCheckpoint(eager=False)  # scanned K+1 times — materialize once
+
+    spark = m.documents.sparkSession
+    w = spark.range(1).select(
+        F.lit(0).cast("decimal(12,7)").alias("wa"),
+        F.lit(0).cast("decimal(12,7)").alias("wb"),
+        F.lit(0).cast("decimal(12,7)").alias("wc"),
+    )
+    n_rel = feat.agg(F.count(F.lit(1)).alias("n"))
+
+    def z_of(w_prefix: str = "") -> object:
+        return (
+            (F.col("wa").cast("double") * F.col("x1"))
+            + (F.col("wb").cast("double") * F.col("x2"))
+        ) + F.col("wc").cast("double")
+
+    for _ in range(_LR_STEPS):
+        d = feat.crossJoin(F.broadcast(w))
+        sig = 1.0 / (1.0 + _pexp(-z_of()))
+        g = d.agg(
+            F.round(F.sum((F.col("x1") * (sig - F.col("y"))).cast("decimal(28,12)")), 7).alias("ga"),
+            F.round(F.sum((F.col("x2") * (sig - F.col("y"))).cast("decimal(28,12)")), 7).alias("gb"),
+            F.round(F.sum((F.lit(1.0) * (sig - F.col("y"))).cast("decimal(28,12)")), 7).alias("gc"),
+            F.first(F.col("wa")).alias("wa"),
+            F.first(F.col("wb")).alias("wb"),
+            F.first(F.col("wc")).alias("wc"),
+        )
+        w = g.crossJoin(F.broadcast(n_rel)).select(
+            fround(
+                F.col("wa").cast("double")
+                - _LR_RATE * (F.col("ga").cast("double") / F.col("n")),
+                7,
+            )
+            .cast("decimal(12,7)")
+            .alias("wa"),
+            fround(
+                F.col("wb").cast("double")
+                - _LR_RATE * (F.col("gb").cast("double") / F.col("n")),
+                7,
+            )
+            .cast("decimal(12,7)")
+            .alias("wb"),
+            fround(
+                F.col("wc").cast("double")
+                - _LR_RATE * (F.col("gc").cast("double") / F.col("n")),
+                7,
+            )
+            .cast("decimal(12,7)")
+            .alias("wc"),
+        )
+    scored = feat.crossJoin(F.broadcast(w))
+    correct = F.when(
+        (z_of() > 0.0) == (F.col("y") == 1.0), 1
+    ).otherwise(0)
+    return scored.groupBy("wa", "wb", "wc").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        fround(F.sum(correct) * 1.0 / F.count(F.lit(1)), 6).alias("train_accuracy"),
+    ).select(
+        F.col("wa").cast("double").alias("w_stopword"),
+        F.col("wb").cast("double").alias("w_wordlen"),
+        F.col("wc").cast("double").alias("w_bias"),
+        "n_docs",
+        "train_accuracy",
+    )

@@ -256,3 +256,38 @@ def test_word_embedding_neighbors_geometry(spark):
     assert all(-1.0 - 1e-9 <= s <= 1.0 + 1e-9 for s in sims)
     assert len(set(sims)) > n // 4  # non-degenerate spread
     assert all(r["w1"] < r["w2"] for r in rows)  # strict upper triangle
+
+
+def test_lr_training_decreases_log_loss(spark):
+    """Five GD steps must actually LEARN: the training log-loss under
+    the final weights is strictly below the w=0 loss (ln 2).  (The
+    fixture's language classes are nearly inseparable on these
+    features — class means differ <6% — so ACCURACY is not the
+    invariant; loss descent is what full-batch GD guarantees.)"""
+    import math
+
+    m = load_model(spark, SF_DIR)
+    [r] = QUERIES["docs_lr_quality_train"].fn(m).collect()
+    assert (r["w_stopword"], r["w_wordlen"], r["w_bias"]) != (0.0, 0.0, 0.0)
+    rows = m.documents.select(
+        (
+            F.size(F.filter(F.split("text", " "), lambda x: x.isin("the", "a")))
+            * 1.0
+            / F.size(F.split("text", " "))
+        ).alias("x1"),
+        (
+            F.length(F.regexp_replace("text", " ", ""))
+            * 1.0
+            / F.size(F.split("text", " "))
+            / 10.0
+        ).alias("x2"),
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+    ).collect()
+    loss = 0.0
+    for row in rows:
+        z = r["w_stopword"] * row["x1"] + r["w_wordlen"] * row["x2"] + r["w_bias"]
+        p = 1.0 / (1.0 + math.exp(-z))
+        loss -= row["y"] * math.log(max(p, 1e-12)) + (1 - row["y"]) * math.log(
+            max(1 - p, 1e-12)
+        )
+    assert loss / len(rows) < math.log(2.0)  # w=0 loss
