@@ -37,7 +37,11 @@ def test_pricing_summary_pushes_filter_and_prunes_columns(spark):
     assert "l_comment" not in read and "l_partkey" not in read
 
 
-@pytest.mark.parametrize("name", ["text_stats", "lang_id_heuristic", "doc_fingerprints"])
+@pytest.mark.parametrize(
+    "name",
+    ["text_stats", "lang_id_heuristic", "doc_fingerprints",
+     "docs_gopher_rules"],
+)
 def test_narrow_text_ops_have_no_exchange(spark, name):
     plan = _plan(spark, name)
     assert "Exchange" not in plan, f"{name} gained a shuffle"
@@ -135,6 +139,10 @@ def test_no_unjustified_cartesian_or_nested_loop_join(spark):
         "embedding_topk", "range_lookup",
         "embedding_int8_topk",  # fixed probe set, quantized + exact rerank
         "embedding_pq_topk",  # 5-row probe relation with driver-built ADC luts
+        "docs_length_percentile_filter",  # p5/p95 thresholds: broadcast 1-row agg
+        "word_embedding_neighbors",  # cooc total N: broadcast 1-row agg
+        "events_markov_attribution",  # p_full / effect-total: broadcast 1-row relations
+        "docs_lr_quality_train",  # weight vector + n: broadcast 1-row relations per GD step
     }
     qs = e.queries()
     offenders = {}
