@@ -67,7 +67,8 @@ TOOL_QUERIES: dict[str, list[str]] = {
     ],
     "llm_prep": [
         "docs_split_assign", "docs_stratified_sample", "docs_chunk_spans",
-        "docs_pack_bins", "corpus_mixture_weights", "training_set_assembly",
+        "docs_pack_bins", "corpus_mixture_weights", "corpus_temperature_mixture",
+        "training_set_assembly",
         "docs_dsir_weights", "docs_ccnet_perplexity",
         "docs_ccnet_perplexity_served", "bloom_contamination",
         "training_set_funnel", "docs_weighted_sample",

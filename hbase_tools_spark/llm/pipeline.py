@@ -1476,3 +1476,77 @@ def docs_budget_selection(m: Model) -> DataFrame:
             F.col("cum").cast("bigint").alias("cum_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled mixture — the alpha-sampling knob (Raffel et al.
+# 2020 §3.4.1 / multilingual-BERT exponential smoothing): natural
+# per-source token shares p_i are flattened to q_i = p_i^a / sum p_j^a
+# so low-resource sources are up-sampled without letting any source
+# dominate.  Complements corpus_mixture_weights (explicit targets)
+# with the derived-from-inventory policy.
+# ---------------------------------------------------------------------------
+
+_TEMP_ALPHA = 0.3
+
+
+@query(
+    "corpus_temperature_mixture",
+    oracle=f"""
+WITH src AS (
+  SELECT source,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t FROM src),
+a AS (
+  SELECT source, n_tokens,
+         n_tokens * 1.0 / t AS p,
+         CAST(floor(exp({_TEMP_ALPHA} * ln(n_tokens * 1.0 / t)) * 100000000.0 + 0.5)
+              / 100000000.0 AS DECIMAL(18,8)) AS ap
+  FROM src, tot
+),
+s AS (SELECT sum(ap) AS sap FROM a)
+SELECT source, n_tokens,
+       {fround_sql('p', 6)} AS natural_share,
+       {fround_sql('CAST(ap AS DOUBLE) / CAST(sap AS DOUBLE)', 6)} AS temp_share,
+       {fround_sql('(CAST(ap AS DOUBLE) / CAST(sap AS DOUBLE)) / p', 4)} AS boost
+FROM a, s
+""",
+    views=[],
+)
+def corpus_temperature_mixture(m: Model) -> DataFrame:
+    """Temperature-scaled sampling shares (alpha = {0.3}): each source's
+    natural token share p is flattened to p^a / sum(p^a) — the
+    standard low-resource up-sampling policy — with the boost factor
+    (q/p > 1 means the source samples above its natural rate).
+
+    p^a computes as exp(a*ln p) through the libm UDFs in BOTH engines
+    (JVM pow differs from libm in the last ulp), each term quantizes
+    to DECIMAL(18,8) before the normalizing sum (order-independent),
+    and the per-source inventory is one map-side-combined groupBy —
+    the two 1-row scalar relations (total tokens, normalizer) ride as
+    broadcast cross joins."""
+    from ..functions.exprs import pexp, pln
+
+    src = m.documents.groupBy("source").agg(
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("bigint").alias("n_tokens")
+    ).localCheckpoint(eager=False)  # feeds tot and the share relation
+    tot = src.agg(F.sum("n_tokens").cast("bigint").alias("t"))
+    a = src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        (F.col("n_tokens") * 1.0 / F.col("t")).alias("p"),
+        fround(pexp(_TEMP_ALPHA * pln(F.col("n_tokens") * 1.0 / F.col("t"))), 8)
+        .cast("decimal(18,8)")
+        .alias("ap"),
+    ).localCheckpoint(eager=False)  # feeds the normalizer and the output
+    s = a.agg(F.sum("ap").alias("sap"))
+    q = F.col("ap").cast("double") / F.col("sap").cast("double")
+    return a.crossJoin(F.broadcast(s)).select(
+        "source",
+        "n_tokens",
+        fround(F.col("p"), 6).alias("natural_share"),
+        fround(q, 6).alias("temp_share"),
+        fround(q / F.col("p"), 4).alias("boost"),
+    )

@@ -143,6 +143,7 @@ def test_no_unjustified_cartesian_or_nested_loop_join(spark):
         "word_embedding_neighbors",  # cooc total N: broadcast 1-row agg
         "events_markov_attribution",  # p_full / effect-total: broadcast 1-row relations
         "docs_lr_quality_train",  # weight vector + n: broadcast 1-row relations per GD step
+        "corpus_temperature_mixture",  # total tokens + normalizer: broadcast 1-row aggs
     }
     qs = e.queries()
     offenders = {}
