@@ -23,7 +23,10 @@ SF0001 = "/root/testdata/sf0.001"
 # in the order this module emits them.  Round-5 priority (VERDICT r4
 # task 2: "zero certificates older than r4"):
 #   (1) the 18 queries whose newest green row is r1/r2-dated,
-#   (2) queries with NO green row ever (this round's debuts),
+#   (2) queries with NO green row ever (this round's debuts — the
+#       round-5 surface additions incl. the 5c set: gopher rules,
+#       fertility, percentile gate, the attribution family, word
+#       embeddings, LR training, temperature mixture, MJPEG video),
 #   (3) queries whose source files this round edits (re-certify the
 #       round-5 rewrites: CCNet LM join, PQ/IVF Lloyd fusion, DSIR
 #       collapse, JVM Bloom probe, novelty keying),
