@@ -1186,9 +1186,9 @@ WHERE na.nrm > 0 AND nb.nrm > 0
 )
 def word_embedding_neighbors(m: Model) -> DataFrame:
     """Count-based word embeddings trained fully in-engine: symmetric
-    +-2-window co-occurrence counts -> PPMI weighting -> {_WV_DIMS}-dim
+    +-2-window co-occurrence counts -> PPMI weighting -> {16}-dim
     signed random projection (md5-derived signs, no RNG) -> pairwise
-    cosine among the top-{_WV_TOPV} vocabulary — the Levy-Goldberg
+    cosine among the top-{20} vocabulary — the Levy-Goldberg
     count pipeline as relational algebra.
 
     Scale shape: pair generation is WITHIN-ROW array slicing (zip of
@@ -1430,7 +1430,7 @@ def docs_lr_quality_train(m: Model) -> DataFrame:
     )
     n_rel = feat.agg(F.count(F.lit(1)).alias("n"))
 
-    def z_of(w_prefix: str = "") -> object:
+    def z_of() -> object:
         return (
             (F.col("wa").cast("double") * F.col("x1"))
             + (F.col("wb").cast("double") * F.col("x2"))
