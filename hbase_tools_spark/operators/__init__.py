@@ -8,6 +8,7 @@ from . import (  # noqa: F401
     keyspace,
     planners,
     reports,
+    sketches,
     temporal,
     tpch,
     writepath,
@@ -21,6 +22,7 @@ __all__ = [
     "keyspace",
     "planners",
     "reports",
+    "sketches",
     "temporal",
     "tpch",
     "writepath",

@@ -144,6 +144,9 @@ def test_no_unjustified_cartesian_or_nested_loop_join(spark):
         "events_markov_attribution",  # p_full / effect-total: broadcast 1-row relations
         "docs_lr_quality_train",  # weight vector + n: broadcast 1-row relations per GD step
         "corpus_temperature_mixture",  # total tokens + normalizer: broadcast 1-row aggs
+        # broadcast side is the n_types^2 pair grid / the 5*k-row sketch
+        # relation — both constant-size by construction (k=128, 5 types)
+        "events_kmv_overlap",
     }
     qs = e.queries()
     offenders = {}

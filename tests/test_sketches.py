@@ -1,0 +1,118 @@
+"""Behavioral guarantees of the deterministic sketch family
+(operators/sketches.py) beyond the differential gate: error bounds,
+one-sided-ness, bounded state, and the plan shapes the 100 TB posture
+depends on.  (Bit-parity with DuckDB is covered by test_contract.py.)
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import hbase_tools_spark.operators  # noqa: F401
+from hbase_tools_spark.catalog import load_model
+from hbase_tools_spark.operators import sketches as sk
+from hbase_tools_spark.registry import QUERIES
+from tests.conftest import SF_DIR
+
+
+def _run(spark, name):
+    return QUERIES[name].fn(load_model(spark, SF_DIR)).collect()
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name].fn(load_model(spark, SF_DIR))
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_hll_error_within_sketch_bound(spark):
+    """|rel_err| stays within ~3 standard errors of the p=8 sketch
+    (rsd = 1.04/sqrt(256) = 6.5%); the linear-counting branch (small
+    fixtures) is far tighter, so 0.2 holds across every SF."""
+    rows = _run(spark, "events_hll_cardinality")
+    assert rows, "no event types"
+    for r in rows:
+        assert r.n_exact > 0
+        assert abs(r.rel_err) < 0.2, (r.event_type, r.rel_err)
+
+
+def test_hll_register_relation_is_bounded(spark):
+    """The sketch state is at most n_types x m registers regardless of
+    event cardinality — the constant-memory claim, asserted on the
+    actual register relation."""
+    m = load_model(spark, SF_DIR)
+    ev = m.events.select("event_type", sk._key_col().alias("k"))
+    n_types = ev.select("event_type").distinct().count()
+    hashed = ev.select(
+        "event_type", sk._h48(ev["k"]).alias("h")
+    )
+    regs = (
+        hashed.groupBy("event_type", (hashed["h"] % sk._HLL_M).alias("b"))
+        .count()
+        .count()
+    )
+    assert regs <= n_types * sk._HLL_M
+
+
+def test_cms_estimate_is_one_sided(spark):
+    """CMS never undercounts: estimate >= exact for every probed key,
+    and the probe set is the exact top-N (<= N rows, ordered)."""
+    rows = _run(spark, "events_cms_heavy_hitters")
+    assert 0 < len(rows) <= sk._CMS_TOPN
+    counts = [r.n_exact for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    for r in rows:
+        assert r.cms_estimate >= r.n_exact, r
+        assert r.overcount == r.cms_estimate - r.n_exact
+
+
+def test_kmv_estimates_are_calibrated(spark):
+    """Jaccard in [0,1]; the intersection estimate lands within a
+    factor of 2 of truth whenever the true overlap is non-trivial
+    (k=128 gives ~9% rse on the union size plus binomial noise on J —
+    factor 2 is a loose, stable envelope at every fixture SF)."""
+    rows = _run(spark, "events_kmv_overlap")
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.kmv_jaccard <= 1.0
+        if r.n_exact_inter >= 50:
+            assert 0.5 * r.n_exact_inter <= r.kmv_inter_est <= 2.0 * r.n_exact_inter, r
+
+
+def test_kmv_never_globally_sorts_the_distinct_relation(spark):
+    """The top-k windows must run on the threshold-filtered survivor
+    relation: every Sort in the plan sits above a Filter on the
+    boundary cell (no full per-type sort of all distinct hashes), and
+    the boundary relation joins back as a broadcast."""
+    plan = _plan(spark, "events_kmv_overlap")
+    assert "BroadcastHashJoin" in plan
+    # the survivor filter (isnull(bb) OR cell <= bb) guards the window
+    assert "isnull" in plan.lower() and "bb" in plan
+
+
+def test_cms_probe_joins_broadcast_counter_grid(spark):
+    plan = _plan(spark, "events_cms_heavy_hitters")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_hll_final_join_is_broadcast(spark):
+    plan = _plan(spark, "events_hll_cardinality")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_cms_counter_grid_is_constant_size(spark):
+    """The counter relation is bounded by d*w cells no matter how many
+    events flow in — the property that makes the sketch mergeable and
+    broadcastable at any scale."""
+    m = load_model(spark, SF_DIR)
+    from pyspark.sql import functions as F
+
+    ue = m.events.select(
+        F.col("user_id").cast("string").alias("uk")
+    )
+    cells = ue.select(
+        F.posexplode(F.array(*sk._cms_cols_spark())).alias("r", "c")
+    )
+    n_cells = cells.groupBy("r", "c").count().count()
+    assert n_cells <= sk._CMS_D * sk._CMS_W
