@@ -69,12 +69,17 @@ _KEY_SQL = (
 _H48_SQL = "CAST(('0x' || substr(md5(k), 1, 12)) AS BIGINT)"
 
 
-def _key_col() -> F.Column:
+def daily_key_col() -> F.Column:
+    """The (user, utc-day) sketch key — shared with the streaming twin
+    (streaming/jobs.py)."""
     return F.concat_ws(
         ":",
         F.col("user_id").cast("string"),
         F.expr(f"unix_micros(ts) div {_US_PER_DAY}").cast("string"),
     )
+
+
+_key_col = daily_key_col
 
 
 def _h48(col: F.Column) -> F.Column:
@@ -98,9 +103,10 @@ _HLL_A = _HLL_ALPHA * _HLL_M * _HLL_M * float(2**_HLL_RMAX)
 _HLL_LC_GATE = 2.5 * _HLL_M  # below this raw estimate, linear counting
 
 
-@query(
-    "events_hll_cardinality",
-    oracle=f"""
+#: Full oracle body for the HLL estimate — shared verbatim by the batch
+#: query and its streaming twin (the streaming register store drains to
+#: the identical register relation, so the same SQL certifies both).
+HLL_ORACLE = f"""
 WITH keyed AS (
   SELECT event_type, {_KEY_SQL} AS k FROM events
 ),
@@ -147,9 +153,79 @@ SELECT event_type, CAST(n_exact AS BIGINT) AS n_exact,
          AS rel_err
 FROM fin
 ORDER BY event_type
-""",
-    views=[],
-)
+"""
+
+
+def hll_rho_cols(ev: DataFrame) -> DataFrame:
+    """(event_type, k) -> (event_type, k, b, rho): bucket and
+    leading-zero rank of the shared 48-bit hash.  Pure built-in integer
+    expressions (whole-stage codegen); NOT deduplicated — max() register
+    aggregation absorbs duplicates, so streaming callers feed this
+    straight into a stateful max."""
+    hashed = ev.select("event_type", "k", _h48(F.col("k")).alias("h"))
+    return (
+        hashed.select(
+            "event_type",
+            "k",
+            (F.col("h") % _HLL_M).alias("b"),
+            F.expr(f"h div {_HLL_M}").alias("w"),
+        )
+        .withColumn(
+            "rho",
+            F.when(F.col("w") == 0, F.lit(_HLL_RMAX)).otherwise(
+                F.lit(_HLL_RMAX) - F.length(F.bin(F.col("w")))
+            ),
+        )
+        .select("event_type", "k", "b", "rho")
+    )
+
+
+def hll_finalize(reg: DataFrame, exact: DataFrame) -> DataFrame:
+    """(event_type, b, mr) registers + (event_type, n_exact) ->
+    the certified estimate table.  Exact-integer register sum, one
+    IEEE division, libm ``pln`` for the linear-counting branch."""
+    agg = reg.groupBy("event_type").agg(
+        (
+            F.sum(F.expr(f"shiftleft(1L, {_HLL_RMAX} - mr)"))
+            + (F.lit(_HLL_M).cast("bigint") - F.count(F.lit(1)))
+            * F.lit(1 << _HLL_RMAX).cast("bigint")
+        ).alias("s"),
+        (F.lit(_HLL_M) - F.count(F.lit(1))).alias("zeros"),
+    )
+    est = exact.join(F.broadcast(agg), "event_type").withColumn(
+        "raw", F.lit(_HLL_A) / F.col("s").cast("double")
+    )
+    lc = F.lit(float(_HLL_M)) * pln(
+        F.lit(float(_HLL_M))
+        / F.when(F.col("zeros") > 0, F.col("zeros")).otherwise(F.lit(1))
+    )
+    e = F.when(
+        (F.col("raw") <= F.lit(_HLL_LC_GATE)) & (F.col("zeros") > 0), lc
+    ).otherwise(F.col("raw"))
+    est = est.withColumn("hll_estimate", fround(e, 4))
+    return est.select(
+        "event_type",
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        "hll_estimate",
+        fround(
+            (F.col("hll_estimate") - F.col("n_exact")) / F.col("n_exact"), 6
+        ).alias("rel_err"),
+    ).orderBy("event_type")
+
+
+def hll_exact_counts(m: Model) -> DataFrame:
+    """The exact distinct-actives certificate branch (batch)."""
+    ev = spread_if_undersplit(m.events, "user_id").select(
+        "event_type", _key_col().alias("k")
+    )
+    return (
+        ev.distinct()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+
+
+@query("events_hll_cardinality", oracle=HLL_ORACLE, views=[])
 def events_hll_cardinality(m: Model) -> DataFrame:
     """HyperLogLog daily-active cardinality per event type, certified
     against its own exact count — the deterministic sketch the driver
@@ -175,52 +251,10 @@ def events_hll_cardinality(m: Model) -> DataFrame:
     ev = spread_if_undersplit(m.events, "user_id").select(
         "event_type", _key_col().alias("k")
     )
-    hashed = ev.select("event_type", "k", _h48(F.col("k")).alias("h"))
-    dk = (
-        hashed.select(
-            "event_type",
-            "k",
-            (F.col("h") % _HLL_M).alias("b"),
-            F.expr(f"h div {_HLL_M}").alias("w"),
-        )
-        .withColumn(
-            "rho",
-            F.when(F.col("w") == 0, F.lit(_HLL_RMAX)).otherwise(
-                F.lit(_HLL_RMAX) - F.length(F.bin(F.col("w")))
-            ),
-        )
-        .select("event_type", "k", "b", "rho")
-        .distinct()
-    )
+    dk = hll_rho_cols(ev).distinct()  # ONE shuffle feeds both branches
     reg = dk.groupBy("event_type", "b").agg(F.max("rho").alias("mr"))
-    agg = reg.groupBy("event_type").agg(
-        (
-            F.sum(F.expr(f"shiftleft(1L, {_HLL_RMAX} - mr)"))
-            + (F.lit(_HLL_M).cast("bigint") - F.count(F.lit(1)))
-            * F.lit(1 << _HLL_RMAX).cast("bigint")
-        ).alias("s"),
-        (F.lit(_HLL_M) - F.count(F.lit(1))).alias("zeros"),
-    )
     exact = dk.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_exact"))
-    est = exact.join(F.broadcast(agg), "event_type").withColumn(
-        "raw", F.lit(_HLL_A) / F.col("s").cast("double")
-    )
-    lc = F.lit(float(_HLL_M)) * pln(
-        F.lit(float(_HLL_M))
-        / F.when(F.col("zeros") > 0, F.col("zeros")).otherwise(F.lit(1))
-    )
-    e = F.when(
-        (F.col("raw") <= F.lit(_HLL_LC_GATE)) & (F.col("zeros") > 0), lc
-    ).otherwise(F.col("raw"))
-    est = est.withColumn("hll_estimate", fround(e, 4))
-    return est.select(
-        "event_type",
-        F.col("n_exact").cast("bigint").alias("n_exact"),
-        "hll_estimate",
-        fround(
-            (F.col("hll_estimate") - F.col("n_exact")) / F.col("n_exact"), 6
-        ).alias("rel_err"),
-    ).orderBy("event_type")
+    return hll_finalize(reg, exact)
 
 
 # ---------------------------------------------------------------------------

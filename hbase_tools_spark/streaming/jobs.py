@@ -432,3 +432,48 @@ def stream_enriched_server_load(m: Model) -> DataFrame:
         )
     )
     return run_to_table(agg, "stream_enriched_server_load", "complete")
+
+
+# ---------------------------------------------------------------------------
+# Streaming HLL — bounded-state distinct counting
+# ---------------------------------------------------------------------------
+
+
+from ..operators.sketches import HLL_ORACLE
+
+
+@query("stream_hll_cardinality", oracle=HLL_ORACLE, views=[])
+def stream_hll_cardinality(m: Model) -> DataFrame:
+    """Streaming HyperLogLog daily-actives per event type — the sketch
+    answer to streaming distinct-count state: ``stream_dedup_keys``
+    holds EVERY key (O(distinct) state, the reference's TTL-cache shape,
+    compactor/CompactorServer.java:47-58), while this register store is
+    provably ≤ n_types × 256 rows FOREVER, each a (bucket, max-rho)
+    scalar — a built-in streaming max aggregate, no custom state code,
+    mergeable across partitions and restarts by construction.
+
+    The drained registers are bit-identical to the batch query's (max
+    over the same rows in any batching order), so the finalize step and
+    certificate SQL are shared verbatim with ``events_hll_cardinality``
+    (operators/sketches.py) and the driver hash-gates the streaming
+    estimate against the same oracle."""
+    from ..operators.sketches import (
+        daily_key_col,
+        hll_exact_counts,
+        hll_finalize,
+        hll_rho_cols,
+    )
+
+    ev = events_stream(m.spark, m.sf_dir).select(
+        "event_type", daily_key_col().alias("k")
+    )
+    regs = hll_rho_cols(ev).groupBy("event_type", "b").agg(
+        F.max("rho").alias("mr")
+    )
+    drained = run_to_table(
+        regs, "stream_hll_cardinality", "update", state_partitions=1
+    )
+    # Update-mode sink emits one row per register CHANGE; the final
+    # register value is the running max over the drained updates.
+    reg = drained.groupBy("event_type", "b").agg(F.max("mr").alias("mr"))
+    return hll_finalize(reg, hll_exact_counts(m))

@@ -116,3 +116,29 @@ def test_cms_counter_grid_is_constant_size(spark):
     )
     n_cells = cells.groupBy("r", "c").count().count()
     assert n_cells <= sk._CMS_D * sk._CMS_W
+
+
+def test_stream_hll_matches_batch_exactly(spark):
+    """Register max is batching-order-invariant, so the streaming drain
+    must reproduce the batch estimate bit-for-bit — the mergeability
+    property that lets partial sketches combine across partitions,
+    micro-batches, and restarts."""
+    import hbase_tools_spark.streaming  # noqa: F401 — registers stream twin
+
+    batch = _run(spark, "events_hll_cardinality")
+    stream = _run(spark, "stream_hll_cardinality")
+    assert [tuple(r) for r in batch] == [tuple(r) for r in stream]
+
+
+def test_stream_hll_state_is_bounded(spark):
+    """The drained update log can only ever hold register-change rows:
+    every (type, bucket) pair at most once per micro-batch, and the
+    DISTINCT register set is <= n_types * m — the O(1)-state claim vs
+    stream_dedup_keys' O(distinct-keys) store."""
+    import hbase_tools_spark.streaming  # noqa: F401
+
+    _run(spark, "stream_hll_cardinality")  # drains into the memory sink
+    drained = spark.table("stream_hll_cardinality")
+    n_types = drained.select("event_type").distinct().count()
+    regs = drained.select("event_type", "b").distinct().count()
+    assert regs <= n_types * sk._HLL_M
