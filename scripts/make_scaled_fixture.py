@@ -37,6 +37,12 @@ def main() -> None:
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default=".scratch/sf1")
     ap.add_argument("--factor", type=int, default=10)
+    # 0 = symlink events from src (default).  N>1 replicates events N
+    # times with DISJOINT user populations (user_id/event_id shifted per
+    # replica) — distinct-cardinality grows by N while per-user activity
+    # and type overlap structure stay constant, the correct null model
+    # for the sketch family's scaling probe (operators/sketches.py).
+    ap.add_argument("--events-factor", type=int, default=0)
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -92,8 +98,23 @@ def main() -> None:
     union(embs).coalesce(8).write.mode("overwrite").parquet(
         os.path.join(out, "embeddings.parquet")
     )
+    if args.events_factor > 1:
+        evs = [m.events]
+        for k in range(1, args.events_factor):
+            evs.append(
+                m.events.withColumn(
+                    "user_id", F.col("user_id") + F.lit(k * _ID_SHIFT)
+                ).withColumn(
+                    "event_id", F.col("event_id") + F.lit(k * _ID_SHIFT)
+                )
+            )
+        union(evs).coalesce(16).write.mode("overwrite").parquet(
+            os.path.join(out, "events.parquet")
+        )
     for t in BASE_TABLES:
         if t in ("documents", "embeddings"):
+            continue
+        if t == "events" and args.events_factor > 1:
             continue
         link = os.path.join(out, f"{t}.parquet")
         if not os.path.exists(link):
