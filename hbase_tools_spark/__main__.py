@@ -105,6 +105,12 @@ TOOL_QUERIES: dict[str, list[str]] = {
         "events_attribution_first", "events_attribution_position",
         "events_markov_attribution", "events_transition_matrix",
     ],
+    # Deterministic, oracle-replayable sketches (constant-state
+    # cardinality / overlap / frequency / quantiles at 100 TB).
+    "sketches": [
+        "events_hll_cardinality", "events_kmv_overlap",
+        "events_cms_heavy_hitters", "docs_length_quantile_sketch",
+    ],
 }
 
 LIFECYCLE_TOOLS = {"table_copy", "table_replace"}

@@ -1,6 +1,7 @@
-"""Deterministic, cross-engine-replayable sketches over the ``events``
-stream history: HyperLogLog cardinality, K-minimum-values set overlap,
-and a count-min frequency sketch.
+"""Deterministic, cross-engine-replayable sketches: HyperLogLog
+cardinality, K-minimum-values set overlap, and a count-min frequency
+sketch over the ``events`` stream history, plus an HDR-bucket quantile
+sketch over document lengths.
 
 The engine-native sketch paths (``approx_count_distinct``,
 ``percentile_approx``) already exist as uncertified twins beside their
@@ -571,3 +572,195 @@ def events_cms_heavy_hitters(m: Model) -> DataFrame:
         )
     )
     return est.orderBy(F.desc("n_exact"), "user_id")
+
+
+# ---------------------------------------------------------------------------
+# HDR-style quantile sketch (Hdr/DDSketch bucket layout), 16 sub-buckets
+# per power-of-two octave — the mergeable quantile estimator that
+# completes the family: cardinality (HLL), frequency (CMS), overlap
+# (KMV), quantiles (this).
+# ---------------------------------------------------------------------------
+
+_QSK_QS = (0.5, 0.9, 0.99)
+
+#: bucket id of a positive integer x: x itself below 16 (exact), else
+#: msb-octave * 16 + the next-4-bits sub-bucket — pure integer ops,
+#: <= 6.25% relative bucket width.  DuckDB counterpart below.
+_QSK_BID = """
+CASE WHEN n_chars < 16 THEN n_chars
+     ELSE length(bin(n_chars)) * 16
+          + CAST((n_chars - shiftleft(1L, length(bin(n_chars)) - 1))
+                 / shiftleft(1L, length(bin(n_chars)) - 5) AS BIGINT)
+END
+"""
+
+_QSK_BID_SQL = """
+CASE WHEN n_chars < 16 THEN n_chars
+     ELSE length(bin(n_chars)) * 16
+          + (n_chars - (CAST(1 AS BIGINT) << (length(bin(n_chars)) - 1)))
+            // (CAST(1 AS BIGINT) << (length(bin(n_chars)) - 5))
+END
+"""
+
+# lo / width reconstructed from the bucket id (bid >= 80 iff octave
+# path, since msb >= 5 there).
+_QSK_LO = """
+CASE WHEN bid < 16 THEN bid
+     ELSE shiftleft(1L, CAST(bid DIV 16 AS INT) - 1)
+          + (bid % 16) * shiftleft(1L, CAST(bid DIV 16 AS INT) - 5)
+END
+"""
+_QSK_W = """
+CASE WHEN bid < 16 THEN 1
+     ELSE shiftleft(1L, CAST(bid DIV 16 AS INT) - 5)
+END
+"""
+_QSK_LO_SQL = """
+CASE WHEN bid < 16 THEN bid
+     ELSE (CAST(1 AS BIGINT) << (CAST(bid // 16 AS INT) - 1))
+          + (bid % 16) * (CAST(1 AS BIGINT) << (CAST(bid // 16 AS INT) - 5))
+END
+"""
+_QSK_W_SQL = """
+CASE WHEN bid < 16 THEN 1
+     ELSE (CAST(1 AS BIGINT) << (CAST(bid // 16 AS INT) - 5))
+END
+"""
+
+_QSK_QLIST = ", ".join(repr(q) for q in _QSK_QS)
+
+
+@query(
+    "docs_length_quantile_sketch",
+    oracle=f"""
+WITH hist AS (
+  SELECT {_QSK_BID_SQL} AS bid, CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1
+),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM hist),
+cum AS (
+  SELECT bid, c, CAST(sum(c) OVER (ORDER BY bid) AS BIGINT) AS cm
+  FROM hist
+),
+qs AS (SELECT unnest([{_QSK_QLIST}]) AS q),
+cand AS (
+  SELECT qs.q, cum.bid, cum.c, cum.cm - cum.c AS prev, tot.n,
+         row_number() OVER (PARTITION BY qs.q ORDER BY cum.bid) AS rk
+  FROM qs CROSS JOIN tot JOIN cum ON cum.cm >= qs.q * tot.n
+),
+est AS (
+  SELECT q,
+         ({_QSK_LO_SQL.strip()})
+         + ((q * n - prev) / c) * ({_QSK_W_SQL.strip()}) AS e
+  FROM cand WHERE rk = 1
+),
+exact AS (
+  SELECT unnest([{_QSK_QLIST}]) AS q,
+         unnest(quantile_cont(n_chars, [{_QSK_QLIST}])) AS x
+  FROM documents
+)
+SELECT est.q,
+       {fround_sql('est.e', 4)} AS est_len,
+       {fround_sql('exact.x', 4)} AS exact_len,
+       {fround_sql(
+           f"({fround_sql('est.e', 4)} - {fround_sql('exact.x', 4)})"
+           f" / ({fround_sql('exact.x', 4)})", 6
+       )} AS rel_err
+FROM est JOIN exact USING (q)
+ORDER BY q
+""",
+    views=[],
+)
+def docs_length_quantile_sketch(m: Model) -> DataFrame:
+    """Mergeable quantile sketch over document lengths (p50/p90/p99),
+    certified against the exact interpolated percentile.  Bucket
+    layout is HdrHistogram's: values < 16 are exact, larger values go
+    to (msb-octave × 16 + next-4-bits) sub-buckets — ≤ 6.25% relative
+    width, pure integer expressions, and the bucket histogram is the
+    ONLY state (≤ 16 ids per octave ⇒ ~1000 rows for any realistic
+    length domain), so partial histograms merge by addition across
+    partitions, files, or days.  The estimate interpolates linearly
+    inside the boundary bucket; every FP step is one fixed IEEE
+    expression over exact integers, so both engines agree bit-for-bit.
+
+    Plan: ONE scan -> ~60-group map-side-combined histogram aggregate;
+    everything downstream (cumsum window, boundary pick, interpolation)
+    runs on the constant-size bucket relation.  The exact-percentile
+    branch is the verification certificate (a full sort in any engine
+    — the thing the sketch exists to avoid at 100 TB); production
+    drops it and keeps the histogram.  Reference analog: the size-band
+    histograms of analyze/HBaseAnalyzeService.java (A2-A5), which are
+    fixed-band histograms of the same shape without the quantile
+    readout."""
+    docs = m.documents
+    hist = docs.groupBy(F.expr(_QSK_BID).alias("bid")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    cum = hist.withColumn(
+        "cm",
+        F.sum("c").over(
+            Window.orderBy("bid").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    tot = hist.agg(F.sum("c").cast("bigint").alias("n"))
+    qs = (
+        docs.sparkSession.range(1)
+        .select(
+            F.explode(
+                F.array(*[F.lit(q) for q in _QSK_QS])
+            ).alias("q")
+        )
+    )
+    cand = (
+        qs.join(F.broadcast(tot))
+        .join(
+            F.broadcast(cum),
+            F.col("cm") >= F.col("q") * F.col("n"),
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("q").orderBy("bid")
+            ),
+        )
+        .where(F.col("rk") == 1)
+        .withColumn("prev", F.col("cm") - F.col("c"))
+    )
+    est = cand.select(
+        "q",
+        (
+            F.expr(_QSK_LO)
+            + ((F.col("q") * F.col("n") - F.col("prev")) / F.col("c"))
+            * F.expr(_QSK_W)
+        ).alias("e"),
+    )
+    exact_row = docs.agg(
+        *[
+            F.expr(f"percentile(n_chars, {q!r})").alias(f"e{i}")
+            for i, q in enumerate(_QSK_QS)
+        ]
+    )
+    exact = exact_row.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(q).alias("q"), F.col(f"e{i}").alias("x")
+                    )
+                    for i, q in enumerate(_QSK_QS)
+                ]
+            )
+        ).alias("s")
+    ).select("s.q", "s.x")
+    est_r = fround(F.col("e"), 4)
+    exact_r = fround(F.col("x"), 4)
+    return (
+        est.join(F.broadcast(exact), "q")
+        .select(
+            "q",
+            est_r.alias("est_len"),
+            exact_r.alias("exact_len"),
+            fround((est_r - exact_r) / exact_r, 6).alias("rel_err"),
+        )
+        .orderBy("q")
+    )

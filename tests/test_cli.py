@@ -30,7 +30,10 @@ def test_all_15_reference_tools_covered():
     assert _REFERENCE_TOOLS <= set(TOOL_QUERIES) | LIFECYCLE_TOOLS
     assert len(_REFERENCE_TOOLS) == 15
     extras = set(TOOL_QUERIES) - _REFERENCE_TOOLS
-    assert all(t.startswith("llm_") or t == "events_analyzer" for t in extras)
+    assert all(
+        t.startswith("llm_") or t in ("events_analyzer", "sketches")
+        for t in extras
+    )
 
 
 def test_cli_generic_query_runner(capsys):

@@ -147,6 +147,9 @@ def test_no_unjustified_cartesian_or_nested_loop_join(spark):
         # broadcast side is the n_types^2 pair grid / the 5*k-row sketch
         # relation — both constant-size by construction (k=128, 5 types)
         "events_kmv_overlap",
+        # broadcast sides are the 1-row total and the ~60-row bucket
+        # histogram (inequality boundary pick) — constant-size state
+        "docs_length_quantile_sketch",
     }
     qs = e.queries()
     offenders = {}

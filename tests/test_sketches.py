@@ -142,3 +142,27 @@ def test_stream_hll_state_is_bounded(spark):
     n_types = drained.select("event_type").distinct().count()
     regs = drained.select("event_type", "b").distinct().count()
     assert regs <= n_types * sk._HLL_M
+
+
+def test_quantile_sketch_error_within_bucket_bound(spark):
+    """The HDR layout guarantees <= 6.25% relative bucket width (16
+    sub-buckets per octave); with in-bucket interpolation the estimate
+    must land inside that envelope at every SF."""
+    rows = _run(spark, "docs_length_quantile_sketch")
+    assert len(rows) == len(sk._QSK_QS)
+    for r in rows:
+        assert abs(r.rel_err) <= 0.0625, r
+
+
+def test_quantile_sketch_histogram_is_bounded(spark):
+    """Sketch state is the bucket histogram alone: at most 16 ids per
+    octave across the 63 possible bigint octaves (plus the 16 exact
+    small values) — mergeable by addition, broadcastable at any
+    scale."""
+    from pyspark.sql import functions as F
+
+    m = load_model(spark, SF_DIR)
+    n_buckets = (
+        m.documents.groupBy(F.expr(sk._QSK_BID).alias("bid")).count().count()
+    )
+    assert n_buckets <= 16 * 64
