@@ -485,9 +485,10 @@ _CMS_COL_SQL = (
 )
 
 
-@query(
-    "events_cms_heavy_hitters",
-    oracle=f"""
+#: Full oracle body for the CMS probe — shared by the batch query and
+#: its streaming twin (counter counts are additive, so the drained
+#: update-mode running totals finalize to the identical grid).
+CMS_ORACLE = f"""
 WITH ue AS (
   SELECT CAST(user_id AS VARCHAR) AS uk, user_id FROM events
 ),
@@ -518,36 +519,22 @@ SELECT p.user_id, max(p.n_exact) AS n_exact,
 FROM probes p JOIN counters k ON p.r = k.r AND p.c = k.c
 GROUP BY p.user_id
 ORDER BY n_exact DESC, user_id
-""",
-    views=[],
-)
-def events_cms_heavy_hitters(m: Model) -> DataFrame:
-    """Count-min frequency sketch probed at the exact top-{32} users:
-    d=4 hash rows (disjoint 8-hex md5 slices) × w=2048 counters, point
-    estimate = min over rows — certified EXACTLY (every column is an
-    integer; CMS is deterministic given the hash family, so the oracle
-    replays the identical grid).  ``overcount`` exhibits the sketch's
-    one-sided error (estimate ≥ truth, within εN with prob 1-δ for
-    d = ln(1/δ), w = e/ε).
+"""
 
-    Plan: the counter build explodes each event into its 4 (row, cell)
-    coordinates but partial aggregation collapses every partition to ≤
-    8192 cells before the shuffle — constant state regardless of event
-    count, the 100 TB point of CMS (the exact per-user branch beside it
-    is the certificate, shuffling the user universe the way the exact
-    heavy-hitter query already does).  Candidates then probe via ONE
-    broadcast of the 8 KiB counter grid; reference analog: the skew
-    scan of distribute/DistributorServer.java over collected
-    per-server counts."""
-    ue = spread_if_undersplit(m.events, "user_id").select(
-        F.col("user_id").cast("string").alias("uk"), "user_id"
-    )
-    cells = ue.select(
+
+def cms_cells(ue: DataFrame) -> DataFrame:
+    """(uk) -> exploded (r, c) coordinates, one per hash row.  Partial
+    aggregation collapses these to ≤ d·w cells per partition before any
+    shuffle — shared by the batch counter build and the streaming
+    stateful count."""
+    return ue.select(
         F.posexplode(F.array(*_cms_cols_spark())).alias("r", "c")
     )
-    counters = cells.groupBy("r", "c").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
+
+
+def cms_probe_top(counters: DataFrame, m: Model) -> DataFrame:
+    """Probe a (r, c, cnt) counter grid at the exact top-N users and
+    emit the certified estimate table (all-integer columns)."""
     per_user = m.events.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_exact")
     )
@@ -574,6 +561,34 @@ def events_cms_heavy_hitters(m: Model) -> DataFrame:
     return est.orderBy(F.desc("n_exact"), "user_id")
 
 
+@query("events_cms_heavy_hitters", oracle=CMS_ORACLE, views=[])
+def events_cms_heavy_hitters(m: Model) -> DataFrame:
+    """Count-min frequency sketch probed at the exact top-{32} users:
+    d=4 hash rows (disjoint 8-hex md5 slices) × w=2048 counters, point
+    estimate = min over rows — certified EXACTLY (every column is an
+    integer; CMS is deterministic given the hash family, so the oracle
+    replays the identical grid).  ``overcount`` exhibits the sketch's
+    one-sided error (estimate ≥ truth, within εN with prob 1-δ for
+    d = ln(1/δ), w = e/ε).
+
+    Plan: the counter build explodes each event into its 4 (row, cell)
+    coordinates but partial aggregation collapses every partition to ≤
+    8192 cells before the shuffle — constant state regardless of event
+    count, the 100 TB point of CMS (the exact per-user branch beside it
+    is the certificate, shuffling the user universe the way the exact
+    heavy-hitter query already does).  Candidates then probe via ONE
+    broadcast of the 8 KiB counter grid; reference analog: the skew
+    scan of distribute/DistributorServer.java over collected
+    per-server counts."""
+    ue = spread_if_undersplit(m.events, "user_id").select(
+        F.col("user_id").cast("string").alias("uk")
+    )
+    counters = cms_cells(ue).groupBy("r", "c").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return cms_probe_top(counters, m)
+
+
 # ---------------------------------------------------------------------------
 # HDR-style quantile sketch (Hdr/DDSketch bucket layout), 16 sub-buckets
 # per power-of-two octave — the mergeable quantile estimator that
@@ -589,8 +604,8 @@ _QSK_QS = (0.5, 0.9, 0.99)
 _QSK_BID = """
 CASE WHEN n_chars < 16 THEN n_chars
      ELSE length(bin(n_chars)) * 16
-          + CAST((n_chars - shiftleft(1L, length(bin(n_chars)) - 1))
-                 / shiftleft(1L, length(bin(n_chars)) - 5) AS BIGINT)
+          + (n_chars - shiftleft(1L, length(bin(n_chars)) - 1))
+            DIV shiftleft(1L, length(bin(n_chars)) - 5)
 END
 """
 

@@ -477,3 +477,35 @@ def stream_hll_cardinality(m: Model) -> DataFrame:
     # register value is the running max over the drained updates.
     reg = drained.groupBy("event_type", "b").agg(F.max("mr").alias("mr"))
     return hll_finalize(reg, hll_exact_counts(m))
+
+
+from ..operators.sketches import CMS_ORACLE
+
+
+@query("stream_cms_heavy_hitters", oracle=CMS_ORACLE, views=[])
+def stream_cms_heavy_hitters(m: Model) -> DataFrame:
+    """Streaming count-min sketch — bounded-state streaming FREQUENCY
+    the way ``stream_hll_cardinality`` is bounded-state streaming
+    cardinality: the stateful operator is a built-in streaming count
+    over the d×w = 4×2048 cell grid, so state is ≤ 8192 counter rows
+    forever no matter how many events flow (an exact per-user streaming
+    count would grow with the user universe).
+
+    Counter counts are ADDITIVE, so the update-mode drain emits
+    monotonically increasing running totals per cell; the final grid is
+    their per-cell max and equals the batch grid exactly — the probe
+    step and certificate SQL (CMS_ORACLE) are shared verbatim with
+    ``events_cms_heavy_hitters`` (operators/sketches.py)."""
+    from ..operators.sketches import cms_cells, cms_probe_top
+
+    ev = events_stream(m.spark, m.sf_dir).select(
+        F.col("user_id").cast("string").alias("uk")
+    )
+    counts = cms_cells(ev).groupBy("r", "c").count()
+    drained = run_to_table(
+        counts, "stream_cms_heavy_hitters", "update", state_partitions=1
+    )
+    counters = drained.groupBy("r", "c").agg(
+        F.max("count").alias("cnt")
+    )
+    return cms_probe_top(counters, m)

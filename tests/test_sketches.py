@@ -166,3 +166,43 @@ def test_quantile_sketch_histogram_is_bounded(spark):
         m.documents.groupBy(F.expr(sk._QSK_BID).alias("bid")).count().count()
     )
     assert n_buckets <= 16 * 64
+
+
+def test_hll_registers_merge_associatively(spark):
+    """Partial HLL sketches built per day and merged by register max
+    equal the directly-built global sketch — the property that lets
+    100 TB partials combine across files, partitions, and days without
+    re-reading data."""
+    from pyspark.sql import functions as F
+
+    m = load_model(spark, SF_DIR)
+    ev = m.events.select(
+        "event_type",
+        F.expr(f"unix_micros(ts) div {sk._US_PER_DAY}").alias("day"),
+        sk.daily_key_col().alias("k"),
+    )
+    rho = sk.hll_rho_cols(ev.select("event_type", "k"))
+    direct = (
+        rho.groupBy("event_type", "b").agg(F.max("rho").alias("mr"))
+    )
+    rho_by_day = sk.hll_rho_cols(ev.select("event_type", "k")).join(
+        ev.select("k", "day").distinct(), "k"
+    )
+    daily = rho_by_day.groupBy("event_type", "day", "b").agg(
+        F.max("rho").alias("mr")
+    )
+    merged = daily.groupBy("event_type", "b").agg(F.max("mr").alias("mr"))
+    a = sorted(map(tuple, direct.collect()))
+    b = sorted(map(tuple, merged.collect()))
+    assert a == b
+
+
+def test_stream_cms_matches_batch_exactly(spark):
+    """Counter counts are additive and the drained running totals
+    finalize by per-cell max, so the streaming CMS probe must equal
+    the batch query row-for-row (all-integer columns)."""
+    import hbase_tools_spark.streaming  # noqa: F401
+
+    batch = _run(spark, "events_cms_heavy_hitters")
+    stream = _run(spark, "stream_cms_heavy_hitters")
+    assert [tuple(r) for r in batch] == [tuple(r) for r in stream]
