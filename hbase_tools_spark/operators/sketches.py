@@ -650,7 +650,7 @@ _QSK_QLIST = ", ".join(repr(q) for q in _QSK_QS)
     oracle=f"""
 WITH hist AS (
   SELECT {_QSK_BID_SQL} AS bid, CAST(count(*) AS BIGINT) AS c
-  FROM documents GROUP BY 1
+  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1
 ),
 tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM hist),
 cum AS (
@@ -707,7 +707,10 @@ def docs_length_quantile_sketch(m: Model) -> DataFrame:
     histograms of analyze/HBaseAnalyzeService.java (A2-A5), which are
     fixed-band histograms of the same shape without the quantile
     readout."""
-    docs = m.documents
+    # Null lengths are excluded on BOTH sides up front: engines disagree
+    # on null placement in ordered windows (Spark NULLS FIRST vs DuckDB
+    # NULLS LAST), so a null bucket would silently skew the cumsum.
+    docs = m.documents.where(F.col("n_chars").isNotNull())
     hist = docs.groupBy(F.expr(_QSK_BID).alias("bid")).agg(
         F.count(F.lit(1)).alias("c")
     )
