@@ -26,7 +26,9 @@ SF0001 = "/root/testdata/sf0.001"
 #   (2) queries with NO green row ever (this round's debuts — the
 #       round-5 surface additions incl. the 5c set: gopher rules,
 #       fertility, percentile gate, the attribution family, word
-#       embeddings, LR training, temperature mixture, MJPEG video),
+#       embeddings, LR training, temperature mixture, MJPEG video;
+#       and the 5d sketch family: HLL/KMV/CMS/quantile + the two
+#       bounded-state streaming twins),
 #   (3) queries whose source files this round edits (re-certify the
 #       round-5 rewrites: CCNet LM join, PQ/IVF Lloyd fusion, DSIR
 #       collapse, JVM Bloom probe, novelty keying),
