@@ -36,8 +36,9 @@ Scale notes (100 TB of events):
     most d·w cells before the shuffle), candidates probe the grid via
     a broadcast of the 8 KiB counter relation;
   * every estimate is one IEEE double expression over exact integers
-    (plus the libm ``pln`` contract for HLL's linear-counting branch),
-    so both engines agree bit-for-bit — see model.py float rules.
+    (plus a precomputed CPython-libm lookup for HLL's linear-counting
+    branch — same libm as DuckDB's ``ln``), so both engines agree
+    bit-for-bit — see model.py float rules.
 """
 
 from __future__ import annotations
@@ -47,7 +48,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import Model
-from ..functions.exprs import fround, fround_sql, pln
+from ..functions.exprs import fround, fround_sql
 from ..functions.partitioning import spread_if_undersplit
 from ..registry import query
 
@@ -181,27 +182,42 @@ def hll_rho_cols(ev: DataFrame) -> DataFrame:
     )
 
 
+def _lc_lookup(spark) -> DataFrame:
+    """The linear-counting readout ``m * ln(m / zeros)`` for every
+    possible non-zero empty-register count, precomputed with CPython's
+    libm ``math.log`` — the same libm the DuckDB oracle's ``ln`` calls,
+    so values are bit-identical to computing it in-plan (the pln Arrow
+    stage this replaces cost ~0.25 s per query for a 5-row input).
+    A 256-row driver-built constant relation: model-sized, broadcast —
+    the ship-constants-as-DATA rule (NOTES.md traps)."""
+    import math
+
+    rows = [
+        (z, float(_HLL_M) * math.log(float(_HLL_M) / z))
+        for z in range(1, _HLL_M + 1)
+    ]
+    return spark.createDataFrame(rows, "zeros bigint, lc double")
+
+
 def hll_finalize(reg: DataFrame, exact: DataFrame) -> DataFrame:
     """(event_type, b, mr) registers + (event_type, n_exact) ->
     the certified estimate table.  Exact-integer register sum, one
-    IEEE division, libm ``pln`` for the linear-counting branch."""
+    IEEE division, libm lookup for the linear-counting branch."""
     agg = reg.groupBy("event_type").agg(
         (
             F.sum(F.expr(f"shiftleft(1L, {_HLL_RMAX} - mr)"))
             + (F.lit(_HLL_M).cast("bigint") - F.count(F.lit(1)))
             * F.lit(1 << _HLL_RMAX).cast("bigint")
         ).alias("s"),
-        (F.lit(_HLL_M) - F.count(F.lit(1))).alias("zeros"),
+        (F.lit(_HLL_M) - F.count(F.lit(1))).cast("bigint").alias("zeros"),
     )
     est = exact.join(F.broadcast(agg), "event_type").withColumn(
         "raw", F.lit(_HLL_A) / F.col("s").cast("double")
     )
-    lc = F.lit(float(_HLL_M)) * pln(
-        F.lit(float(_HLL_M))
-        / F.when(F.col("zeros") > 0, F.col("zeros")).otherwise(F.lit(1))
-    )
+    est = est.join(F.broadcast(_lc_lookup(est.sparkSession)), "zeros", "left")
     e = F.when(
-        (F.col("raw") <= F.lit(_HLL_LC_GATE)) & (F.col("zeros") > 0), lc
+        (F.col("raw") <= F.lit(_HLL_LC_GATE)) & (F.col("zeros") > 0),
+        F.col("lc"),
     ).otherwise(F.col("raw"))
     est = est.withColumn("hll_estimate", fround(e, 4))
     return est.select(
@@ -240,8 +256,8 @@ def events_hll_cardinality(m: Model) -> DataFrame:
     The register sum stays exact: occupied buckets contribute
     ``1 << (41 - max_rho)`` and empties ``1 << 41`` (≤ 2^49 total, in
     bigint), so the only FP ops are the final ``A / S`` division and
-    the linear-counting branch's libm ``ln`` (``pln`` contract), both
-    bit-identical across engines.
+    the linear-counting branch's libm ``ln`` (precomputed CPython-libm
+    lookup relation), both bit-identical across engines.
 
     Plan: ONE fact scan -> distinct (type, key) [the only
     event-proportional shuffle, map-side partial] -> 256-register
