@@ -73,10 +73,13 @@ _H48_SQL = "CAST(('0x' || substr(md5(k), 1, 12)) AS BIGINT)"
 
 def daily_key_col() -> F.Column:
     """The (user, utc-day) sketch key — shared with the streaming twin
-    (streaming/jobs.py)."""
-    return F.concat_ws(
-        ":",
+    (streaming/jobs.py).  ``F.concat`` (not ``concat_ws``) to mirror
+    the oracle's ``||`` NULL semantics: a NULL user_id or ts yields a
+    NULL key in BOTH engines (concat_ws would silently coin a real
+    ':day' key on the Spark side only and desynchronize the sketches)."""
+    return F.concat(
         F.col("user_id").cast("string"),
+        F.lit(":"),
         F.expr(f"unix_micros(ts) div {_US_PER_DAY}").cast("string"),
     )
 
@@ -579,7 +582,7 @@ def cms_probe_top(counters: DataFrame, m: Model) -> DataFrame:
 
 @query("events_cms_heavy_hitters", oracle=CMS_ORACLE, views=[])
 def events_cms_heavy_hitters(m: Model) -> DataFrame:
-    """Count-min frequency sketch probed at the exact top-{32} users:
+    """Count-min frequency sketch probed at the exact top-32 users:
     d=4 hash rows (disjoint 8-hex md5 slices) × w=2048 counters, point
     estimate = min over rows — certified EXACTLY (every column is an
     integer; CMS is deterministic given the hash family, so the oracle
@@ -658,7 +661,14 @@ CASE WHEN bid < 16 THEN 1
 END
 """
 
-_QSK_QLIST = ", ".join(repr(q) for q in _QSK_QS)
+#: DuckDB list literals: bare 0.5 parses as DECIMAL(3,2) and decimal
+#: arithmetic is EXACT, silently diverging from Spark's IEEE doubles in
+#: `q * n` (1-ulp numerator differences flip fround at the boundary on
+#: some histogram states) — force DOUBLE so both engines run the same
+#: float ops.  The quantile_cont fraction ARGUMENT may stay decimal
+#: (it selects a rank, it never enters output arithmetic).
+_QSK_QLIST = ", ".join(f"CAST({q!r} AS DOUBLE)" for q in _QSK_QS)
+_QSK_QFRACS = ", ".join(repr(q) for q in _QSK_QS)
 
 
 @query(
@@ -687,7 +697,7 @@ est AS (
 ),
 exact AS (
   SELECT unnest([{_QSK_QLIST}]) AS q,
-         unnest(quantile_cont(n_chars, [{_QSK_QLIST}])) AS x
+         unnest(quantile_cont(n_chars, [{_QSK_QFRACS}])) AS x
   FROM documents
 )
 SELECT est.q,
