@@ -206,3 +206,85 @@ def test_stream_cms_matches_batch_exactly(spark):
     batch = _run(spark, "events_cms_heavy_hitters")
     stream = _run(spark, "stream_cms_heavy_hitters")
     assert [tuple(r) for r in batch] == [tuple(r) for r in stream]
+
+
+# ---------------------------------------------------------------------------
+# Primitive property tests (DuckDB side only — the Spark twins are pinned
+# to these same expressions by the differential gate, so validating the
+# SQL against an independent Python reference covers both engines).
+# ---------------------------------------------------------------------------
+
+
+def test_qsk_bucket_layout_properties():
+    """Every value lands inside its reconstructed [lo, lo+width) bucket,
+    relative width is <= 1/16 above the exact range, and bucket ids are
+    monotone in the value — over the full 48-bit domain."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(0xC0FFEE)
+    xs = sorted(
+        [rng.randrange(0, 16) for _ in range(50)]
+        + [rng.randrange(16, 1 << 48) for _ in range(500)]
+        + [0, 15, 16, 17, 31, 32, (1 << 48) - 1]
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(n_chars BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?)", [(x,) for x in xs])
+    rows = con.execute(f"""
+        WITH b AS (SELECT n_chars, {sk._QSK_BID_SQL} AS bid FROM t)
+        SELECT n_chars, bid, {sk._QSK_LO_SQL} AS lo, {sk._QSK_W_SQL} AS w
+        FROM b ORDER BY n_chars
+    """).fetchall()
+    prev_bid = -1
+    for x, bid, lo, w in rows:
+        assert lo <= x < lo + w, (x, bid, lo, w)
+        if x >= 16:
+            assert w * 16 <= lo, (x, lo, w)  # rel width <= 1/16
+        assert bid >= prev_bid, (x, bid, prev_bid)
+        prev_bid = bid
+
+
+def test_hll_rho_matches_python_reference():
+    """SQL rho (41 - length(bin(w)); 41 at w=0) == the leading-zero
+    rank 41 - w.bit_length() over random 40-bit remainders."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(0xBEEF)
+    ws = [0, 1, 2, 3, (1 << 40) - 1] + [
+        rng.randrange(0, 1 << 40) for _ in range(500)
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(w BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?)", [(w,) for w in ws])
+    rows = con.execute(
+        "SELECT w, CASE WHEN w = 0 THEN 41 ELSE 41 - length(bin(w)) END"
+        " FROM t"
+    ).fetchall()
+    for w, rho in rows:
+        assert rho == (41 if w == 0 else 41 - w.bit_length()), (w, rho)
+
+
+def test_cms_hash_slices_match_python_md5():
+    """The d=4 SQL cell coordinates == hashlib.md5 slice parses for the
+    same keys — pins the shared hash contract to an independent
+    implementation."""
+    import hashlib
+
+    import duckdb
+
+    keys = [str(i) for i in range(200)]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(uk VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(k,) for k in keys])
+    rows = con.execute(f"""
+        SELECT uk, r, {sk._CMS_COL_SQL} AS c
+        FROM t CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS r) rows
+    """).fetchall()
+    for uk, r, c in rows:
+        digest = hashlib.md5(uk.encode()).hexdigest()
+        expect = int(digest[8 * r : 8 * r + 8], 16) % sk._CMS_W
+        assert c == expect, (uk, r, c, expect)
