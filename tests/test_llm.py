@@ -768,3 +768,64 @@ def test_avi_container_roundtrip_and_errors():
     bad = avi.replace(b"00dc", b"00xx", 1)
     with pytest.raises(ValueError, match="frame count mismatch"):
         parse_avi(bad)
+
+
+def test_jpeg_decoder_interop_contracts():
+    """Spec-interop behaviors pinned after the codec review: trailing
+    bytes after EOI are legal (cameras/editors append data), optional
+    0xFF fill bytes before markers are consumed, and every
+    malformed-input path raises ValueError (never IndexError/KeyError/
+    struct.error)."""
+    import numpy as np
+    import pytest
+
+    from hbase_tools_spark.llm.jpeg import decode_jpeg, encode_jpeg
+
+    px = bytes((x * 3 + y) % 256 for y in range(8) for x in range(8))
+    jpg = encode_jpeg(8, 8, px, 1)
+    # trailing data after EOI decodes identically
+    assert decode_jpeg(jpg + b"\x00garbage") == decode_jpeg(jpg)
+    # fill 0xFF before a marker is consumed (T.81 B.1.1.2)
+    assert decode_jpeg(jpg[:2] + b"\xff" + jpg[2:]) == decode_jpeg(jpg)
+    # truncated lone 0xFF -> ValueError, not IndexError
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8\xff")
+    # scan referencing an undefined AC table id -> ValueError, not KeyError
+    sos = jpg.find(b"\xff\xda")
+    assert sos > 0
+    tid_pos = sos + 2 + 2 + 1 + 1  # marker, len, ns, comp id
+    bad = bytearray(jpg)
+    bad[tid_pos] = (bad[tid_pos] & 0xF0) | 0x03
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(bad))
+    # encoder input validation fails fast with ValueError
+    with pytest.raises(ValueError):
+        encode_jpeg(70000, 1, bytes(70000), 1)
+    with pytest.raises(ValueError):
+        encode_jpeg(8, 8, px, 1, qt_luma=np.zeros((8, 8)))
+
+
+def test_jpeg_bit_io_is_linear_time():
+    """The bit writer/reader mask their accumulators; without the mask
+    the codec is quadratic in scan size (512x512: 17 s encode / 45 s
+    decode measured pre-fix).  128x128 must round-trip well inside a
+    second of CPU."""
+    import time
+
+    import numpy as np
+
+    from hbase_tools_spark.llm.jpeg import decode_jpeg, encode_jpeg
+
+    n = 128
+    yy, xx = np.mgrid[0:n, 0:n]
+    px = ((xx * 7 + yy * 13) % 256).astype(np.uint8).tobytes()
+    t0 = time.process_time()
+    jpg = encode_jpeg(n, n, px, 1)
+    w, h, c, _ = decode_jpeg(jpg)
+    dt = time.process_time() - t0
+    assert (w, h, c) == (n, n, 1)
+    # pre-fix this pair cost ~0.36 s CPU at 128px and grew ~4x per
+    # octave; the masked path measures ~0.1 s — 1.5 s is a loose lid
+    # that still fails the quadratic regression at this size's cost
+    # two octaves on (where it matters).
+    assert dt < 1.5, f"bit I/O regressed toward quadratic: {dt:.2f}s"
