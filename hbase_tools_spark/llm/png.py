@@ -55,6 +55,8 @@ def encode_png(
     tests; default is filter 0 everywhere."""
     if color_type not in _CHANNELS:
         raise ValueError(f"unsupported color type {color_type}")
+    if width < 1 or height < 1:
+        raise ValueError("width and height must be nonzero (PNG spec)")
     ch = _CHANNELS[color_type]
     stride = width * ch
     if len(pixels) != stride * height:
@@ -63,6 +65,10 @@ def encode_png(
         )
     if row_filters is None:
         row_filters = [0] * height
+    elif len(row_filters) != height:
+        raise ValueError(
+            f"row_filters has {len(row_filters)} entries, need {height}"
+        )
     raw = bytearray()
     prev = bytes(stride)
     for y in range(height):
@@ -134,6 +140,8 @@ def decode_png(data: bytes):
         if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
             raise ValueError(f"bad CRC in {ctype!r} chunk")
         if ctype == b"IHDR":
+            if len(body) != 13:
+                raise ValueError(f"IHDR body must be 13 bytes, got {len(body)}")
             ihdr = struct.unpack(">IIBBBBB", body)
         elif ctype == b"IDAT":
             idat += body
@@ -151,10 +159,21 @@ def decode_png(data: bytes):
         raise ValueError("nonstandard compression/filter method")
     if interlace != 0:
         raise ValueError("interlaced PNG not supported")
+    if width < 1 or height < 1:
+        raise ValueError("width and height must be nonzero (PNG spec)")
     ch = _CHANNELS[color_type]
     stride = width * ch
-    raw = zlib.decompress(bytes(idat))
-    if len(raw) != (stride + 1) * height:
+    expected = (stride + 1) * height
+    # decompressobj with max_length bounds inflation BEFORE allocation:
+    # a few-KB IDAT can claim tiny dimensions while inflating to GBs (a
+    # decompression bomb would otherwise OOM the executor before the
+    # size check below ever ran).
+    try:
+        dec = zlib.decompressobj()
+        raw = dec.decompress(bytes(idat), expected + 1)
+    except zlib.error as exc:
+        raise ValueError(f"corrupt deflate stream in IDAT: {exc}") from exc
+    if len(raw) != expected or dec.unconsumed_tail or not dec.eof:
         raise ValueError("decompressed size does not match dimensions")
     out = bytearray(stride * height)
     prev = bytes(stride)

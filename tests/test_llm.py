@@ -829,3 +829,58 @@ def test_jpeg_bit_io_is_linear_time():
     # that still fails the quadratic regression at this size's cost
     # two octaves on (where it matters).
     assert dt < 1.5, f"bit I/O regressed toward quadratic: {dt:.2f}s"
+
+
+def test_png_decoder_contract_hardening():
+    """Malformed input always raises ValueError (never zlib.error /
+    struct.error / IndexError), bombs are bounded, and zero dimensions
+    are rejected per spec — pinned after the codec review."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from hbase_tools_spark.llm.png import decode_png, encode_png
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    # missing IDAT -> ValueError, not zlib.error
+    with pytest.raises(ValueError):
+        decode_png(sig + chunk(b"IHDR", ihdr) + chunk(b"IEND", b""))
+    # short IHDR body with valid CRC -> ValueError, not struct.error
+    with pytest.raises(ValueError):
+        decode_png(sig + chunk(b"IHDR", b"\x00" * 5) + chunk(b"IEND", b""))
+    # CRC-valid garbage deflate -> ValueError, not zlib.error
+    with pytest.raises(ValueError):
+        decode_png(
+            sig + chunk(b"IHDR", ihdr) + chunk(b"IDAT", b"notdeflate")
+            + chunk(b"IEND", b"")
+        )
+    # decompression bomb: 2x2 dims, 10 MB payload — must reject without
+    # inflating the whole stream
+    bomb = zlib.compress(bytes(10 * 1024 * 1024), 9)
+    with pytest.raises(ValueError):
+        decode_png(
+            sig + chunk(b"IHDR", ihdr) + chunk(b"IDAT", bomb)
+            + chunk(b"IEND", b"")
+        )
+    # zero dimensions rejected both ways
+    with pytest.raises(ValueError):
+        encode_png(0, 3, b"", 0)
+    zihdr = struct.pack(">IIBBBBB", 0, 3, 8, 0, 0, 0, 0)
+    with pytest.raises(ValueError):
+        decode_png(
+            sig + chunk(b"IHDR", zihdr)
+            + chunk(b"IDAT", zlib.compress(b"")) + chunk(b"IEND", b"")
+        )
+    # short row_filters -> ValueError, not IndexError
+    with pytest.raises(ValueError):
+        encode_png(2, 3, bytes(6), 0, [0])
