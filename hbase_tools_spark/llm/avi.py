@@ -50,8 +50,14 @@ def build_avi_mjpeg(
     """Assemble a structurally valid MJPEG AVI from encoded JPEG frames."""
     if not frames:
         raise ValueError("AVI needs at least one frame")
+    if fps < 1:
+        raise ValueError("fps must be >= 1")
+    if not (1 <= width <= 65535 and 1 <= height <= 65535):
+        raise ValueError("dimensions must fit the 16-bit rcFrame fields")
     us_per_frame = 1_000_000 // fps
     max_bytes = max(len(f) for f in frames)
+    if max_bytes * fps >= 1 << 32:
+        raise ValueError("dwMaxBytesPerSec overflows 32 bits")
     avih = struct.pack(
         "<14I",
         us_per_frame,          # dwMicroSecPerFrame
@@ -100,13 +106,18 @@ def build_avi_mjpeg(
         _chunk(b"avih", avih)
         + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)),
     )
-    movi_body = b""
+    # Assemble movi as a list + running offset: repeated bytes +=
+    # copies the whole accumulated buffer each frame (quadratic — the
+    # same trap just fixed in jpeg.py's bit writer).
+    movi_parts = []
     idx_entries = []
+    off = 4  # idx1 offsets are relative to the 'movi' fourcc position
     for f in frames:
-        # idx1 offsets are relative to the 'movi' fourcc position
-        idx_entries.append((4 + len(movi_body), len(f)))
-        movi_body += _chunk(b"00dc", f)
-    movi = _list(b"movi", movi_body)
+        idx_entries.append((off, len(f)))
+        part = _chunk(b"00dc", f)
+        movi_parts.append(part)
+        off += len(part)
+    movi = _list(b"movi", b"".join(movi_parts))
     idx1 = _chunk(
         b"idx1",
         b"".join(
@@ -128,6 +139,11 @@ def _walk(buf: bytes, pos: int, end: int):
             raise ValueError(f"chunk {fourcc!r} overruns container")
         yield fourcc, body, size
         pos = body + size + (size % 2)  # word alignment
+    if pos < end:
+        # 1-7 leftover bytes cannot hold a chunk header — a torn chunk,
+        # not legal slack (the only over-end tolerance is the final
+        # omitted pad byte, which lands pos == end + 1).
+        raise ValueError(f"torn chunk header: {end - pos} trailing bytes")
 
 
 def parse_avi(data: bytes) -> dict:
@@ -139,40 +155,70 @@ def parse_avi(data: bytes) -> dict:
     """
     if data[:4] != b"RIFF":
         raise ValueError("not a RIFF file")
+    if len(data) < 12:
+        raise ValueError("truncated RIFF header")
     (riff_size,) = struct.unpack_from("<I", data, 4)
     if 8 + riff_size > len(data):
         raise ValueError("RIFF size overruns buffer")
     if data[8:12] != b"AVI ":
         raise ValueError("RIFF is not an AVI")
     out = {"frames": [], "n_index_entries": 0}
+    n_streams = 0
+
+    def _movi_frames(pos: int, end: int) -> None:
+        for fc2, b2, s2 in _walk(data, pos, end):
+            if fc2 == b"LIST" and data[b2 : b2 + 4] == b"rec ":
+                # standard interleaving wraps frame chunks in rec groups
+                _movi_frames(b2 + 4, b2 + s2)
+            elif fc2 in (b"00dc", b"00db"):  # stream 0: compressed / DIB
+                out["frames"].append(data[b2 : b2 + s2])
+
     for fourcc, body, size in _walk(data, 12, 8 + riff_size):
         if fourcc == b"LIST":
             list_type = data[body : body + 4]
             if list_type == b"hdrl":
                 for fc2, b2, s2 in _walk(data, body + 4, body + size):
                     if fc2 == b"avih":
+                        if s2 < 56:
+                            raise ValueError(
+                                f"avih must be >= 56 bytes, got {s2}"
+                            )
                         v = struct.unpack_from("<14I", data, b2)
                         out["us_per_frame"] = v[0]
                         out["total_frames"] = v[4]
                         out["width"], out["height"] = v[8], v[9]
                     elif fc2 == b"LIST" and data[b2 : b2 + 4] == b"strl":
                         for fc3, b3, s3 in _walk(data, b2 + 4, b2 + s2):
-                            if fc3 == b"strh":
-                                if data[b3 : b3 + 4] != b"vids":
-                                    raise ValueError("first stream not video")
-                                out["handler"] = data[b3 + 4 : b3 + 8].decode()
-                                scale, rate = struct.unpack_from(
-                                    "<II", data, b3 + 20
+                            if fc3 != b"strh":
+                                continue
+                            if s3 < 56:
+                                raise ValueError(
+                                    f"strh must be >= 56 bytes, got {s3}"
                                 )
-                                out["fps"] = rate // max(scale, 1)
+                            n_streams += 1
+                            if n_streams > 1:
+                                continue  # audio/extra streams: ignored
+                            # The FIRST stream must be the video stream
+                            # (the '00dc' ids below assume stream 0).
+                            if data[b3 : b3 + 4] != b"vids":
+                                raise ValueError("first stream not video")
+                            # latin-1: a fourcc is 4 arbitrary bytes,
+                            # not guaranteed UTF-8
+                            out["handler"] = data[b3 + 4 : b3 + 8].decode(
+                                "latin-1"
+                            )
+                            scale, rate = struct.unpack_from(
+                                "<II", data, b3 + 20
+                            )
+                            out["fps"] = rate // max(scale, 1)
             elif list_type == b"movi":
-                for fc2, b2, s2 in _walk(data, body + 4, body + size):
-                    if fc2 == b"00dc":
-                        out["frames"].append(data[b2 : b2 + s2])
+                _movi_frames(body + 4, body + size)
         elif fourcc == b"idx1":
             out["n_index_entries"] = size // 16
     if "width" not in out:
         raise ValueError("missing avih header")
+    if "handler" not in out:
+        raise ValueError("missing strh stream header")
     if len(out["frames"]) != out["total_frames"]:
         raise ValueError(
             f"frame count mismatch: movi has {len(out['frames'])}, "

@@ -743,8 +743,13 @@ def test_avi_container_roundtrip_and_errors():
         encode_jpeg(16, 16, bytes((j * 7 + i * 13) % 256 for j in range(256)), 1)
         for i in range(7)
     ]
-    # force at least one odd-length frame so word alignment is exercised
-    assert any(len(f) % 2 for f in frames) or True
+    # GUARANTEE an odd-length frame so word alignment is exercised
+    # (the previous `assert ... or True` form could never fail).  A
+    # byte after EOI keeps the JPEG decodable (interop contract) while
+    # flipping the payload parity.
+    if not any(len(f) % 2 for f in frames):
+        frames[0] = frames[0] + b"\x00"
+    assert any(len(f) % 2 for f in frames)
     avi = build_avi_mjpeg(16, 16, frames, fps=25)
     info = parse_avi(avi)
     assert (info["width"], info["height"]) == (16, 16)
@@ -884,3 +889,71 @@ def test_png_decoder_contract_hardening():
     # short row_filters -> ValueError, not IndexError
     with pytest.raises(ValueError):
         encode_png(2, 3, bytes(6), 0, [0])
+
+
+def test_avi_parser_interop_contracts():
+    """Parser behaviors pinned after the codec review: multi-stream
+    AVIs (video + audio) parse, rec-interleaved and 00db frames are
+    found, and every malformed shape raises ValueError (never
+    struct.error / UnicodeDecodeError / silent misparse)."""
+    import struct
+
+    import pytest
+
+    from hbase_tools_spark.llm.avi import (
+        _chunk,
+        _list,
+        build_avi_mjpeg,
+        parse_avi,
+    )
+    from hbase_tools_spark.llm.jpeg import encode_jpeg
+
+    frames = [
+        encode_jpeg(8, 8, bytes((i * 11 + j) % 256 for j in range(64)), 1)
+        for i in range(3)
+    ]
+    avi = bytearray(build_avi_mjpeg(8, 8, frames, fps=10))
+
+    # --- multi-stream: append an audio strl inside hdrl -------------
+    auds_strh = b"auds" + bytes(52)
+    strl = _list(b"strl", _chunk(b"strh", auds_strh))
+    hdrl_pos = bytes(avi).find(b"hdrl")
+    base = hdrl_pos - 8  # LIST header start
+    (hdrl_size,) = struct.unpack_from("<I", avi, base + 4)
+    with_audio = (
+        bytes(avi[: base + 4])
+        + struct.pack("<I", hdrl_size + len(strl))
+        + bytes(avi[base + 8 : base + 8 + hdrl_size])
+        + strl
+        + bytes(avi[base + 8 + hdrl_size :])
+    )
+    with_audio = (
+        with_audio[:4]
+        + struct.pack("<I", len(with_audio) - 8)
+        + with_audio[8:]
+    )
+    info = parse_avi(with_audio)
+    assert info["handler"] == "MJPG" and len(info["frames"]) == 3
+
+    # --- malformed shapes all raise ValueError ----------------------
+    with pytest.raises(ValueError):
+        parse_avi(b"RIFFAB")  # shorter than the RIFF header
+    # undersized avih (struct.error pre-fix / silent garbage mid-buffer)
+    bad = bytes(avi).replace(b"avih" + struct.pack("<I", 56),
+                             b"avih" + struct.pack("<I", 4) + bytes(0), 1)
+    # (size shrink desyncs framing -> some ValueError, never struct.error)
+    with pytest.raises(ValueError):
+        parse_avi(bad)
+    # non-UTF-8 handler fourcc parses (latin-1), does not raise
+    weird = bytes(avi).replace(b"vidsMJPG", b"vids\xff\xfe\x00\x01", 1)
+    assert len(parse_avi(weird)["handler"]) == 4
+    # torn trailing chunk header -> ValueError, not silent success
+    with pytest.raises(ValueError):
+        torn = bytes(avi) + b"idx"
+        parse_avi(torn[:4] + struct.pack("<I", len(torn) - 8) + torn[8:])
+
+    # --- builder validation -----------------------------------------
+    with pytest.raises(ValueError):
+        build_avi_mjpeg(8, 8, frames, fps=0)
+    with pytest.raises(ValueError):
+        build_avi_mjpeg(70000, 8, frames)
