@@ -667,6 +667,19 @@ def multimodal_wav_pcm_stats(m: Model) -> DataFrame:
 _JPEG_W = 16        # image width; height = ceil(n_bytes / width)
 _JPEG_PSNR_MIN = 30.0  # certified reconstruction floor (fixture min: 33.0)
 
+
+def _psnr(orig: bytes, decoded: bytes) -> float:
+    """Peak signal-to-noise ratio between two 8-bit pixel buffers —
+    the ONE reconstruction metric shared by the stills and video
+    certificates (a drifted copy would silently decouple their
+    documented common floor)."""
+    import numpy as np
+
+    a = np.frombuffer(orig, np.uint8).astype(np.float64)
+    b = np.frombuffer(decoded, np.uint8).astype(np.float64)
+    mse = float(((a - b) ** 2).mean())
+    return 10.0 * float(np.log10(255.0**2 / max(mse, 1e-12)))
+
 JPEG_STATS_SCHEMA = (
     "doc_id bigint, width int, height int, n_pixels bigint, psnr_ok boolean"
 )
@@ -690,10 +703,7 @@ def _jpeg_roundtrip_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
             px = data + bytes(W * h - n)
             jpg = encode_jpeg(W, h, px, 1)
             w2, h2, _, decoded = decode_jpeg(jpg)
-            a = np.frombuffer(px, np.uint8).astype(np.float64)
-            b = np.frombuffer(decoded, np.uint8).astype(np.float64)
-            mse = float(((a - b) ** 2).mean())
-            psnr = 10.0 * np.log10(255.0 ** 2 / max(mse, 1e-12))
+            psnr = _psnr(px, decoded)
             out["doc_id"].append(doc_id)
             out["width"].append(w2)
             out["height"].append(h2)
@@ -941,7 +951,7 @@ _MJPEG_W = 16
 _MJPEG_H = 16
 _MJPEG_FPS = 25
 _MJPEG_SAMPLE = 4       # decode every 4th frame (frame-sampling path)
-_MJPEG_PSNR_MIN = 30.0  # per-frame reconstruction floor (same as stills)
+_MJPEG_PSNR_MIN = _JPEG_PSNR_MIN  # per-frame floor IS the stills floor
 
 MJPEG_SCHEMA = (
     "doc_id bigint, width int, height int, n_frames bigint, "
@@ -990,18 +1000,21 @@ def _mjpeg_roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for i in range(0, n_frames, _MJPEG_SAMPLE):
                 w2, h2, _, decoded = decode_jpeg(info["frames"][i])
                 n_sampled += 1
-                a = np.frombuffer(originals[i], np.uint8).astype(np.float64)
-                b = np.frombuffer(decoded, np.uint8).astype(np.float64)
-                mse = float(((a - b) ** 2).mean())
-                psnr = 10.0 * np.log10(255.0 ** 2 / max(mse, 1e-12))
-                if (w2, h2) != (W, H) or psnr < _MJPEG_PSNR_MIN:
+                if (w2, h2) != (W, H) or (
+                    _psnr(originals[i], decoded) < _MJPEG_PSNR_MIN
+                ):
                     frames_ok = False
+            # Emit the CONTAINER-PARSED values (not the input-derived
+            # constants) so a container regression breaks the hash gate
+            # on these columns too, like the stills query's w2/h2.
             out["doc_id"].append(doc_id)
-            out["width"].append(W)
-            out["height"].append(H)
-            out["n_frames"].append(n_frames)
+            out["width"].append(info["width"])
+            out["height"].append(info["height"])
+            out["n_frames"].append(info["total_frames"])
             out["n_sampled"].append(n_sampled)
-            out["duration_us"].append(n_frames * (1_000_000 // _MJPEG_FPS))
+            out["duration_us"].append(
+                info["total_frames"] * info["us_per_frame"]
+            )
             out["container_ok"].append(bool(container_ok))
             out["frames_ok"].append(bool(frames_ok))
         yield pd.DataFrame(
