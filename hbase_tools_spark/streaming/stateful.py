@@ -16,7 +16,7 @@ here because the reference itself only reacts to additions.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -114,10 +114,17 @@ def stream_membership_in(m: Model) -> DataFrame:
 # In the steady state (user has viewed) the kept clicks/purchases are
 # the few events that PRECEDE the current chain times — O(1) for
 # in-order streams, bounded by pre-chain stragglers otherwise — so the
-# state store scales with #users, not with per-user traffic.
+# state store scales with #users, not with per-user traffic.  The one
+# case exact semantics cannot prune: a user with NO qualifying view
+# yet, whose clicks/purchases must ALL be retained (any future view
+# could lower t1 below any of them) — deduplicated to distinct event
+# times here; the production bound for such users is an event-time
+# watermark timeout, as with streaming dedup.
 # ---------------------------------------------------------------------------
 
-FUNNEL_STAGES = ("view", "click", "purchase")
+from ..operators.funnels import (  # noqa: E402 — the ONE stage tuple
+    _FUNNEL_STAGES as FUNNEL_STAGES,
+)
 FUNNEL_OUTPUT_SCHEMA = (
     "user_id bigint, stage_reached int, t1 bigint, t2 bigint, t3 bigint"
 )
@@ -140,14 +147,15 @@ def _advance_funnel(key, pdfs, state: GroupState):
         if len(pdf) == 0:
             continue
         saw = True
-        for tus, et in zip(pdf["tus"], pdf["event_type"]):
-            t = int(tus)
-            if et == "view":
-                vmin = t if vmin is None else min(vmin, t)
-            elif et == "click":
-                clicks.append(t)
-            else:
-                purchases.append(t)
+        # Vectorized fold (order-insensitive: min + appends) — a per-row
+        # Python loop put interpreter-speed dispatch on the hot path.
+        et = pdf["event_type"]
+        views = pdf.loc[et == "view", "tus"]
+        if len(views):
+            v = int(views.min())
+            vmin = v if vmin is None else min(vmin, v)
+        clicks.extend(int(t) for t in pdf.loc[et == "click", "tus"])
+        purchases.extend(int(t) for t in pdf.loc[et == "purchase", "tus"])
     t1 = vmin
     t2 = (
         min((t for t in clicks if t > t1), default=None)
@@ -165,6 +173,14 @@ def _advance_funnel(key, pdfs, state: GroupState):
         clicks = [c for c in clicks if c <= t2]
     if t3 is not None:
         purchases = [p for p in purchases if p <= t3]
+    # Collapse duplicates — min(clicks > t1) only needs DISTINCT times,
+    # so the retained set is exact while bounding the view-less worst
+    # case (no t1 yet -> nothing above is prunable, since any future
+    # view could lower t1 below any retained click) to distinct event
+    # times.  The production bound for that pre-chain case is an
+    # event-time watermark timeout, as with streaming dedup.
+    clicks = sorted(set(clicks))
+    purchases = sorted(set(purchases))
     state.update((vmin, clicks, purchases))
     if not saw:
         return
@@ -279,10 +295,21 @@ def _advance_attribution(key, pdfs, state: GroupState):
         elif et == "view":
             last_view = t if last_view is None else max(last_view, t)
         else:  # purchase: attribute against state BEFORE this event
-            if last_click is not None and t - last_click <= _ATTR_LOOKBACK_US:
+            # A touch must PRECEDE the purchase (0 <= delta): a
+            # late-arriving purchase older than the state's last click
+            # would otherwise pass the lookback with a negative delta
+            # and mis-attribute (the oracle's strictly-preceding ROWS
+            # frame says organic).
+            if (
+                last_click is not None
+                and 0 <= t - last_click <= _ATTR_LOOKBACK_US
+            ):
                 out_a.append("click")
                 out_l.append(t - last_click)
-            elif last_view is not None and t - last_view <= _ATTR_LOOKBACK_US:
+            elif (
+                last_view is not None
+                and 0 <= t - last_view <= _ATTR_LOOKBACK_US
+            ):
                 out_a.append("view")
                 out_l.append(t - last_view)
             else:
@@ -359,7 +386,7 @@ def stream_attribution(m: Model) -> DataFrame:
 
     ev = (
         events_stream(m.spark, m.sf_dir)
-        .where(F.col("event_type").isin("view", "click", "purchase"))
+        .where(F.col("event_type").isin(*FUNNEL_STAGES))
         .select(
             "user_id",
             "event_id",

@@ -865,3 +865,59 @@ def test_stream_batch_cost_amortizes(spark, tmp_path):
     # failing — so pass on EITHER signal: marginal batches well under
     # the first, or marginal batches cheap in absolute terms.
     assert steady < 0.75 * durs[0] or steady < 800, (durs[0], steady)
+
+
+def test_funnel_viewless_user_state_dedups():
+    """The one unprunable case — a user with no qualifying view — must
+    at least collapse to DISTINCT event times (min(clicks > t1) never
+    needs duplicates), so repeated-timestamp bot traffic stays
+    bounded."""
+    import pandas as pd
+
+    from hbase_tools_spark.streaming.stateful import _advance_funnel
+
+    state = _FakeState()
+
+    def feed(events):
+        pdf = pd.DataFrame(
+            {"tus": [t for t, _ in events],
+             "event_type": [e for _, e in events]}
+        )
+        return list(_advance_funnel((9,), [pdf], state))
+
+    for _ in range(40):  # 40 batches of the same 5 click times, no view
+        feed([(t, "click") for t in (10, 20, 30, 40, 50)])
+    vmin, clicks, purchases = state.get
+    assert vmin is None
+    assert clicks == [10, 20, 30, 40, 50]   # distinct, sorted, bounded
+    # a late view below them promotes the earliest click exactly
+    out = feed([(5, "view")])[0]
+    assert (int(out["stage_reached"][0]), int(out["t2"][0])) == (2, 10)
+
+
+def test_attribution_late_purchase_is_organic():
+    """A purchase arriving in a later batch but EARLIER in event time
+    than the state's last click must not attribute to it (negative
+    delta — the oracle's strictly-preceding frame says organic)."""
+    import pandas as pd
+
+    from hbase_tools_spark.streaming.stateful import _advance_attribution
+
+    state = _FakeState()
+
+    def feed(rows):
+        pdf = pd.DataFrame(
+            {"tus": [t for t, _, _ in rows],
+             "event_id": [e for _, e, _ in rows],
+             "event_type": [k for _, _, k in rows]}
+        )
+        return list(_advance_attribution((3,), [pdf], state))
+
+    feed([(500, 1, "click")])
+    out = feed([(100, 2, "purchase")])[0]
+    assert out["attributed_to"][0] == "organic"
+    assert pd.isna(out["latency_us"][0])
+    # a later purchase still attributes forward normally
+    out = feed([(600, 3, "purchase")])[0]
+    assert out["attributed_to"][0] == "click"
+    assert int(out["latency_us"][0]) == 100
