@@ -157,15 +157,14 @@ def tfidf_top_terms(m: Model) -> DataFrame:
     dfr = wc.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     nd = F.broadcast(m.documents.agg(F.count(F.lit(1)).alias("n_docs")))
 
-    @F.pandas_udf("double")
-    def ln_libm(x: pd.Series) -> pd.Series:
-        return x.map(math.log)
-
     ratio = (F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))
+    # _pln is the shared libm-ln contract (functions/exprs.py), bound at
+    # call time — a local duplicate UDF here was a second copy of the
+    # cross-engine log contract to keep in sync.
     scored = (
         wc.join(dfr, "word")
         .crossJoin(nd)
-        .withColumn("score", F.col("c") * ln_libm(ratio))
+        .withColumn("score", F.col("c") * _pln(ratio))
     )
     rank = F.row_number().over(
         Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "word")
@@ -329,14 +328,15 @@ def oov_rate_by_source(m: Model) -> DataFrame:
     (bounded cardinality, map-side partials).  Ties at the vocabulary
     boundary break on the word (same ORDER BY in both engines)."""
     swc = _swc(m).localCheckpoint(eager=False)
-    rk = F.row_number().over(
-        Window.orderBy(F.col("n_occ").desc(), "word")
-    )
+    # TakeOrderedAndProject (orderBy+limit), NOT an unpartitioned
+    # row_number window — the window form single-partition-sorts the
+    # whole vocabulary, exactly the global sort this query's plan notes
+    # promise never happens.  Tie-break matches the oracle's ORDER BY.
     vocab = (
         swc.groupBy("word")
         .agg(F.sum("c").alias("n_occ"))
-        .withColumn("rk", rk)
-        .where(F.col("rk") <= _OOV_VOCAB_K)
+        .orderBy(F.col("n_occ").desc(), "word")
+        .limit(_OOV_VOCAB_K)
         .select("word", F.lit(1).alias("in_vocab"))
     )
     oov_c = F.when(F.col("in_vocab").isNull(), F.col("c")).otherwise(F.lit(0))
@@ -573,6 +573,25 @@ def token_zipf_fit(m: Model) -> DataFrame:
 from ..functions.exprs import pexp as _pexp  # noqa: E402
 from ..functions.exprs import pln as _pln  # noqa: E402
 
+#: Adjacent-token pairing as ONE expression string (one py4j round-trip
+#: for the whole tree; Spark SQL subscripts are 0-based, so
+#: toks[i-1]/toks[i] over i in 1..size-1 pairs adjacent tokens).  The
+#: ONE copy shared by the perplexity trainer, the persisted-LM
+#: builder/server, and the embedding co-occurrence — a drifted copy
+#: would silently diverge the trained-LM and serving paths.
+_BIGRAM_EXPR = (
+    "explode(transform(sequence(1, size(toks)-1), "
+    "i -> struct(toks[i-1] AS a, toks[i] AS b)))"
+)
+
+
+def _bigrams(df: DataFrame, *keep: str) -> DataFrame:
+    """Explode a ``toks``-bearing relation into adjacent (a, b) token
+    pairs, carrying the ``keep`` columns through."""
+    return df.select(*keep, F.expr(_BIGRAM_EXPR).alias("bg")).select(
+        *keep, "bg.a", "bg.b"
+    )
+
 _PPL_TARGET = "src0"  # trusted source the bigram LM is trained on
 _PPL_TILES = 3        # head / middle / tail
 
@@ -653,19 +672,7 @@ def docs_ccnet_perplexity(m: Model) -> DataFrame:
         "doc_id", "source", "lang", toks.alias("toks")
     ).where(F.size("toks") >= 2)
     def bigrams(df):
-        # one F.expr string = one py4j round-trip for the whole tree
-        # (the Column-by-Column form cost ~0.5 s of driver chatter per
-        # build); Spark SQL subscripts are 0-based, so toks[i-1]/toks[i]
-        # over i in 1..size-1 pairs adjacent tokens.
-        return df.select(
-            "doc_id",
-            "source",
-            "lang",
-            F.expr(
-                "explode(transform(sequence(1, size(toks)-1), "
-                "i -> struct(toks[i-1] AS a, toks[i] AS b)))"
-            ).alias("bg"),
-        ).select("doc_id", "source", "lang", "bg.a", "bg.b")
+        return _bigrams(df, "doc_id", "source", "lang")
 
     # The LM is a RELATION, not a driver literal (round-4 verdict: a
     # real trusted corpus has 10^8+ bigrams — collecting counts to the
@@ -758,7 +765,6 @@ def _ppl_score(cand: DataFrame, lm_ab, lm_a, lm_v) -> DataFrame:
     )
 
 
-_PPL_ORACLE = None  # set below, after the base query registers
 
 
 def _lm_artifact_dir(m: Model) -> str:
@@ -773,8 +779,15 @@ def _lm_artifact_dir(m: Model) -> str:
     from ..functions.memo import sf_cached
 
     def build() -> str:
-        base = "/dev/shm" if __import__("os").path.isdir("/dev/shm") else None
+        import atexit
+        import os
+        import shutil
+
+        base = "/dev/shm" if os.path.isdir("/dev/shm") else None
         out = tempfile.mkdtemp(prefix="ppl_lm_", dir=base)
+        # tmpfs survives process exit — without cleanup every bench/test
+        # process leaks a RAM-backed LM artifact until reboot.
+        atexit.register(shutil.rmtree, out, ignore_errors=True)
         materialize_ppl_lm(m.documents, out)
         return out
 
@@ -802,15 +815,7 @@ def materialize_ppl_lm(documents: DataFrame, out_dir: str) -> None:
     base = documents.select(
         "doc_id", "source", "lang", toks.alias("toks")
     ).where(F.size("toks") >= 2)
-    bg = base.select(
-        "doc_id",
-        "source",
-        "lang",
-        F.expr(
-            "explode(transform(sequence(1, size(toks)-1), "
-            "i -> struct(toks[i-1] AS a, toks[i] AS b)))"
-        ).alias("bg"),
-    ).select("doc_id", "source", "lang", "bg.a", "bg.b")
+    bg = _bigrams(base, "doc_id", "source", "lang")
     lm_ab, lm_a, lm_v = _ppl_lm_relations(bg)
     lm_ab.write.mode("overwrite").parquet(out_dir + "/bigram")
     lm_a.write.mode("overwrite").parquet(out_dir + "/unigram")
@@ -827,16 +832,7 @@ def ccnet_perplexity_from_lm(spark, lm_dir: str, documents: DataFrame) -> DataFr
         "doc_id", "source", "lang", toks.alias("toks")
     ).where(F.size("toks") >= 2)
     cand = (
-        base.where(F.col("source") != _PPL_TARGET)
-        .select(
-            "doc_id",
-            "lang",
-            F.expr(
-                "explode(transform(sequence(1, size(toks)-1), "
-                "i -> struct(toks[i-1] AS a, toks[i] AS b)))"
-            ).alias("bg"),
-        )
-        .select("doc_id", "lang", "bg.a", "bg.b")
+        _bigrams(base.where(F.col("source") != _PPL_TARGET), "doc_id", "lang")
         .groupBy("doc_id", "lang", "a", "b")
         .agg(F.count(F.lit(1)).alias("k"))
     )
@@ -916,14 +912,7 @@ def bigram_pmi_top(m: Model) -> DataFrame:
     )
     n = cu.agg(F.sum("c").alias("n"))
     cb = (
-        t.where(F.size("toks") >= 2)
-        .select(
-            F.expr(
-                "explode(transform(sequence(1, size(toks)-1), "
-                "i -> struct(toks[i-1] AS a, toks[i] AS b)))"
-            ).alias("bg")
-        )
-        .select("bg.a", "bg.b")
+        _bigrams(t.where(F.size("toks") >= 2))
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("cab"))
     )
@@ -1097,9 +1086,8 @@ def corpus_dataset_card(m: Model) -> DataFrame:
 # Registered AFTER both definitions: the serving twin shares the base
 # query's oracle verbatim (same corpus -> same LM -> same scores).
 from ..registry import QUERIES as _Q  # noqa: E402
-from ..registry import query as _query  # noqa: E402
 
-_query(
+query(
     "docs_ccnet_perplexity_served",
     oracle=_Q["docs_ccnet_perplexity"].oracle,
     views=[],
@@ -1150,7 +1138,7 @@ tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS big_n FROM cooc),
 topv AS (SELECT mw, n_w FROM marg ORDER BY n_w DESC, mw LIMIT {_WV_TOPV}),
 ppmi AS (
   SELECT cooc.w, cooc.c,
-         CAST({fround_sql('greatest(0.0, ln((cnt * big_n) * 1.0 / (mw1.n_w * mw2.n_w)))', 6)}
+         CAST({fround_sql('greatest(0.0, ln((cnt * 1.0) * big_n / ((mw1.n_w * 1.0) * mw2.n_w)))', 6)}
               AS DECIMAL(18,6)) AS p
   FROM cooc
   JOIN topv ON cooc.w = topv.mw
@@ -1246,10 +1234,15 @@ def word_embedding_neighbors(m: Model) -> DataFrame:
             fround(
                 F.greatest(
                     F.lit(0.0),
+                    # cnt goes to DOUBLE before the big_n multiply: the
+                    # int64 product cnt*big_n silently wraps past 2^63
+                    # at real corpus scale (big_n ~ 4x tokens), while
+                    # the double product merely rounds.  Same op order
+                    # as the oracle: (cnt*1.0) * big_n / (nw1*nw2).
                     _pln(
-                        (F.col("cnt") * F.col("big_n"))
-                        * 1.0
-                        / (F.col("nw1") * F.col("nw2"))
+                        (F.col("cnt") * 1.0)
+                        * F.col("big_n")
+                        / ((F.col("nw1") * 1.0) * F.col("nw2"))
                     ),
                 ),
                 6,
