@@ -103,6 +103,19 @@ _BUCKET_SQL = (
 )
 
 
+def _sign_bucket(a: Column) -> Column:
+    """Sign-bit LSH bucket string — the Spark counterpart of
+    ``_BUCKET_SQL`` (ONE definition per engine; previously duplicated
+    as closures in the topk and neardup queries)."""
+    return F.array_join(
+        F.transform(
+            F.slice(a, 1, _LSH_BITS),
+            lambda x: F.when(x >= 0, "1").otherwise("0"),
+        ),
+        "",
+    )
+
+
 @query(
     "embedding_lsh_topk",
     oracle=f"""
@@ -134,14 +147,7 @@ def embedding_lsh_topk(m: Model) -> DataFrame:
     bucket-equi-join instead of a cross product — the scale path."""
     emb = m.embeddings
 
-    def bucket(a: Column) -> Column:
-        return F.array_join(
-            F.transform(
-                F.slice(a, 1, _LSH_BITS),
-                lambda x: F.when(x >= 0, "1").otherwise("0"),
-            ),
-            "",
-        )
+    bucket = _sign_bucket
 
     q = emb.filter(F.col("vec_id") < _NQUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -220,14 +226,7 @@ def embedding_neardup_pairs(m: Model) -> DataFrame:
     size; residual intra-bucket skew is AQE's job."""
     emb = m.embeddings
 
-    def bucket(a: Column) -> Column:
-        return F.array_join(
-            F.transform(
-                F.slice(a, 1, _LSH_BITS),
-                lambda x: F.when(x >= 0, "1").otherwise("0"),
-            ),
-            "",
-        )
+    bucket = _sign_bucket
 
     eb = emb.select(
         "vec_id", "embedding", bucket(F.col("embedding")).alias("bucket")
@@ -324,7 +323,9 @@ def _collect_cent_and_probes(cent: DataFrame, emb: DataFrame):
     return cent_rows, probes
 
 
-def _ivf_candidate_topk(emb: DataFrame, cent_rows, probes) -> DataFrame:
+def _ivf_candidate_topk(
+    emb: DataFrame, cent_rows, probes, cell_col: str | None = None
+) -> DataFrame:
     """Fused IVF search: ONE Arrow pandas-UDF corpus pass that (a)
     assigns every vector to its nearest centroid and (b) emits exact
     cosine candidates for the probes whose nprobe-cell set contains
@@ -354,11 +355,25 @@ def _ivf_candidate_topk(emb: DataFrame, cent_rows, probes) -> DataFrame:
     qcells, qnorm = _nearest_cells(qmat, cell_ids, cmat, cnorm, _NPROBE)
     qcell_sets = [np.array(sorted(set(map(int, row)))) for row in qcells]
 
+    use_stored = cell_col is not None
+
     @F.pandas_udf("array<struct<query_id: bigint, cos: double>>")
-    def candidates(vec_id: pd.Series, embedding: pd.Series) -> pd.Series:
+    def candidates(
+        vec_id: pd.Series, embedding: pd.Series, cell: pd.Series
+    ) -> pd.Series:
         ed = np.stack(embedding.values).astype(np.float64)
-        assign, vnorm = _nearest_cells(ed, cell_ids, cmat, cnorm, 1)
-        assign = assign[:, 0]
+        if use_stored:
+            # persisted-index serving: the assignment is already in the
+            # index (deterministic quantizer), so only the norms need
+            # computing — skip the O(rows x C x dims) re-quantization
+            assign = cell.values.astype(np.int64)
+            vnorm = np.zeros(len(ed))
+            for i in range(ed.shape[1]):  # strict index order
+                vnorm += ed[:, i] * ed[:, i]
+            vnorm = np.sqrt(vnorm)
+        else:
+            assign, vnorm = _nearest_cells(ed, cell_ids, cmat, cnorm, 1)
+            assign = assign[:, 0]
         vids = vec_id.values
         out = [[] for _ in range(len(ed))]
         for qi, qid in enumerate(qids):
@@ -375,8 +390,16 @@ def _ivf_candidate_topk(emb: DataFrame, cent_rows, probes) -> DataFrame:
                 out[j].append({"query_id": int(qid), "cos": float(c)})
         return pd.Series(out)
 
+    cell_expr = (
+        F.col(cell_col) if use_stored else F.lit(-1).cast("int")
+    )
     cand = (
-        emb.select("vec_id", F.explode(candidates("vec_id", "embedding")).alias("c"))
+        emb.select(
+            "vec_id",
+            F.explode(
+                candidates("vec_id", "embedding", cell_expr)
+            ).alias("c"),
+        )
         .select(F.col("c.query_id").alias("query_id"), "vec_id",
                 F.col("c.cos").alias("cos_raw"))
     )
@@ -573,14 +596,25 @@ def ivf_topk_from_index(spark, index_dir: str) -> DataFrame:
             key=lambda r: r["vec_id"],
         )
     ]
+    if not probes or not cent_rows:
+        # filtered/re-keyed index: same empty contract as the sibling
+        # serving paths (the guard must run BEFORE _nearest_cells — a
+        # 0-row qmat is 1-D and would IndexError there)
+        return spark.createDataFrame(
+            [], "query_id long, vec_id long, cosine double, rank int"
+        )
     cell_ids, cmat, cnorm = _quantizer(cent_rows)
     import numpy as np
 
     qmat = np.array([v for _, v in probes], dtype=np.float64)
     qcells, _ = _nearest_cells(qmat, cell_ids, cmat, cnorm, _NPROBE)
     needed = sorted({int(c) for row in qcells for c in row})
-    pruned = assign.filter(F.col("cell").isin(needed)).select("vec_id", "embedding")
-    return _ivf_candidate_topk(pruned, cent_rows, probes)
+    pruned = assign.filter(F.col("cell").isin(needed)).select(
+        "vec_id", "embedding", "cell"
+    )
+    # the stored assignment column rides through so serving never
+    # re-runs the quantizer over the probed partitions
+    return _ivf_candidate_topk(pruned, cent_rows, probes, cell_col="cell")
 
 
 # ---------------------------------------------------------------------------
@@ -721,6 +755,13 @@ def embedding_ivf_kmeans_topk(m: Model) -> DataFrame:
         for cell, vid in enumerate(_KM_INIT_IDS)
         if vid in vecs
     ]
+    if not cent_rows:
+        # every seed absent: "contributes no cell" degenerates to the
+        # empty result (the guard must precede _quantizer — an empty
+        # centroid matrix is 1-D and would IndexError inside it)
+        return m.spark.createDataFrame(
+            [], "query_id long, vec_id long, cosine double, rank int"
+        )
 
     def _assign_udf(cell_ids, cmat, cnorm):
         # factory: freezes THIS iteration's quantizer into the closure
@@ -894,6 +935,14 @@ def embedding_int8_topk(m: Model) -> DataFrame:
             key=lambda t: t[0],
         ),
     )
+    if not q_rows:
+        # filtered corpus with no probe ids — same empty contract as
+        # every other ANN query (np.stack of [] would ValueError)
+        return m.spark.createDataFrame(
+            [],
+            "query_id long, vec_id long, label int, approx_cosine double, "
+            "rank int, in_exact_topk boolean",
+        )
     q_ids = np.array([t[0] for t in q_rows], dtype=np.int32)
     qe = np.stack([t[1] for t in q_rows])                      # (Q, 64)
     qscale = np.maximum(np.abs(qe).max(axis=1) / float(_INT8_LEVELS), 1e-30)
@@ -1136,27 +1185,35 @@ def _pq_probe_df(spark, cb2, probes: list) -> DataFrame:
     flat M*K literal of DECIMAL(28,12) terms (each the sequential
     S-dim fold, quantized exactly as the oracle's per-term cast) —
     ~8 KB per query, broadcastable at any corpus size."""
+    rows = [
+        (qid, [float(x) for x in qv], _adc_lut(qv, cb2)) for qid, qv in probes
+    ]
+    return spark.createDataFrame(
+        rows, "query_id int, qe array<double>, lut array<decimal(28,12)>"
+    )
+
+
+def _adc_lut(qr, cb2) -> list:
+    """Driver-built ADC lookup table for one (residual) query vector:
+    per (m, k) cell the sequential S-dim squared-L2 fold quantized to
+    DECIMAL(28,12) exactly as the oracle's per-term cast — THE one
+    table definition (pairs with ``_adc_fold``'s stride) shared by the
+    per-query PQ search, persisted-PQ serving, and both IVFPQ paths;
+    three hand-copied versions previously had to be kept in sync."""
     from decimal import ROUND_HALF_UP, Decimal
 
     M, K, S = _PQ_M, _PQ_K, _PQ_SUB
     q12 = Decimal("1e-12")
-
-    def lut_of(qv) -> list:
-        qs = qv.reshape(M, S)
-        out = []
-        for mm in range(M):
-            for k in range(K):
-                acc = 0.0
-                for i in range(S):
-                    dlt = qs[mm, i] - cb2[mm, k, i]
-                    acc += dlt * dlt
-                out.append(Decimal(acc).quantize(q12, ROUND_HALF_UP))
-        return out
-
-    rows = [(qid, [float(x) for x in qv], lut_of(qv)) for qid, qv in probes]
-    return spark.createDataFrame(
-        rows, "query_id int, qe array<double>, lut array<decimal(28,12)>"
-    )
+    qs = qr.reshape(M, S)
+    out = []
+    for mm in range(M):
+        for k in range(K):
+            acc = 0.0
+            for i in range(S):
+                dlt = qs[mm, i] - cb2[mm, k, i]
+                acc += dlt * dlt
+            out.append(Decimal(acc).quantize(q12, ROUND_HALF_UP))
+    return out
 
 
 def _adc_fold() -> Column:
@@ -1421,7 +1478,7 @@ a0 AS (
   SELECT vec_id, r, m, k FROM (
     SELECT res.vec_id, res.r, cb.m, cb.k,
            row_number() OVER (
-             PARTITION BY res.vec_id, cb.m ORDER BY {d0.replace('cb.c', 'cb.c')}, cb.k
+             PARTITION BY res.vec_id, cb.m ORDER BY {d0}, cb.k
            ) AS rnk
     FROM res CROSS JOIN init cb
   ) t WHERE rnk = 1
@@ -1519,10 +1576,17 @@ def embedding_ivfpq_topk(m: Model) -> DataFrame:
     from ..functions.memo import sf_cached
 
     emb = m.embeddings
-    # coarse quantizer + probes (one driver collect each, C rows / 5 rows)
-    cent_rows = [
-        (int(r["label"]), list(r["c"])) for r in _label_centroids(emb).collect()
-    ]
+    # coarse quantizer: memoized per (session, sf_dir) like the seed
+    # vectors below, so repeat runs pay zero driver jobs here and the
+    # cold run pays one (C rows)
+    cent_rows = sf_cached(
+        m.sf_dir,
+        "label_centroid_rows",
+        lambda: [
+            (int(r["label"]), list(r["c"]))
+            for r in _label_centroids(emb).collect()
+        ],
+    )
     cell_ids, cmat, cnorm = _quantizer(cent_rows)
     cell_row = {cid: i for i, cid in enumerate(cell_ids)}
 
@@ -1578,25 +1642,8 @@ def embedding_ivfpq_topk(m: Model) -> DataFrame:
         qcells, _ = _nearest_cells(qv[None, :], cell_ids, cmat, cnorm, _NPROBE)
         for c in qcells[0]:
             probes.append((qid, int(c), qv - cmat[cell_row[int(c)]]))
-    from decimal import ROUND_HALF_UP, Decimal
-
-    S, M, K = _PQ_SUB, _PQ_M, _PQ_K
-    q12 = Decimal("1e-12")
-
-    def lut_of(qr: np.ndarray) -> list:
-        qs = qr.reshape(M, S)
-        out = []
-        for mm in range(M):
-            for k in range(K):
-                acc = 0.0
-                for i in range(S):
-                    dlt = qs[mm, i] - cb2[mm, k, i]
-                    acc += dlt * dlt
-                out.append(Decimal(acc).quantize(q12, ROUND_HALF_UP))
-        return out
-
     q = m.spark.createDataFrame(
-        [(qid, c, lut_of(qr)) for qid, c, qr in probes],
+        [(qid, c, _adc_lut(qr, cb2)) for qid, c, qr in probes],
         "query_id int, cell int, lut array<decimal(28,12)>",
     )
     adc_dec = _adc_fold()
@@ -1702,25 +1749,13 @@ def ivfpq_topk_from_index(spark, index_dir: str, probes: list) -> DataFrame:
     cb2 = np.zeros((M, K, S))
     for r in spark.read.parquet(index_dir + "/codebook").collect():
         cb2[int(r["m"]), int(r["k"])] = np.asarray(r["c"], dtype=np.float64)
-    q12 = Decimal("1e-12")
-
-    def lut_of(qr: np.ndarray) -> list:
-        qs = qr.reshape(M, S)
-        out = []
-        for mm in range(M):
-            for k in range(K):
-                acc = 0.0
-                for i in range(S):
-                    dlt = qs[mm, i] - cb2[mm, k, i]
-                    acc += dlt * dlt
-                out.append(Decimal(acc).quantize(q12, ROUND_HALF_UP))
-        return out
-
     rows = []
     for qid, qv in probes:
         qcells, _ = _nearest_cells(qv[None, :], cell_ids, cmat, cnorm, _NPROBE)
         for c in qcells[0]:
-            rows.append((qid, int(c), lut_of(qv - cmat[cell_row[int(c)]])))
+            rows.append(
+                (qid, int(c), _adc_lut(qv - cmat[cell_row[int(c)]], cb2))
+            )
     q = spark.createDataFrame(
         rows, "query_id int, cell int, lut array<decimal(28,12)>"
     )
@@ -1817,32 +1852,12 @@ def embedding_label_outliers(m: Model) -> DataFrame:
     cent = _label_centroids(m.embeddings).select(
         "label", F.col("c").alias("cvec")
     )
-    dot = F.aggregate(
-        F.zip_with(
-            F.col("embedding"),
-            F.col("cvec"),
-            lambda a, b: a.cast("double") * b,
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    norm_e = F.sqrt(
-        F.aggregate(
-            F.transform(
-                F.col("embedding"),
-                lambda x: x.cast("double") * x.cast("double"),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
-    norm_c = F.sqrt(
-        F.aggregate(
-            F.transform(F.col("cvec"), lambda x: x * x),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
+    # the shared sequential-fold cosine helpers (the extra double casts
+    # are no-ops on the double cvec) — every cosine in this file must
+    # use the same fold shape for the bit-parity contract
+    dot = _dot(F.col("embedding"), F.col("cvec"))
+    norm_e = _norm(F.col("embedding"))
+    norm_c = _norm(F.col("cvec"))
     cos_raw = dot / (norm_e * norm_c)
     rank = F.row_number().over(
         Window.partitionBy("label").orderBy(F.asc("cos_raw"), F.asc("vec_id"))
