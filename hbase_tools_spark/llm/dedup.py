@@ -40,10 +40,6 @@ WHERE len(toks) >= {_SHINGLE}
 """
 
 
-def _shingles(m: Model) -> DataFrame:
-    return _shingles_with_size(m).select("doc_id", "shingle")
-
-
 def _shingles_with_size(m: Model, width: int = _SHINGLE) -> DataFrame:
     """Exploded (doc_id, n_distinct_shingles, shingle) postings; n rides
     along so downstream set-similarity math needs no size-lookup join.
@@ -62,6 +58,8 @@ def _shingles_with_size(m: Model, width: int = _SHINGLE) -> DataFrame:
         for pdf in batches:
             ids, ns, shs = [], [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if not isinstance(text, str):  # NULL text: drop, like
+                    continue                   # the SQL/oracle paths
                 toks = text.split(" ")
                 if len(toks) < width:
                     continue
@@ -160,10 +158,6 @@ FROM (
 """
 
 
-def _minhash_signatures(m: Model) -> DataFrame:
-    return _signatures_for(m.documents)
-
-
 def _signatures_for(docs: DataFrame) -> DataFrame:
     """MinHash signatures: each distinct shingle is md5-hashed ONCE and
     parsed to a 32-bit int; sig[i] = min over shingles of the i-th
@@ -196,6 +190,8 @@ def _signatures_for(docs: DataFrame) -> DataFrame:
         for pdf in batches:
             ids, sigs = [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if not isinstance(text, str):  # NULL text: drop, like
+                    continue                   # the SQL/oracle paths
                 toks = text.split(" ")
                 if len(toks) < width:
                     continue
@@ -305,6 +301,10 @@ def incremental_pairs(
     (the ingest loop materializes them ONCE and reuses the relation for
     both this pairing and the index append — the signer is the
     expensive pass)."""
+    if new_sig is None and new_docs is None:
+        raise ValueError(
+            "incremental_pairs needs new_docs or a precomputed new_sig"
+        )
     if new_sig is None:
         new_sig = _signatures_for(new_docs)
     all_bands = _bands_from_sig(index_sig.unionByName(new_sig)).localCheckpoint(
@@ -501,10 +501,12 @@ SELECT doc_id, label AS cluster_id FROM s{_LP_STEPS}
 
 @query(
     "neardup_clusters",
-    # continues the CTE list opened by the registry's view prefix; the
-    # minhash-pairs oracle nests as a sub-WITH inside the pairs CTE
-    oracle=",\npairs AS (\n" + _MINHASH_PAIRS_SQL + "\n),\n" + _lp_oracle(),
-    views=["servers"],
+    # self-contained WITH: the minhash-pairs oracle nests as a sub-WITH
+    # inside the pairs CTE (previously this leaned on views=["servers"]
+    # purely to make the registry emit the WITH keyword — coupling this
+    # oracle to an unrelated view definition)
+    oracle="WITH pairs AS (\n" + _MINHASH_PAIRS_SQL + "\n),\n" + _lp_oracle(),
+    views=[],
 )
 def neardup_clusters(m: Model) -> DataFrame:
     """Near-duplicate cluster formation: MinHash-LSH candidate pairs
@@ -916,15 +918,24 @@ def _dup_window_positions(m: Model):
     base = m.documents.select(
         "doc_id", toks.alias("toks"), F.size(toks).alias("n_tokens")
     ).where(F.col("n_tokens") >= W)
-    p = base.select(
-        "doc_id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, size(toks) - {W}),"
-                f" i -> concat_ws(' ', slice(toks, i + 1, {W})))"
-            )
-        ).alias("pos0", "shingle"),
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "shingle")
+    p = (
+        base.select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, size(toks) - {W}),"
+                    f" i -> concat_ws(' ', slice(toks, i + 1, {W})))"
+                )
+            ).alias("pos0", "shingle"),
+        )
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "shingle")
+        # both the doc-frequency aggregate and the semi-join probe
+        # consume p; without the checkpoint the corpus-wide posexplode
+        # runs twice (ReuseExchange can't fire — one leg partial-aggs
+        # before its exchange), the same guard ngram_jaccard_pairs
+        # documents
+        .localCheckpoint(eager=False)
+    )
     wf = (
         p.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -1439,16 +1450,26 @@ def novelty_ingest_batch(
     probe reads only the shingle column, and the append writes one new
     partition per batch (no rewrite of history — the same
     dynamic-partition discipline as streaming/ingest.py)."""
-    import os
+    from ..streaming.ingest import _fs_exists
 
     w = _batch_windows(docs)
-    bc = w.groupBy("shingle").agg(F.count(F.lit(1)).alias("c"))
+    # ONE window pass: bc feeds the novel anti-join AND the batch
+    # totals, so the checkpoint belongs HERE (checkpointing only the
+    # derived `novel` left the totals aggregate re-running the whole
+    # explode+aggregate from scratch every batch).
+    bc = (
+        w.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
     n_docs = docs.where(
         F.size(F.split(F.col("text"), " ")) >= _DUP_WINDOW
     ).count()
-    have_index = os.path.isdir(index_dir) and any(
-        not e.startswith(("_", ".")) for e in os.listdir(index_dir)
-    )
+    # Hadoop-FS probe, not os.path — a driver-local isdir always says
+    # no for HDFS/S3/ABFS index locations and every batch would score
+    # ~100% novel while still appending (the exact failure mode
+    # streaming/ingest._fs_exists documents).
+    have_index = _fs_exists(spark, index_dir)
     if have_index:
         seen = spark.read.parquet(index_dir).select("shingle")
         # corpus-proportional on BOTH sides -> co-keyed join, never a
@@ -1456,7 +1477,6 @@ def novelty_ingest_batch(
         novel = bc.join(seen.hint("shuffle_hash"), "shingle", "left_anti")
     else:
         novel = bc
-    novel = novel.localCheckpoint(eager=False)  # scored AND appended
     agg = novel.agg(
         F.coalesce(F.sum("c"), F.lit(0)).alias("nc"),
     ).collect()[0]
@@ -1491,21 +1511,25 @@ def novelty_ingest_batch(
 # identical trajectory (the k-means chained-CTE discipline).
 # ---------------------------------------------------------------------------
 
-_PR_D = 0.85      # damping
+_PR_D = 0.85      # damping (interpolated into BOTH engines below)
+#: teleport term, kept as its OWN literal: computing 1.0 - _PR_D in
+#: IEEE gives 0.15000000000000002, a different double than the 0.15
+#: both oracles were certified with
+_PR_BASE = 0.15
 _PR_ITERS = 3     # fixed power iterations
 
 
 def _pr_oracle() -> str:
-    it = """,
-r{k} AS (
+    it = f""",
+r{{k}} AS (
   SELECT d.s AS v,
-         0.15 / n.n + 0.85 * CAST(coalesce(x.sm, 0) AS DOUBLE) AS r
+         {_PR_BASE!r} / n.n + {_PR_D!r} * CAST(coalesce(x.sm, 0) AS DOUBLE) AS r
   FROM deg d CROSS JOIN n
   LEFT JOIN (
     SELECT e.t AS v,
            sum(CAST(p.r / dd.deg AS DECIMAL(28,12))) AS sm
     FROM e
-    JOIN r{p} p ON p.v = e.s
+    JOIN r{{p}} p ON p.v = e.s
     JOIN deg dd ON dd.s = e.s
     GROUP BY e.t
   ) x ON x.v = d.s
@@ -1578,8 +1602,8 @@ def neardup_pagerank(m: Model) -> DataFrame:
             .select(
                 F.col("s").alias("v"),
                 (
-                    F.lit(0.15) / F.col("n")
-                    + F.lit(0.85)
+                    F.lit(_PR_BASE) / F.col("n")
+                    + F.lit(_PR_D)
                     * F.coalesce(
                         F.col("sm"), F.lit(Decimal(0)).cast("decimal(28,12)")
                     ).cast("double")
