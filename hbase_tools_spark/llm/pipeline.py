@@ -1496,14 +1496,14 @@ _TEMP_ALPHA = 0.3
 WITH src AS (
   SELECT source,
          CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
-  FROM documents GROUP BY source
+  FROM documents WHERE text IS NOT NULL GROUP BY source
 ),
 tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t FROM src),
 a AS (
   SELECT source, n_tokens,
          n_tokens * 1.0 / t AS p,
-         CAST(floor(exp({_TEMP_ALPHA} * ln(n_tokens * 1.0 / t)) * 100000000.0 + 0.5)
-              / 100000000.0 AS DECIMAL(18,8)) AS ap
+         CAST({fround_sql(f'exp({_TEMP_ALPHA} * ln(n_tokens * 1.0 / t))', 8)}
+              AS DECIMAL(18,8)) AS ap
   FROM src, tot
 ),
 s AS (SELECT sum(ap) AS sap FROM a)
@@ -1529,9 +1529,20 @@ def corpus_temperature_mixture(m: Model) -> DataFrame:
     broadcast cross joins."""
     from ..functions.exprs import pexp, pln
 
-    src = m.documents.groupBy("source").agg(
-        F.sum(F.size(F.split(F.col("text"), " "))).cast("bigint").alias("n_tokens")
-    ).localCheckpoint(eager=False)  # feeds tot and the share relation
+    # NULL texts are excluded on BOTH sides: an all-NULL source would
+    # give a NULL token sum whose ln flows NaN through the pandas libm
+    # UDF and floor(NaN)=0 on the Spark side, while the oracle keeps
+    # NULL — the one place the engines would disagree.
+    src = (
+        m.documents.where(F.col("text").isNotNull())
+        .groupBy("source")
+        .agg(
+            F.sum(F.size(F.split(F.col("text"), " ")))
+            .cast("bigint")
+            .alias("n_tokens")
+        )
+        .localCheckpoint(eager=False)  # feeds tot and the share relation
+    )
     tot = src.agg(F.sum("n_tokens").cast("bigint").alias("t"))
     a = src.crossJoin(F.broadcast(tot)).select(
         "source",

@@ -308,3 +308,37 @@ def test_dsir_weights_match_bruteforce(spark):
     sel = {d for d, r in out.items() if r["selected"]}
     assert len(sel) == min(KEEP, len(expect))
     assert set(top[: max(1, KEEP - 5)]) <= sel
+
+
+def test_temperature_mixture_shares_from_first_principles(spark):
+    """temp_share must equal p^alpha / sum(p^alpha) recomputed
+    independently in Python (shares sum to 1; low-resource sources
+    boost above 1, the largest source below 1) — the semantic check
+    the oracle cannot provide, since it encodes the same formula."""
+    import math
+
+    from hbase_tools_spark.llm.pipeline import (
+        _TEMP_ALPHA,
+        corpus_temperature_mixture,
+    )
+
+    m = load_model(spark, SF_DIR)
+    rows = {r["source"]: r for r in corpus_temperature_mixture(m).collect()}
+    assert rows
+    total = sum(r["n_tokens"] for r in rows.values())
+    ap = {
+        s: (r["n_tokens"] / total) ** _TEMP_ALPHA for s, r in rows.items()
+    }
+    sap = sum(ap.values())
+    assert abs(sum(r["temp_share"] for r in rows.values()) - 1.0) < 1e-4
+    for s, r in rows.items():
+        p = r["n_tokens"] / total
+        q = ap[s] / sap
+        assert abs(r["natural_share"] - p) < 1e-5, s
+        assert abs(r["temp_share"] - q) < 1e-5, s
+        assert abs(r["boost"] - q / p) < 1e-3, s
+    # flattening direction: smallest source boosted, largest damped
+    smallest = min(rows, key=lambda s: rows[s]["n_tokens"])
+    largest = max(rows, key=lambda s: rows[s]["n_tokens"])
+    assert rows[smallest]["boost"] > 1.0
+    assert rows[largest]["boost"] < 1.0
