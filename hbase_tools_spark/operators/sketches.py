@@ -671,9 +671,10 @@ _QSK_QLIST = ", ".join(f"CAST({q!r} AS DOUBLE)" for q in _QSK_QS)
 _QSK_QFRACS = ", ".join(repr(q) for q in _QSK_QS)
 
 
-@query(
-    "docs_length_quantile_sketch",
-    oracle=f"""
+#: Shared certificate SQL for the length-quantile sketch — used
+#: verbatim by both the batch query and the streaming twin
+#: (streaming/jobs.py), exactly like HLL_ORACLE / CMS_ORACLE above.
+QSK_ORACLE = f"""
 WITH hist AS (
   SELECT {_QSK_BID_SQL} AS bid, CAST(count(*) AS BIGINT) AS c
   FROM documents WHERE n_chars IS NOT NULL GROUP BY 1
@@ -709,9 +710,20 @@ SELECT est.q,
        )} AS rel_err
 FROM est JOIN exact USING (q)
 ORDER BY q
-""",
-    views=[],
-)
+"""
+
+
+def qsk_hist(docs: DataFrame) -> DataFrame:
+    """The quantile sketch's ONLY state: the (bid, c) bucket histogram
+    of ``n_chars`` under the HDR layout.  Additive (mergeable across
+    partitions, files, days — and micro-batches: the streaming twin
+    builds the same relation with a built-in streaming count)."""
+    return docs.groupBy(F.expr(_QSK_BID).alias("bid")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+
+
+@query("docs_length_quantile_sketch", oracle=QSK_ORACLE, views=[])
 def docs_length_quantile_sketch(m: Model) -> DataFrame:
     """Mergeable quantile sketch over document lengths (p50/p90/p99),
     certified against the exact interpolated percentile.  Bucket
@@ -737,9 +749,16 @@ def docs_length_quantile_sketch(m: Model) -> DataFrame:
     # on null placement in ordered windows (Spark NULLS FIRST vs DuckDB
     # NULLS LAST), so a null bucket would silently skew the cumsum.
     docs = m.documents.where(F.col("n_chars").isNotNull())
-    hist = docs.groupBy(F.expr(_QSK_BID).alias("bid")).agg(
-        F.count(F.lit(1)).alias("c")
-    )
+    return qsk_finalize(qsk_hist(docs), docs)
+
+
+def qsk_finalize(hist: DataFrame, docs: DataFrame) -> DataFrame:
+    """Quantile readout over a (bid, c) bucket histogram: cumsum window
+    on the constant-size bucket relation, boundary-bucket pick per
+    quantile, in-bucket linear interpolation — plus the exact
+    interpolated percentile over ``docs`` as the verification
+    certificate.  Shared by the batch query and the streaming twin so
+    the finalize arithmetic cannot drift between them."""
     cum = hist.withColumn(
         "cm",
         F.sum("c").over(

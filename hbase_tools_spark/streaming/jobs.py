@@ -100,6 +100,29 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``readStream`` over the documents fixture — the arriving-corpus
+    feed for streaming corpus telemetry (no timestamp column, so no
+    normalization; schema comes from the batch reader like
+    ``events_stream``)."""
+    path = os.path.join(sf_dir, "documents.parquet")
+    stage = os.path.join(
+        "/tmp",
+        "hbase_tools_stream",
+        sf_dir.strip("/").replace("/", "_") + "_documents",
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "documents-000.parquet")
+    try:
+        os.symlink(path, link)
+    except FileExistsError:
+        pass
+    schema = _SCHEMA_CACHE.get(path)
+    if schema is None:
+        schema = _SCHEMA_CACHE[path] = spark.read.parquet(path).schema
+    return spark.readStream.schema(schema).parquet(stage)
+
+
 def run_to_table(
     stream_df: DataFrame,
     name: str,
@@ -509,3 +532,36 @@ def stream_cms_heavy_hitters(m: Model) -> DataFrame:
         F.max("count").alias("cnt")
     )
     return cms_probe_top(counters, m)
+
+
+from ..operators.sketches import QSK_ORACLE
+
+
+@query("stream_length_quantile_sketch", oracle=QSK_ORACLE, views=[])
+def stream_length_quantile_sketch(m: Model) -> DataFrame:
+    """Streaming length-quantile sketch — bounded-state streaming
+    QUANTILES completing the sketch-twin family (cardinality:
+    ``stream_hll_cardinality``; frequency: ``stream_cms_heavy_hitters``):
+    the stateful operator is a built-in streaming count over the HDR
+    bucket ids, so state is the bucket histogram alone (≤ 16 ids per
+    octave, ~1000 rows for any length domain) no matter how many
+    documents flow — an exact streaming percentile would hold every
+    distinct length.
+
+    Bucket counts are ADDITIVE, so the update-mode drain emits
+    monotonically increasing running totals per bucket; the final
+    histogram is their per-bucket max and equals the batch histogram
+    exactly — the quantile readout and certificate SQL (QSK_ORACLE) are
+    shared verbatim with ``docs_length_quantile_sketch``
+    (operators/sketches.py)."""
+    from ..operators.sketches import _QSK_BID, qsk_finalize
+
+    docs = documents_stream(m.spark, m.sf_dir).where(
+        F.col("n_chars").isNotNull()
+    )
+    hist = docs.groupBy(F.expr(_QSK_BID).alias("bid")).count()
+    drained = run_to_table(
+        hist, "stream_length_quantile_sketch", "update", state_partitions=1
+    )
+    h = drained.groupBy("bid").agg(F.max("count").alias("c"))
+    return qsk_finalize(h, m.documents.where(F.col("n_chars").isNotNull()))

@@ -197,6 +197,29 @@ def test_hll_registers_merge_associatively(spark):
     assert a == b
 
 
+def test_stream_quantile_matches_batch_exactly(spark):
+    """Bucket counts are additive and the drained running totals
+    finalize by per-bucket max, so the streaming sketch's histogram —
+    and therefore the shared quantile readout — must equal the batch
+    query bit-for-bit."""
+    import hbase_tools_spark.streaming  # noqa: F401
+
+    batch = _run(spark, "docs_length_quantile_sketch")
+    stream = _run(spark, "stream_length_quantile_sketch")
+    assert [tuple(r) for r in batch] == [tuple(r) for r in stream]
+
+
+def test_stream_quantile_state_is_bounded(spark):
+    """The drained update log only ever holds bucket-count rows: the
+    DISTINCT bucket set is bounded by the HDR layout (16 ids per octave
+    across 64 octaves) — O(1) state for any corpus size."""
+    import hbase_tools_spark.streaming  # noqa: F401
+
+    _run(spark, "stream_length_quantile_sketch")
+    drained = spark.table("stream_length_quantile_sketch")
+    assert drained.select("bid").distinct().count() <= 16 * 64
+
+
 def test_stream_cms_matches_batch_exactly(spark):
     """Counter counts are additive and the drained running totals
     finalize by per-cell max, so the streaming CMS probe must equal
