@@ -749,6 +749,14 @@ def _ppl_score(cand: DataFrame, lm_ab, lm_a, lm_v) -> DataFrame:
         )
     )
 
+    return _ppl_bucketize(scored)
+
+
+def _ppl_bucketize(scored: DataFrame) -> DataFrame:
+    """Shared readout for a (doc_id, lang, n_bigrams, h_raw) scored
+    relation: rounded cross-entropy/perplexity plus per-language
+    head/middle/tail tertiles — one copy for every LM variant so the
+    bucketing convention cannot drift."""
     tile = F.ntile(_PPL_TILES).over(
         Window.partitionBy("lang").orderBy("h_raw", "doc_id")
     )
@@ -842,6 +850,222 @@ def ccnet_perplexity_from_lm(spark, lm_dir: str, documents: DataFrame) -> DataFr
         spark.read.parquet(lm_dir + "/unigram"),
         spark.read.parquet(lm_dir + "/meta"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Interpolated Kneser-Ney perplexity (Kneser & Ney 1995; Chen & Goodman
+# 1999 §3) — the LM-quality scorer real pretraining pipelines use where
+# CCNet's add-1 bigram model is the didactic baseline: absolute
+# discounting (D = 0.75) redistributes mass to a CONTINUATION
+# distribution (how many distinct contexts a word completes), which
+# captures "Francisco occurs often but only after San".  All four LM
+# relations are target-corpus-bounded; scoring is the same
+# broadcast-join + doc-grain collapse shape as docs_ccnet_perplexity.
+#
+# Two standard practical closures make the model total (and keep every
+# lnP at LM cardinality): the continuation distribution is add-1
+# smoothed over the continuation vocabulary (unseen continuations get
+# 1/(T+V) mass), and an unseen HEAD backs off to the continuation
+# distribution wholesale (lambda = 1, i.e. ln-lambda term 0).
+# ---------------------------------------------------------------------------
+
+_KN_D = "0.75"  # absolute discount (Chen & Goodman's fixed-D variant)
+
+
+@query(
+    "docs_kneser_ney_perplexity",
+    oracle=f"""
+WITH tb AS (
+  SELECT doc_id, source, lang, string_split(text, ' ') AS toks FROM documents
+),
+big AS (
+  SELECT doc_id, source, lang,
+         unnest(toks[1:len(toks)-1]) AS a,
+         unnest(toks[2:len(toks)])   AS b
+  FROM tb WHERE len(toks) >= 2
+),
+lm_bg AS (
+  SELECT a, b, count(*) AS cab FROM big
+  WHERE source = '{_PPL_TARGET}' GROUP BY a, b
+),
+lm_un AS (
+  SELECT a, CAST(sum(cab) AS BIGINT) AS ca, CAST(count(*) AS BIGINT) AS n1a
+  FROM lm_bg GROUP BY a
+),
+contb AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS n1b FROM lm_bg GROUP BY b
+),
+tv AS (
+  SELECT (SELECT count(*) FROM lm_bg) + (SELECT count(*) FROM contb) AS tvn
+),
+kn_ab AS (
+  SELECT lm_bg.a, lm_bg.b,
+         ln((CAST(cab AS DOUBLE) - CAST({_KN_D} AS DOUBLE))
+              / CAST(ca AS DOUBLE)
+            + ((CAST({_KN_D} AS DOUBLE) * CAST(n1a AS DOUBLE))
+                 / CAST(ca AS DOUBLE))
+              * ((CAST(n1b AS DOUBLE) + CAST(1 AS DOUBLE))
+                   / CAST(tvn AS DOUBLE))) AS lnp
+  FROM lm_bg JOIN lm_un USING (a) JOIN contb USING (b) CROSS JOIN tv
+),
+kn_a AS (
+  SELECT a,
+         ln((CAST({_KN_D} AS DOUBLE) * CAST(n1a AS DOUBLE))
+              / CAST(ca AS DOUBLE)) AS ln_lambda
+  FROM lm_un
+),
+kn_b AS (
+  SELECT b,
+         ln((CAST(n1b AS DOUBLE) + CAST(1 AS DOUBLE))
+              / CAST(tvn AS DOUBLE)) AS ln_cont
+  FROM contb CROSS JOIN tv
+),
+kn0 AS (
+  SELECT ln(CAST(1 AS DOUBLE) / CAST(tvn AS DOUBLE)) AS ln_cont0 FROM tv
+),
+cand AS (
+  SELECT doc_id, lang, a, b, count(*) AS k FROM big
+  WHERE source <> '{_PPL_TARGET}' GROUP BY doc_id, lang, a, b
+),
+terms AS (
+  SELECT cand.doc_id, cand.lang, cand.k,
+         CAST(cand.k * (CASE WHEN kn_ab.lnp IS NOT NULL THEN kn_ab.lnp
+                             ELSE coalesce(kn_a.ln_lambda, CAST(0 AS DOUBLE))
+                                  + coalesce(kn_b.ln_cont, kn0.ln_cont0)
+                        END)
+              AS DECIMAL(28,12)) AS t
+  FROM cand
+  LEFT JOIN kn_ab ON cand.a = kn_ab.a AND cand.b = kn_ab.b
+  LEFT JOIN kn_a ON cand.a = kn_a.a
+  LEFT JOIN kn_b ON cand.b = kn_b.b
+  CROSS JOIN kn0
+),
+scored AS (
+  SELECT doc_id, lang,
+         CAST(sum(k) AS BIGINT) AS n_bigrams,
+         -(CAST(round(sum(t), 6) AS DOUBLE)) / sum(k) AS h_raw
+  FROM terms GROUP BY doc_id, lang
+)
+SELECT doc_id, lang, n_bigrams,
+       {fround_sql('h_raw', 6)} AS cross_entropy,
+       {fround_sql('exp(h_raw)', 6)} AS perplexity,
+       CASE ntile({_PPL_TILES}) OVER (PARTITION BY lang ORDER BY h_raw, doc_id)
+            WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+FROM scored
+""",
+    views=[],
+)
+def docs_kneser_ney_perplexity(m: Model) -> DataFrame:
+    """Per-document cross-entropy/perplexity under an interpolated
+    Kneser-Ney bigram LM (D = {_KN_D}) trained on the trusted source,
+    tertile-bucketed per language like ``docs_ccnet_perplexity`` — the
+    production-grade LM filter beside the add-1 baseline.
+
+    P(b|a) for a seen head interpolates the discounted MLE with the
+    add-1-smoothed CONTINUATION probability (distinct-context counts,
+    not raw frequency); an unseen head backs off to the continuation
+    distribution wholesale.  The four LM relations (seen-bigram lnP,
+    per-head ln-lambda, per-word ln-continuation, the one-row unseen
+    fallback) are trusted-corpus-bounded and broadcast as HINTS — a
+    Wikipedia-scale LM falls back to shuffle joins with the same
+    semantics.  Every ln runs at LM cardinality through the libm
+    pandas_udf (never per candidate row: ln(lambda·pcont) =
+    ln-lambda + ln-pcont splits the unseen-bigram term into two
+    LM-cardinality columns); per-row terms quantize to DECIMAL(28,12)
+    so the exact decimal sum is order-independent in both engines."""
+    toks = F.split(F.col("text"), " ")
+    from ..functions.partitioning import spread_if_undersplit
+
+    docs = spread_if_undersplit(m.documents, "doc_id")
+    base = docs.select(
+        "doc_id", "source", "lang", toks.alias("toks")
+    ).where(F.size("toks") >= 2)
+    bg = _bigrams(base, "doc_id", "source", "lang")
+    kn_ab, kn_a, kn_b, kn0 = _kn_relations(bg)
+    cand = (
+        _bigrams(
+            base.where(F.col("source") != _PPL_TARGET),
+            "doc_id",
+            "lang",
+        )
+        .groupBy("doc_id", "lang", "a", "b")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    d = lambda c: c.cast("double")  # noqa: E731
+    lnp = F.when(F.col("lnp").isNotNull(), F.col("lnp")).otherwise(
+        F.coalesce(F.col("ln_lambda"), F.lit(0.0))
+        + F.coalesce(F.col("ln_cont"), F.col("ln_cont0"))
+    )
+    term = (d(F.col("k")) * lnp).cast("decimal(28,12)")
+    scored = (
+        cand.join(F.broadcast(kn_ab), ["a", "b"], "left")
+        .join(F.broadcast(kn_a), "a", "left")
+        .join(F.broadcast(kn_b), "b", "left")
+        .crossJoin(F.broadcast(kn0))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("k").cast("bigint").alias("n_bigrams"),
+            (
+                -(F.round(F.sum(term), 6).cast("double"))
+                / F.sum("k")
+            ).alias("h_raw"),
+        )
+    )
+    return _ppl_bucketize(scored)
+
+
+def _kn_relations(bg: DataFrame):
+    """Train the interpolated Kneser-Ney bigram LM on the trusted slice
+    of an exploded (doc_id, source, lang, a, b) bigram relation; return
+    the four LM relations ``(a, b, lnp)``, ``(a, ln_lambda)``,
+    ``(b, ln_cont)``, ``(ln_cont0)`` (one-row unseen-continuation
+    fallback).  Mirrors the oracle CTEs expression-for-expression so
+    the IEEE op sequence is identical in both engines."""
+    dD = F.lit(float(_KN_D))
+    d = lambda c: c.cast("double")  # noqa: E731
+    lm_bg = (
+        bg.where(F.col("source") == _PPL_TARGET)
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("cab"))
+    )
+    lm_un = lm_bg.groupBy("a").agg(
+        F.sum("cab").cast("bigint").alias("ca"),
+        F.count(F.lit(1)).cast("bigint").alias("n1a"),
+    )
+    contb = lm_bg.groupBy("b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n1b")
+    )
+    tv = (
+        lm_bg.agg(F.count(F.lit(1)).alias("tt"))
+        .crossJoin(F.broadcast(contb.agg(F.count(F.lit(1)).alias("vv"))))
+        .select((F.col("tt") + F.col("vv")).alias("tvn"))
+    )
+    kn_ab = (
+        lm_bg.join(lm_un, "a")
+        .join(contb, "b")
+        .crossJoin(F.broadcast(tv))
+        .select(
+            "a",
+            "b",
+            _pln(
+                (d(F.col("cab")) - dD) / d(F.col("ca"))
+                + ((dD * d(F.col("n1a"))) / d(F.col("ca")))
+                * ((d(F.col("n1b")) + F.lit(1.0)) / d(F.col("tvn")))
+            ).alias("lnp"),
+        )
+    )
+    kn_a = lm_un.select(
+        "a",
+        _pln((dD * d(F.col("n1a"))) / d(F.col("ca"))).alias("ln_lambda"),
+    )
+    kn_b = contb.crossJoin(F.broadcast(tv)).select(
+        "b",
+        _pln((d(F.col("n1b")) + F.lit(1.0)) / d(F.col("tvn"))).alias(
+            "ln_cont"
+        ),
+    )
+    kn0 = tv.select(_pln(F.lit(1.0) / d(F.col("tvn"))).alias("ln_cont0"))
+    return kn_ab, kn_a, kn_b, kn0
 
 
 # ---------------------------------------------------------------------------

@@ -217,6 +217,55 @@ def test_ccnet_perplexity_properties(spark):
             assert h <= t + 1e-9
 
 
+def test_kneser_ney_properties(spark):
+    """Same invariants as the CCNet scorer (perplexity == exp(H),
+    balanced ordered tertiles) plus the Kneser-Ney mass property: for
+    every seen head, the summed probability over its SEEN continuations
+    is strictly below 1 — the absolute discount really reserves mass
+    for unseen continuations."""
+    rows = _run(spark, "docs_kneser_ney_perplexity")
+    assert rows
+    by_lang = defaultdict(list)
+    for r in rows:
+        assert math.isclose(
+            r["perplexity"], math.exp(r["cross_entropy"]), rel_tol=1e-4
+        )
+        assert r["cross_entropy"] > 0
+        by_lang[r["lang"]].append(r)
+    for lang, rs in by_lang.items():
+        sizes = defaultdict(int)
+        for r in rs:
+            sizes[r["bucket"]] += 1
+        if len(rs) >= 3:
+            assert max(sizes.values()) - min(sizes.values()) <= 1
+            h = max(r["cross_entropy"] for r in rs if r["bucket"] == "head")
+            t = min(r["cross_entropy"] for r in rs if r["bucket"] == "tail")
+            assert h <= t + 1e-9
+
+    from pyspark.sql import functions as F
+
+    from hbase_tools_spark.catalog import load_model
+    from hbase_tools_spark.llm.corpus import _bigrams, _kn_relations
+    from tests.conftest import SF_DIR
+
+    m = load_model(spark, SF_DIR)
+    toks = F.split(F.col("text"), " ")
+    base = m.documents.select(
+        "doc_id", "source", "lang", toks.alias("toks")
+    ).where(F.size("toks") >= 2)
+    kn_ab, _, _, _ = _kn_relations(
+        _bigrams(base, "doc_id", "source", "lang")
+    )
+    mass = (
+        kn_ab.groupBy("a")
+        .agg(F.sum(F.exp("lnp")).alias("seen_mass"))
+        .collect()
+    )
+    assert mass
+    for r in mass:
+        assert 0.0 < r["seen_mass"] < 1.0, r
+
+
 def test_ccnet_persisted_lm_serving_parity(spark, tmp_path):
     """The pretrained-LM production shape: materialize_ppl_lm persists
     the bigram/unigram/meta relations, and serving from the parquet LM

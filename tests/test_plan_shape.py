@@ -131,6 +131,7 @@ def test_no_unjustified_cartesian_or_nested_loop_join(spark):
         "docs_dsir_weights",  # feature-space totals: broadcast 1-row agg
         "docs_ccnet_perplexity",  # LM vocab size V: broadcast 1-row agg
         "docs_ccnet_perplexity_served",  # same scoring plan, persisted LM
+        "docs_kneser_ney_perplexity",  # T+V normalizer / unseen fallback: 1-row aggs
         "bloom_contamination",  # constant-size bitmap: broadcast 1-row array
         "bigram_pmi_top",  # corpus totals N / N_b: broadcast 1-row aggs
         "neardup_pagerank",  # node count N: broadcast 1-row agg per iteration
