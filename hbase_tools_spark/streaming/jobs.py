@@ -69,6 +69,34 @@ ROCKSDB_STATE_CONF: dict[str, str] = {
 }
 
 
+def _stage_links(path: str, stage: str, prefix: str) -> None:
+    """Populate a file-stream staging directory with symlinks to the
+    fixture's parquet part file(s).  A scaled fixture stores a table as
+    a parquet DIRECTORY — a single symlink to it would be silently
+    skipped by the file-stream source (it lists plain files only), so
+    each part file is linked individually; stale directory-links from
+    an older staging scheme are dropped."""
+    os.makedirs(stage, exist_ok=True)
+    for f in os.listdir(stage):
+        fp = os.path.join(stage, f)
+        if os.path.islink(fp) and os.path.isdir(fp):
+            os.unlink(fp)
+    if os.path.isdir(path):
+        srcs = [
+            os.path.join(path, f)
+            for f in sorted(os.listdir(path))
+            if f.endswith(".parquet")
+        ]
+    else:
+        srcs = [path]
+    for i, src in enumerate(srcs):
+        link = os.path.join(stage, f"{prefix}-{i:03d}.parquet")
+        try:
+            os.symlink(src, link)
+        except FileExistsError:
+            pass  # another session staged it already
+
+
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``readStream`` over the events fixture with the same timestamp
     normalization as the batch catalog (ns-long at small SFs, µs NTZ at
@@ -76,18 +104,13 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, "events.parquet")
-    # The file-stream source needs a *directory*; stage one holding a
-    # symlink to the (read-only) fixture file.  In production the feed
-    # is already a directory of arriving files.
+    # The file-stream source needs a *directory*; stage one holding
+    # symlinks to the (read-only) fixture file(s).  In production the
+    # feed is already a directory of arriving files.
     stage = os.path.join(
         "/tmp", "hbase_tools_stream", sf_dir.strip("/").replace("/", "_")
     )
-    os.makedirs(stage, exist_ok=True)
-    link = os.path.join(stage, "events-000.parquet")
-    try:
-        os.symlink(path, link)
-    except FileExistsError:
-        pass  # another session staged it already
+    _stage_links(path, stage, "events")
     schema = _SCHEMA_CACHE.get(path)
     if schema is None:
         schema = _SCHEMA_CACHE[path] = spark.read.parquet(path).schema
@@ -111,12 +134,7 @@ def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hbase_tools_stream",
         sf_dir.strip("/").replace("/", "_") + "_documents",
     )
-    os.makedirs(stage, exist_ok=True)
-    link = os.path.join(stage, "documents-000.parquet")
-    try:
-        os.symlink(path, link)
-    except FileExistsError:
-        pass
+    _stage_links(path, stage, "documents")
     schema = _SCHEMA_CACHE.get(path)
     if schema is None:
         schema = _SCHEMA_CACHE[path] = spark.read.parquet(path).schema
