@@ -181,6 +181,84 @@ def docs_stratified_sample(m: Model) -> DataFrame:
     )
 
 
+#: Epochs materialized per run and demo shard count.  In production the
+#: shard count is sized from data (ceil(corpus_bytes / target_shard_bytes),
+#: e.g. ~200k shards for 100 TB at 512 MB), not a constant — it only needs
+#: to exceed executor count for full parallelism.
+_SHUFFLE_EPOCHS = 2
+_SHUFFLE_SHARDS = 16
+
+_EPOCH_KEY_SQL = (
+    "md5(CAST(e.epoch AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR))"
+)
+
+
+@query(
+    "docs_epoch_shuffle",
+    oracle=f"""
+SELECT epoch, doc_id, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY epoch, shard ORDER BY h, doc_id)
+            AS BIGINT) AS position
+FROM (
+  SELECT CAST(e.epoch AS BIGINT) AS epoch, d.doc_id,
+         {_EPOCH_KEY_SQL} AS h,
+         CAST(CAST(('0x' || substr({_EPOCH_KEY_SQL}, 1, 12)) AS BIGINT)
+              % {_SHUFFLE_SHARDS} AS INTEGER) AS shard
+  FROM documents d
+  CROSS JOIN (SELECT unnest(range({_SHUFFLE_EPOCHS})) AS epoch) e
+) keyed
+""",
+    views=[],
+)
+def docs_epoch_shuffle(m: Model) -> DataFrame:
+    """Deterministic distributed training shuffle: every (epoch, doc)
+    gets a (shard, position) reading order from ``md5(epoch:doc_id)`` —
+    the standard reproducible data-loader shuffle (each epoch is an
+    independent pseudo-random permutation, recomputable from the id
+    alone, so any worker can locate any sample without a central
+    shuffle log).
+
+    Scale shape: one narrow per-row key derivation, then EXACTLY ONE
+    shuffle — the hash exchange on (epoch, shard) that the per-shard
+    ``row_number`` window needs — and Spark's per-partition sort is the
+    spill-safe external sort, so shard size is bounded by the shard
+    count, not by memory.  No global sort anywhere: a total order is
+    never materialized, only per-shard orders, which is what a trainer
+    consuming shard files actually reads.  Changing the epoch changes
+    the permutation with zero extra state (no stored permutation
+    table); growing the corpus leaves existing (epoch, shard) keys of
+    other docs untouched.
+    """
+    epoch = F.explode(
+        F.sequence(F.lit(0), F.lit(_SHUFFLE_EPOCHS - 1))
+    ).alias("epoch")
+    keyed = m.documents.select("doc_id", epoch)
+    h = F.md5(
+        F.concat(
+            F.col("epoch").cast("string"),
+            F.lit(":"),
+            F.col("doc_id").cast("string"),
+        ).cast("binary")
+    )
+    keyed = keyed.select(
+        F.col("epoch").cast("bigint").alias("epoch"),
+        "doc_id",
+        h.alias("h"),
+    ).withColumn(
+        "shard",
+        F.pmod(
+            F.conv(F.substring(F.col("h"), 1, 12), 16, 10).cast("bigint"),
+            F.lit(_SHUFFLE_SHARDS),
+        ).cast("int"),
+    )
+    pos = F.row_number().over(
+        Window.partitionBy("epoch", "shard").orderBy("h", "doc_id")
+    )
+    return keyed.select(
+        "epoch", "doc_id", "shard", pos.cast("bigint").alias("position")
+    )
+
+
 @query(
     "docs_repetition_ratio",
     oracle=f"""

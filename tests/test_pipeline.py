@@ -342,3 +342,36 @@ def test_temperature_mixture_shares_from_first_principles(spark):
     largest = max(rows, key=lambda s: rows[s]["n_tokens"])
     assert rows[smallest]["boost"] > 1.0
     assert rows[largest]["boost"] < 1.0
+
+
+def test_epoch_shuffle_permutation_and_plan(spark):
+    """Each epoch is an exact permutation (every doc once), positions
+    are contiguous 1..n per (epoch, shard), the two epoch orders
+    actually differ, membership is a pure function of (epoch, doc_id)
+    (matches a Python md5 port), and the executed plan carries exactly
+    ONE exchange — the (epoch, shard) hash partitioning the per-shard
+    window needs; no global sort."""
+    m = load_model(spark, SF_DIR)
+    df = QUERIES["docs_epoch_shuffle"].fn(m)
+    rows = df.collect()
+    docs = {r["doc_id"] for r in m.documents.select("doc_id").collect()}
+    for e in (0, 1):
+        er = [r for r in rows if r["epoch"] == e]
+        assert {r["doc_id"] for r in er} == docs
+        assert len(er) == len(docs)
+        by_shard = {}
+        for r in er:
+            by_shard.setdefault(r["shard"], []).append(r["position"])
+        for shard, ps in by_shard.items():
+            assert sorted(ps) == list(range(1, len(ps) + 1)), shard
+    # pure function of (epoch, doc_id): python port agrees on shard
+    for r in rows[:50]:
+        h = hashlib.md5(f"{r['epoch']}:{r['doc_id']}".encode()).hexdigest()
+        assert r["shard"] == int(h[:12], 16) % 16
+    # the two epochs are different permutations
+    key0 = {(r["doc_id"]): (r["shard"], r["position"]) for r in rows if r["epoch"] == 0}
+    key1 = {(r["doc_id"]): (r["shard"], r["position"]) for r in rows if r["epoch"] == 1}
+    assert any(key0[d] != key1[d] for d in docs)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange") == 1, "epoch shuffle should shuffle once"
