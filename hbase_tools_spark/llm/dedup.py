@@ -470,6 +470,59 @@ def lsh_bucket_stats(m: Model) -> DataFrame:
     )
 
 
+@query(
+    "neardup_source_matrix",
+    oracle=f"""
+WITH pairs AS ({_MINHASH_PAIRS_SQL})
+SELECT least(da.source, db.source)    AS source_a,
+       greatest(da.source, db.source) AS source_b,
+       CAST(count(*) AS BIGINT)       AS n_pairs,
+       CAST(sum(CASE WHEN da.source = db.source THEN 0 ELSE 1 END)
+            AS BIGINT)                AS n_cross
+FROM pairs p
+JOIN documents da ON da.doc_id = p.doc_a
+JOIN documents db ON db.doc_id = p.doc_b
+GROUP BY 1, 2
+""",
+    views=[],
+)
+def neardup_source_matrix(m: Model) -> DataFrame:
+    """Cross-source duplication matrix: MinHash-LSH candidate pairs
+    rolled up by unordered source pair — the crawl-curation view of
+    WHERE the duplication comes from (mirror sites, re-crawls,
+    cross-source syndication) that decides which feeds to throttle.
+
+    Scale shape: the pair relation is already bucket-capped (pairs ∝
+    N·cap, not N²) and the join side is the column-pruned (doc_id,
+    source) projection, so the two enrichment joins shuffle a
+    two-column relation at worst; the final rollup keys on source
+    pairs — dimension-sized, map-side combined."""
+    docs = m.documents.select("doc_id", "source")
+    pairs = minhash_pairs_for(m.documents)
+    enriched = (
+        pairs.join(docs.withColumnRenamed("source", "sa"), pairs.doc_a == docs.doc_id)
+        .drop("doc_id")
+        .join(
+            docs.withColumnRenamed("source", "sb").withColumnRenamed(
+                "doc_id", "doc_id_b"
+            ),
+            F.col("doc_b") == F.col("doc_id_b"),
+        )
+    )
+    return (
+        enriched.groupBy(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(F.when(F.col("sa") == F.col("sb"), 0).otherwise(1))
+            .cast("bigint")
+            .alias("n_cross"),
+        )
+    )
+
+
 _LP_STEPS = 4  # label-propagation rounds (cluster diameter bound)
 
 

@@ -348,6 +348,113 @@ def events_sessionize(m: Model) -> DataFrame:
     )
 
 
+_PATH_CAP = 8   # journey truncated to the first 8 steps of a session
+_PATH_TOP = 25  # paths reported
+
+
+@query(
+    "events_session_paths",
+    oracle=f"""
+WITH flagged AS (
+  SELECT user_id, event_id, event_type, ts,
+         CAST(floor(epoch(ts)) AS BIGINT) AS tse,
+         CASE WHEN lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+              ) IS NULL THEN 1
+              WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                   - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) > {_SESSION_GAP_S} THEN 1
+              ELSE 0 END AS is_new
+  FROM events
+),
+sess AS (
+  SELECT user_id, event_id, event_type, ts,
+         sum(is_new) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING
+         ) AS session_id
+  FROM flagged
+),
+stepped AS (
+  SELECT user_id, session_id, event_type,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id, session_id ORDER BY ts, event_id
+         ) AS rn
+  FROM sess
+),
+paths AS (
+  SELECT user_id, session_id,
+         string_agg(event_type, '>' ORDER BY rn) AS path,
+         count(*) AS n_steps
+  FROM stepped WHERE rn <= {_PATH_CAP}
+  GROUP BY user_id, session_id
+)
+SELECT path,
+       CAST(count(*) AS BIGINT)   AS n_sessions,
+       CAST(min(n_steps) AS BIGINT) AS n_steps
+FROM paths
+GROUP BY path
+ORDER BY n_sessions DESC, path
+LIMIT {_PATH_TOP}
+""",
+    views=[],
+)
+def events_session_paths(m: Model) -> DataFrame:
+    """Top user-journey paths: sessions (same gap-and-island breaks as
+    ``events_sessionize``) reduced to their first {8} event types joined
+    with '>', counted, top-{25} by frequency (ties broken on the path
+    string, so the LIMIT boundary is deterministic in both engines).
+
+    Scale shape: the step cap is applied BEFORE the per-session
+    collect, so no session contributes more than {8} rows to the path
+    aggregate — a pathological million-event session costs the same as
+    an 8-event one past the window.  The session window shuffles on
+    user_id ONCE; the (user, session) window reuses that partitioning
+    (``HashPartitioning(user_id)`` satisfies the wider clustering) with
+    only a new local sort, and the final top-k is TakeOrdered, never a
+    global sort."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    from ..functions.exprs import epoch_bigint
+
+    tse = epoch_bigint(F.col("ts"))
+    prev = F.lag(tse).over(w)
+    is_new = F.when(prev.isNull() | (tse - prev > _SESSION_GAP_S), 1).otherwise(0)
+    sid = F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    sess = m.events.select(
+        "user_id", "event_id", "event_type", "ts", sid.alias("session_id")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    )
+    paths = (
+        sess.select("user_id", "session_id", "event_type", rn.alias("rn"))
+        .where(F.col("rn") <= _PATH_CAP)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("rn", "event_type"))
+                    ),
+                    lambda s: s.event_type,
+                ),
+                ">",
+            ).alias("path"),
+            F.count(F.lit(1)).alias("n_steps"),
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.min("n_steps").cast("bigint").alias("n_steps"),
+        )
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(_PATH_TOP)
+    )
+
+
 @query(
     "events_heavy_hitters",
     oracle=f"""

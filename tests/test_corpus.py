@@ -291,3 +291,59 @@ def test_lr_training_decreases_log_loss(spark):
             max(1 - p, 1e-12)
         )
     assert loss / len(rows) < math.log(2.0)  # w=0 loss
+
+
+# -- session paths ----------------------------------------------------------
+
+def test_session_paths_match_python_port(model):
+    """Full Python recomputation of the top-25 journey paths from raw
+    events (same 6h gap, same 8-step cap, same tie-break)."""
+    rows = QUERIES["events_session_paths"].fn(model).collect()
+    assert rows
+    ev = sorted(
+        model.events.select("user_id", "event_id", "event_type", "ts").collect(),
+        key=lambda r: (r["user_id"], r["ts"], r["event_id"]),
+    )
+    from collections import Counter
+
+    paths = Counter()
+    cur_user, last_tse, steps = None, None, []
+    def flush():
+        if steps:
+            paths[">".join(steps[:8])] += 1
+    for r in ev:
+        tse = int(r["ts"].timestamp())
+        if r["user_id"] != cur_user or (last_tse is not None and tse - last_tse > 21_600):
+            flush()
+            steps = []
+            cur_user = r["user_id"]
+        steps.append(r["event_type"])
+        last_tse = tse
+    flush()
+    expect = sorted(paths.items(), key=lambda kv: (-kv[1], kv[0]))[:25]
+    got = [(r["path"], r["n_sessions"]) for r in rows]
+    assert got == expect
+    for r in rows:
+        assert r["n_steps"] == len(r["path"].split(">")) <= 8
+
+
+def test_neardup_source_matrix_consistent_with_pairs(model, spark):
+    """Matrix totals reconcile with the candidate-pair relation and the
+    source normalization is unordered (a <= b)."""
+    import hbase_tools_spark.llm.dedup as dd
+
+    mat = QUERIES["neardup_source_matrix"].fn(model).collect()
+    pairs = QUERIES["minhash_band_pairs"].fn(model)
+    src = {r["doc_id"]: r["source"] for r in model.documents.select("doc_id", "source").collect()}
+    from collections import Counter
+
+    exp_pairs, exp_cross = Counter(), Counter()
+    for r in pairs.collect():
+        a, b = src[r["doc_a"]], src[r["doc_b"]]
+        k = (min(a, b), max(a, b))
+        exp_pairs[k] += 1
+        exp_cross[k] += 0 if a == b else 1
+    got = {(r["source_a"], r["source_b"]): (r["n_pairs"], r["n_cross"]) for r in mat}
+    assert got == {k: (exp_pairs[k], exp_cross[k]) for k in exp_pairs}
+    for (a, b), (np_, nc) in got.items():
+        assert a <= b and 0 <= nc <= np_
