@@ -317,6 +317,64 @@ WHERE len(toks) >= {_CONTAM_SHINGLE}
 
 
 @query(
+    "split_leakage",
+    oracle=f"""
+WITH sh AS ({_CONTAM_SHINGLES_SQL}),
+lab AS (
+  SELECT doc_id, shingle,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+  FROM sh
+),
+train AS (SELECT DISTINCT shingle FROM lab WHERE bucket < '{_TRAIN_HI}'),
+test AS (SELECT doc_id, shingle FROM lab WHERE bucket >= '{_VAL_HI}')
+SELECT test.doc_id,
+       CAST(count(*) AS BIGINT)             AS n_shingles,
+       CAST(count(train.shingle) AS BIGINT) AS n_leaked,
+       {fround_sql('count(train.shingle) * 1.0 / count(*)', 6)} AS leak_ratio,
+       count(train.shingle) * 1.0 / count(*) >= {_CONTAM_T} AS leaky
+FROM test LEFT JOIN train ON test.shingle = train.shingle
+GROUP BY test.doc_id
+""",
+    views=[],
+)
+def split_leakage(m: Model) -> DataFrame:
+    """Train→test leakage scan: for every doc the hash split assigns to
+    TEST, the fraction of its distinct word {4}-grams that also occur
+    anywhere in the TRAIN split (same shingle definition and {0.5} flag
+    bar as the benchmark contamination check, same split boundaries as
+    ``docs_split_assign``).
+
+    This is the decontamination shape the broadcast benchmark probe
+    (``ngram_contamination``) can NOT take: both sides are
+    corpus-proportional, so the probe set doesn't fit in a broadcast.
+    The scale-correct plan is the linear shuffle join on the shingle —
+    train shingles are pre-distinct'd (map-side combine shrinks them
+    before the exchange), the join key is the shingle itself (uniform
+    by construction — natural-language n-grams have no hot key after
+    distinct), and the per-doc rollup keys on test doc_id, which is
+    bounded by the doc's own shingle count.  Everything stays
+    JVM-side."""
+    sh = _shingles_exploded(m.documents).withColumn(
+        "bucket", F.substring(_doc_hash(), 1, 2)
+    )
+    train = (
+        sh.where(F.col("bucket") < _TRAIN_HI)
+        .select("shingle")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    test = sh.where(F.col("bucket") >= _VAL_HI).select("doc_id", "shingle")
+    joined = test.join(train, "shingle", "left")
+    n, leaked = F.count(F.lit(1)), F.count("hit")
+    return joined.groupBy("doc_id").agg(
+        n.cast("bigint").alias("n_shingles"),
+        leaked.cast("bigint").alias("n_leaked"),
+        fround(leaked * 1.0 / n, 6).alias("leak_ratio"),
+        (leaked * 1.0 / n >= _CONTAM_T).alias("leaky"),
+    )
+
+
+@query(
     "ngram_contamination",
     oracle=f"""
 WITH sh AS ({_CONTAM_SHINGLES_SQL}),

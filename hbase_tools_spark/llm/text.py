@@ -606,6 +606,148 @@ def tokenizer_fertility(m: Model) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# BPE merge training — the first K byte-pair merges learned fully
+# in-engine.  The corpus collapses to the word-frequency VOCAB relation
+# first (the classic BPE trick: corpora are huge, vocabularies aren't),
+# so every merge round is an agg + argmax + greedy re-merge over a
+# vocab-sized relation; the argmax travels as a 1-row broadcast cross
+# join, never a driver collect.
+# ---------------------------------------------------------------------------
+
+_BPE_STEPS = 4
+
+# Greedy left-to-right merge of pair (a b) over the space-joined symbol
+# string, as a left fold: if the accumulator ends with symbol `a` and
+# the next symbol is `b`, replace that trailing `a` with `merged`.
+# Fold semantics (not string replace) so a merged token can chain as
+# the LEFT side of the next match but never re-match as the right —
+# exactly BPE's greedy scan.  The Spark and DuckDB lambdas are
+# line-for-line the same expression.
+_BPE_FOLD_SPARK = """
+aggregate(
+  slice(toks, 2, greatest(size(toks) - 1, 0)),
+  element_at(toks, 1),
+  (acc, x) -> CASE
+    WHEN x = split_part(pair, ' ', 2)
+         AND (acc = split_part(pair, ' ', 1)
+              OR endswith(acc, concat(' ', split_part(pair, ' ', 1))))
+    THEN concat(substring(acc, 1, length(acc) - length(split_part(pair, ' ', 1))), merged)
+    ELSE concat(acc, ' ', x) END)
+"""
+
+_BPE_FOLD_DUCK = """
+list_reduce(toks, (acc, x) -> CASE
+    WHEN x = split_part(pair, ' ', 2)
+         AND (acc = split_part(pair, ' ', 1)
+              OR ends_with(acc, ' ' || split_part(pair, ' ', 1)))
+    THEN substr(acc, 1, len(acc) - len(split_part(pair, ' ', 1))) || merged
+    ELSE acc || ' ' || x END)
+"""
+
+
+def _bpe_oracle() -> str:
+    """Unrolled K-round BPE training in DuckDB SQL (the LR-train /
+    Markov-chain convention: per-round CTEs, deterministic argmax)."""
+    sql = """
+w AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+  GROUP BY word
+),
+v1 AS (SELECT trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS s, c FROM w)
+"""
+    for i in range(1, _BPE_STEPS + 1):
+        sql += f""",
+p{i} AS (
+  SELECT pair, CAST(sum(c) AS BIGINT) AS n
+  FROM (
+    SELECT c, unnest(list_transform(range(1, len(toks)),
+                                    i -> toks[i] || ' ' || toks[i+1])) AS pair
+    FROM (SELECT c, string_split(s, ' ') AS toks FROM v{i}) t
+    WHERE len(toks) >= 2
+  ) pr
+  GROUP BY pair
+),
+m{i} AS (
+  SELECT {i} AS step, pair, replace(pair, ' ', '') AS merged, n
+  FROM p{i} ORDER BY n DESC, pair LIMIT 1
+),
+v{i + 1} AS (
+  SELECT {_BPE_FOLD_DUCK.strip()} AS s, c
+  FROM (SELECT string_split(s, ' ') AS toks, c FROM v{i}) t
+  CROSS JOIN m{i}
+)
+"""
+    union = " UNION ALL ".join(
+        f"SELECT CAST(step AS BIGINT) AS step, pair, merged, n FROM m{i}"
+        for i in range(1, _BPE_STEPS + 1)
+    )
+    return "WITH " + sql + union
+
+
+@query("bpe_merge_steps", oracle=_bpe_oracle(), views=[])
+def bpe_merge_steps(m: Model) -> DataFrame:
+    """The first {4} BPE merges learned from the corpus, entirely
+    in-engine (Sennrich et al. 2016): words collapse to the frequency
+    vocabulary, symbols start as characters, and each round (a) sums
+    adjacent-pair frequencies, (b) takes the deterministic argmax
+    (count desc, pair asc), and (c) greedily re-merges the vocabulary —
+    the argmax travels as a 1-row broadcast cross join, so the whole
+    K-round chain is ONE plan with no driver synchronization (the
+    ``neardup_pagerank`` contrast shape to Lloyd's k-means).
+
+    Scale: the corpus is scanned ONCE (word counts); every subsequent
+    round is vocab-sized — exactly why real BPE trainers pre-aggregate
+    to the vocabulary.  Pair counts are exact integer sums; the greedy
+    merge is a left fold with identical lambda text in both engines."""
+    words = F.explode(F.split(F.col("text"), " ")).alias("word")
+    vocab = (
+        m.documents.select(words)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .select(
+            F.trim(F.regexp_replace(F.col("word"), "(.)", "$1 ")).alias("s"),
+            "c",
+        )
+    )
+    pair_expr = F.expr(
+        "transform(sequence(1, size(toks) - 1),"
+        " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+    )
+    merges = []
+    cur = vocab
+    for step in range(1, _BPE_STEPS + 1):
+        toks = cur.select(F.split("s", " ").alias("toks"), "c").where(
+            F.size("toks") >= 2
+        )
+        counts = (
+            toks.select("c", F.explode(pair_expr).alias("pair"))
+            .groupBy("pair")
+            .agg(F.sum("c").cast("bigint").alias("n"))
+        )
+        best = (
+            counts.orderBy(F.desc("n"), "pair")
+            .limit(1)
+            .select(
+                F.lit(step).cast("bigint").alias("step"),
+                "pair",
+                F.replace(F.col("pair"), F.lit(" "), F.lit("")).alias("merged"),
+                "n",
+            )
+        )
+        merges.append(best)
+        cur = (
+            cur.select(F.split("s", " ").alias("toks"), "c")
+            .crossJoin(F.broadcast(best.select("pair", "merged")))
+            .select(F.expr(_BPE_FOLD_SPARK.strip()).alias("s"), "c")
+        )
+    out = merges[0]
+    for b in merges[1:]:
+        out = out.unionAll(b)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Percentile length gate — trim corpus length outliers by GLOBAL
 # quantile thresholds: the two-pass "compute scalar thresholds, then
 # broadcast them into a narrow filter" shape (the scale-safe way to

@@ -347,3 +347,43 @@ def test_neardup_source_matrix_consistent_with_pairs(model, spark):
     assert got == {k: (exp_pairs[k], exp_cross[k]) for k in exp_pairs}
     for (a, b), (np_, nc) in got.items():
         assert a <= b and 0 <= nc <= np_
+
+
+# -- BPE merge training ------------------------------------------------------
+
+def test_bpe_merges_match_python_reference(model):
+    """Reference BPE trainer (Sennrich et al.) over the collected word
+    counts reproduces the engine's merges exactly, including greedy
+    re-merge semantics and the (count desc, pair asc) tie-break."""
+    from collections import Counter
+
+    rows = sorted(
+        QUERIES["bpe_merge_steps"].fn(model).collect(), key=lambda r: r["step"]
+    )
+    assert len(rows) == 4
+    words = Counter()
+    for r in model.documents.select("text").collect():
+        words.update(r["text"].split(" "))
+    vocab = {tuple(w): c for w, c in words.items()}
+    for step, row in enumerate(rows, 1):
+        pairs = Counter()
+        for syms, c in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += c
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), n = best
+        assert row["pair"] == f"{a} {b}", step
+        assert row["merged"] == a + b, step
+        assert row["n"] == n, step
+        new_vocab = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+        vocab = new_vocab

@@ -375,3 +375,41 @@ def test_epoch_shuffle_permutation_and_plan(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("Exchange") == 1, "epoch shuffle should shuffle once"
+
+
+def test_split_leakage_matches_python_port(spark):
+    """Full Python recomputation: per-test-doc leaked-shingle fraction
+    against the train split's shingle union."""
+    m = load_model(spark, SF_DIR)
+    rows = {r["doc_id"]: r for r in QUERIES["split_leakage"].fn(m).collect()}
+    docs = m.documents.select("doc_id", "text").collect()
+
+    def shingles(text):
+        toks = text.split(" ")
+        return {
+            " ".join(toks[i : i + 4]) for i in range(len(toks) - 3)
+        } if len(toks) >= 4 else set()
+
+    def bucket(doc_id):
+        return hashlib.md5(str(doc_id).encode()).hexdigest()[:2]
+
+    train_sh = set()
+    for d in docs:
+        if bucket(d["doc_id"]) < "cc":
+            train_sh |= shingles(d["text"])
+    n_test = 0
+    for d in docs:
+        if bucket(d["doc_id"]) < "e6":
+            continue
+        sh = shingles(d["text"])
+        if not sh:
+            assert d["doc_id"] not in rows
+            continue
+        n_test += 1
+        r = rows[d["doc_id"]]
+        leaked = len(sh & train_sh)
+        assert r["n_shingles"] == len(sh)
+        assert r["n_leaked"] == leaked
+        assert abs(r["leak_ratio"] - leaked / len(sh)) < 1e-6
+        assert r["leaky"] == (leaked / len(sh) >= 0.5)
+    assert n_test == len(rows) > 0
