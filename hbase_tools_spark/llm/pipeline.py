@@ -229,10 +229,17 @@ def docs_epoch_shuffle(m: Model) -> DataFrame:
     table); growing the corpus leaves existing (epoch, shard) keys of
     other docs untouched.
     """
+    return epoch_shuffle_for(m.documents, list(range(_SHUFFLE_EPOCHS)))
+
+
+def epoch_shuffle_for(docs: DataFrame, epochs: list[int]) -> DataFrame:
+    """(epoch, doc_id, shard, position) for the given epoch seeds — the
+    single derivation behind ``docs_epoch_shuffle`` and the persisted
+    manifest, so the two can never drift."""
     epoch = F.explode(
-        F.sequence(F.lit(0), F.lit(_SHUFFLE_EPOCHS - 1))
+        F.array(*[F.lit(e) for e in epochs])
     ).alias("epoch")
-    keyed = m.documents.select("doc_id", epoch)
+    keyed = docs.select("doc_id", epoch)
     h = F.md5(
         F.concat(
             F.col("epoch").cast("string"),
@@ -256,6 +263,25 @@ def docs_epoch_shuffle(m: Model) -> DataFrame:
     )
     return keyed.select(
         "epoch", "doc_id", "shard", pos.cast("bigint").alias("position")
+    )
+
+
+def materialize_epoch_shuffle(docs: DataFrame, epoch: int, out_dir: str) -> None:
+    """Persist one epoch's reading order as a shard-partitioned parquet
+    manifest — the data-loader production shape: each trainer rank
+    opens ONLY its shard partition(s) (a partition-pruned scan, no
+    corpus touch) and the rows inside each shard file are already in
+    position order, so 'read the file top to bottom' IS the training
+    order.  Writing repartitions by shard (one task, one file per
+    shard) and sorts within partitions — the same single-exchange shape
+    as the query."""
+    (
+        epoch_shuffle_for(docs, [epoch])
+        .repartition("shard")
+        .sortWithinPartitions("position")
+        .write.partitionBy("shard")
+        .mode("overwrite")
+        .parquet(out_dir)
     )
 
 
