@@ -957,3 +957,33 @@ def test_avi_parser_interop_contracts():
         build_avi_mjpeg(8, 8, frames, fps=0)
     with pytest.raises(ValueError):
         build_avi_mjpeg(70000, 8, frames)
+
+
+def test_neardup_edit_distance_matches_python(spark):
+    """Exact dynamic-programming Levenshtein recomputation for every
+    candidate pair, plus metric sanity (0 distance <=> identical text,
+    similarity in [0, 1])."""
+    import hbase_tools_spark.llm  # noqa: F401 — registers queries
+    from hbase_tools_spark.registry import QUERIES
+
+    m = load_model(spark, SF_DIR)
+    rows = QUERIES["neardup_edit_distance"].fn(m).collect()
+    assert rows
+    texts = {r["doc_id"]: r["text"] for r in m.documents.select("doc_id", "text").collect()}
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    for r in rows:
+        a, b = texts[r["doc_a"]], texts[r["doc_b"]]
+        d = lev(a, b)
+        assert r["edit_distance"] == d, (r["doc_a"], r["doc_b"])
+        assert (d == 0) == (a == b)
+        assert abs(r["norm_similarity"] - (1 - d / max(len(a), len(b)))) < 1e-6
+        assert 0.0 <= r["norm_similarity"] <= 1.0

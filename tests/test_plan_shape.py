@@ -136,6 +136,7 @@ def test_no_unjustified_cartesian_or_nested_loop_join(spark):
         "bigram_pmi_top",  # corpus totals N / N_b: broadcast 1-row aggs
         "neardup_pagerank",  # node count N: broadcast 1-row agg per iteration
         "docs_budget_selection",  # corpus token budget: broadcast 1-row agg
+        "bpe_merge_steps",  # per-round argmax merge pair: broadcast 1-row LIMIT 1
         # broadcast side is the fixed probe set / literal range grid
         "embedding_topk", "range_lookup",
         "embedding_int8_topk",  # fixed probe set, quantized + exact rerank
