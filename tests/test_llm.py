@@ -987,3 +987,28 @@ def test_neardup_edit_distance_matches_python(spark):
         assert (d == 0) == (a == b)
         assert abs(r["norm_similarity"] - (1 - d / max(len(a), len(b)))) < 1e-6
         assert 0.0 <= r["norm_similarity"] <= 1.0
+
+
+def test_goertzel_detects_every_candidate_bin():
+    """Pure-unit check of the DSP core: for each candidate bin, a
+    synthesized rounded sine is detected at exactly that bin, and the
+    true bin's power dominates every other bin by a wide margin."""
+    import math
+
+    from hbase_tools_spark.llm.multimodal import (
+        _TONE_AMP, _TONE_BINS, _TONE_N, _goertzel_power,
+    )
+
+    for k in range(1, _TONE_BINS + 1):
+        samples = [
+            int(math.floor(_TONE_AMP * math.sin(2 * math.pi * k * i / 64.0) + 0.5))
+            for i in range(_TONE_N)
+        ]
+        powers = [
+            _goertzel_power(samples, b, _TONE_N)
+            for b in range(1, _TONE_BINS + 1)
+        ]
+        best = max(range(_TONE_BINS), key=lambda b: powers[b]) + 1
+        assert best == k
+        others = [p for i, p in enumerate(powers, 1) if i != k]
+        assert powers[k - 1] > 100 * max(others), k
