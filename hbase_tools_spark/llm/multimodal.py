@@ -654,6 +654,102 @@ def multimodal_wav_pcm_stats(m: Model) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# REAL palette-image decode: GIF89a via the stdlib LZW codec in
+# :mod:`.gif` (variable-width LSB-first codes, clear-code resets,
+# KwKwK).  GIF is LOSSLESS, so the oracle predicts the decoded pixel
+# checksums straight from the source bytes: any bug in the bit
+# unpacking, the dictionary growth rule, or the sub-block framing
+# hash-mismatches.  The positional checksum (i·v_i) also catches
+# order-preserving-multiset bugs a plain sum would miss.
+# ---------------------------------------------------------------------------
+
+_GIF_W = 16       # image width; height = ceil(n_bytes / width)
+_GIF_COLORS = 16  # palette entries (LZW min code size 4)
+
+GIF_STATS_SCHEMA = (
+    "doc_id bigint, width int, height int, n_pixels bigint, "
+    "index_sum bigint, pos_sum bigint"
+)
+
+
+def _gif_roundtrip_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from .gif import build_gif, parse_gif
+
+    W, C = _GIF_W, _GIF_COLORS
+    palette = bytes(3 * C)  # C gray triples (values irrelevant to pixels)
+    for pdf in batches:
+        out = {k: [] for k in (
+            "doc_id", "width", "height", "n_pixels", "index_sum", "pos_sum",
+        )}
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            data = text.encode("utf-8")
+            n = len(data)
+            if n == 0:
+                continue
+            h = (n + W - 1) // W
+            idx = bytes(b % C for b in data) + bytes(W * h - n)
+            w2, h2, _, dec = parse_gif(build_gif(W, h, palette, idx))
+            out["doc_id"].append(doc_id)
+            out["width"].append(w2)
+            out["height"].append(h2)
+            out["n_pixels"].append(w2 * h2)
+            out["index_sum"].append(sum(dec))
+            out["pos_sum"].append(sum(i * v for i, v in enumerate(dec, 1)))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.array(out["doc_id"], dtype="Int64"),
+                "width": pd.array(out["width"], dtype="Int32"),
+                "height": pd.array(out["height"], dtype="Int32"),
+                "n_pixels": pd.array(out["n_pixels"], dtype="Int64"),
+                "index_sum": pd.array(out["index_sum"], dtype="Int64"),
+                "pos_sum": pd.array(out["pos_sum"], dtype="Int64"),
+            }
+        )
+
+
+@query(
+    "multimodal_gif_stats",
+    oracle=f"""
+WITH a AS (
+  SELECT doc_id, text, length(text) AS n FROM documents
+  WHERE doc_id % 3 = 0 AND length(text) >= 1
+)
+SELECT doc_id,
+       CAST({_GIF_W} AS INTEGER)                    AS width,
+       CAST((n + {_GIF_W - 1}) // {_GIF_W} AS INTEGER) AS height,
+       CAST({_GIF_W} * ((n + {_GIF_W - 1}) // {_GIF_W}) AS BIGINT) AS n_pixels,
+       CAST(list_sum(list_transform(range(1, n + 1),
+              i -> ascii(substring(text, i, 1)) % {_GIF_COLORS}))
+            AS BIGINT) AS index_sum,
+       CAST(list_sum(list_transform(range(1, n + 1),
+              i -> i * (ascii(substring(text, i, 1)) % {_GIF_COLORS})))
+            AS BIGINT) AS pos_sum
+FROM a
+""",
+    views=[],
+)
+def multimodal_gif_stats(m: Model) -> DataFrame:
+    """REAL GIF decode statistics: each image doc's bytes become 4-bit
+    palette indices packed into a genuine GIF89a (llm/gif.py: LZW with
+    variable-width LSB-first codes, clear-code resets at dictionary
+    saturation, data sub-blocks), which the executors then fully parse
+    and LZW-DECODE back; the pixel checksums come from the decoded
+    buffer.  GIF is lossless, so the oracle predicts both checksums
+    straight from the source bytes — the value-weighted positional sum
+    catches ordering bugs a plain sum cannot.  The codec's bit packing
+    is pinned to the published minimal-GIF interop vector (clear, 0,
+    EOI = ``44 01``) in tests.  One zero-shuffle Arrow map stage."""
+    from ..functions.partitioning import spread_if_undersplit
+
+    media = m.documents.select("doc_id", "text").where(
+        (F.col("doc_id") % 3 == 0) & (F.length("text") >= 1)
+    )
+    return spread_if_undersplit(media, "doc_id").mapInPandas(
+        _gif_roundtrip_stats, GIF_STATS_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
 # REAL frequency-domain DSP: Goertzel tone detection on decoded PCM.
 # Each audio doc carries a pure sine tone at a doc-derived DFT bin; the
 # executors build the genuine WAV, decode the samples back out of the

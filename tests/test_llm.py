@@ -1012,3 +1012,66 @@ def test_goertzel_detects_every_candidate_bin():
         assert best == k
         others = [p for i, p in enumerate(powers, 1) if i != k]
         assert powers[k - 1] > 100 * max(others), k
+
+
+# -- GIF codec ---------------------------------------------------------------
+
+def test_gif_lzw_interop_anchor():
+    """The published minimal-GIF data stream: a 1x1 image of pixel 0 at
+    LZW minimum code size 2 packs (clear=4, 0, EOI=5) at 3 bits
+    LSB-first into exactly the bytes 44 01 — the vector every
+    conforming encoder on the web produces.  Pins the bit order and
+    code numbering against real-world GIF, not just our own decoder."""
+    from hbase_tools_spark.llm.gif import lzw_decode, lzw_encode
+
+    assert lzw_encode(bytes([0]), 2) == bytes([0x44, 0x01])
+    assert lzw_decode(bytes([0x44, 0x01]), 2, 1) == bytes([0])
+
+
+def test_gif_roundtrip_all_palette_sizes_and_saturation():
+    from hbase_tools_spark.llm.gif import build_gif, parse_gif
+
+    for n in (4, 16, 256):
+        pal = bytes((i * 3 + j) % 256 for i in range(n) for j in range(3))
+        idx = bytes((i * 7 + i // 9) % n for i in range(2000))
+        w, h = 100, 20
+        got = parse_gif(build_gif(w, h, pal, idx))
+        assert got == (w, h, pal, idx)
+    # force dictionary saturation + clear-code reset (>4096 entries)
+    pal = bytes(768)
+    big = bytes(((i * 97 + (i >> 3) * 13) % 256) for i in range(120000))
+    assert parse_gif(build_gif(400, 300, pal, big))[3] == big
+
+
+def test_gif_kwkwk_case():
+    """The classic cScSc sequence forces the decoder to resolve a code
+    equal to the next unassigned entry (KwKwK)."""
+    from hbase_tools_spark.llm.gif import lzw_decode, lzw_encode
+
+    seq = bytes([1, 1, 1, 1, 1, 1, 1])  # runs trigger KwKwK immediately
+    assert lzw_decode(lzw_encode(seq, 2), 2, len(seq)) == seq
+    seq2 = bytes([2, 3, 2, 3, 2, 3, 2])
+    assert lzw_decode(lzw_encode(seq2, 4), 4, len(seq2)) == seq2
+
+
+def test_gif_error_contracts():
+    import pytest
+
+    from hbase_tools_spark.llm.gif import build_gif, lzw_decode, parse_gif
+
+    pal = bytes(48)
+    good = build_gif(4, 2, pal, bytes(8))
+    with pytest.raises(ValueError):
+        parse_gif(b"NOTGIF" + good[6:])
+    with pytest.raises(ValueError):
+        parse_gif(good[:-1])  # trailer gone
+    with pytest.raises(ValueError):
+        parse_gif(good[:20])  # truncated mid-structure
+    with pytest.raises(ValueError):
+        build_gif(4, 2, pal, bytes(7))  # wrong pixel count
+    with pytest.raises(ValueError):
+        build_gif(4, 2, bytes(9), bytes(8))  # 3-color palette
+    with pytest.raises(ValueError):
+        build_gif(4, 2, pal, bytes([16] * 8))  # index out of palette
+    with pytest.raises(ValueError):
+        lzw_decode(bytes([0x44, 0x01]), 2, 2)  # fewer pixels than promised
