@@ -575,6 +575,59 @@ def neardup_edit_distance(m: Model) -> DataFrame:
     )
 
 
+@query(
+    "neardup_triangles",
+    oracle=f"""
+WITH pairs AS ({_MINHASH_PAIRS_SQL}),
+tri AS (
+  SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+  FROM pairs e1
+  JOIN pairs e2 ON e2.doc_a = e1.doc_b
+  JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+),
+per_node AS (
+  SELECT doc_id, count(*) AS t FROM (
+    SELECT a AS doc_id FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  ) x GROUP BY doc_id
+)
+SELECT doc_id, CAST(t AS BIGINT) AS n_triangles
+FROM per_node
+""",
+    views=[],
+)
+def neardup_triangles(m: Model) -> DataFrame:
+    """Per-document triangle count on the near-dup candidate graph —
+    the template-family detector: a doc in many triangles sits inside a
+    densely mutually-similar cluster (boilerplate, mirrored templates),
+    which clustering alone can't distinguish from a sparse chain.
+
+    The edge-ordered algorithm (each edge stored once as doc_a <
+    doc_b, triangles enumerated as a<b<c, so each triangle counts
+    exactly once): two self-joins of the candidate-pair relation.
+    Scale: the pair relation is bucket-capped (∝ N·cap), and the join
+    keys are doc ids — the standard distributed triangle count, whose
+    cost is bounded by the near-dup graph, never the corpus."""
+    pairs = minhash_band_pairs(m)
+    e1 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e2 = pairs.select(F.col("doc_a").alias("b2"), F.col("doc_b").alias("c"))
+    e3 = pairs.select(F.col("doc_a").alias("a3"), F.col("doc_b").alias("c3"))
+    tri = (
+        e1.join(e2, F.col("b") == F.col("b2"))
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .select("a", "b", "c")
+    )
+    nodes = (
+        tri.select(F.col("a").alias("doc_id"))
+        .unionAll(tri.select(F.col("b").alias("doc_id")))
+        .unionAll(tri.select(F.col("c").alias("doc_id")))
+    )
+    return nodes.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    )
+
+
 _LP_STEPS = 4  # label-propagation rounds (cluster diameter bound)
 
 

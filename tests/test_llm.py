@@ -1075,3 +1075,35 @@ def test_gif_error_contracts():
         build_gif(4, 2, pal, bytes([16] * 8))  # index out of palette
     with pytest.raises(ValueError):
         lzw_decode(bytes([0x44, 0x01]), 2, 2)  # fewer pixels than promised
+
+
+def test_neardup_triangles_match_bruteforce(spark):
+    """Brute-force triangle enumeration over the candidate pairs; every
+    node's count matches and each triangle contributes exactly once."""
+    from itertools import combinations
+
+    import hbase_tools_spark.llm  # noqa: F401
+    from hbase_tools_spark.catalog import load_model
+    from hbase_tools_spark.registry import QUERIES
+
+    m = load_model(spark, SF_DIR)
+    edges = {
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["minhash_band_pairs"].fn(m).collect()
+    }
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    expect = {}
+    nodes = sorted(adj)
+    for a, b, c in combinations(nodes, 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            for n in (a, b, c):
+                expect[n] = expect.get(n, 0) + 1
+    got = {
+        r["doc_id"]: r["n_triangles"]
+        for r in QUERIES["neardup_triangles"].fn(m).collect()
+    }
+    assert got == expect
+    assert sum(got.values()) % 3 == 0  # each triangle counted at 3 nodes
