@@ -58,10 +58,39 @@ _R5_EDITED = [
 ]
 
 
+# Debuts the budget must not miss: the families with no prior
+# certificate of any kind whose novelty the driver gate is the
+# strongest evidence for (real codecs, deterministic sketches,
+# in-engine training, the late round-5 pipeline ops).  Remaining
+# debuts follow in registration order; with ~44 round-5 debuts and a
+# ~50-query budget the tail (simple aggregate shapes, all still
+# gated by tests/test_contract.py locally) is what misses.
+_DEBUT_PRIORITY = [
+    "multimodal_png_stats", "multimodal_jpeg_roundtrip",
+    "multimodal_gif_stats", "multimodal_wav_pcm_stats",
+    "multimodal_wav_tone_detect", "multimodal_mp4_boxes",
+    "multimodal_mjpeg_video",
+    "events_hll_cardinality", "events_kmv_overlap",
+    "events_cms_heavy_hitters", "docs_length_quantile_sketch",
+    "stream_hll_cardinality", "stream_cms_heavy_hitters",
+    "stream_length_quantile_sketch",
+    "word_embedding_neighbors", "docs_lr_quality_train",
+    "bpe_merge_steps", "events_markov_attribution",
+    "docs_kneser_ney_perplexity",
+    "docs_epoch_shuffle", "split_leakage", "neardup_edit_distance",
+    "neardup_triangles", "events_session_paths",
+    "neardup_source_matrix", "docs_dup_spans", "docs_span_removed",
+    "docs_gopher_rules", "novelty_by_source",
+]
+
+
 def _ordered_names() -> list[str]:
     stale = [n for n in _STALE_R1R2 if n in QUERIES]
     certified = set(_STALE_R1R2) | _R3_VERIFIED | _R4_VERIFIED
-    debuts = [n for n in QUERIES if n not in certified]
+    debut_set = {n for n in QUERIES if n not in certified}
+    debuts = [n for n in _DEBUT_PRIORITY if n in debut_set] + [
+        n for n in QUERIES if n in debut_set and n not in _DEBUT_PRIORITY
+    ]
     edited = [n for n in _R5_EDITED if n in QUERIES and n not in debuts]
     head = stale + debuts + edited
     seen = set(head)
