@@ -1660,6 +1660,105 @@ def novelty_ingest_batch(
     }
 
 
+#: Bloom-novelty state bound: the same m/k contract as the
+#: decontamination filter (llm/pipeline.py) so the two sketches share
+#: one position definition.
+_NOV_BLOOM_M = 131072  # filter bits (2^17)
+_NOV_BLOOM_K = 3
+
+
+def _bloom_positions(rel: DataFrame) -> DataFrame:
+    """(shingle, c) -> (shingle, c, p): the k md5-slice bit positions
+    of each window — identical arithmetic to bloom_contamination's
+    probe, so one certified position definition backs both sketches."""
+    return rel.select(
+        "shingle",
+        "c",
+        F.explode(
+            F.array(
+                *[
+                    F.conv(
+                        F.substring(F.md5(F.col("shingle")), 1 + 8 * i, 8),
+                        16,
+                        10,
+                    ).cast("bigint")
+                    % _NOV_BLOOM_M
+                    for i in range(_NOV_BLOOM_K)
+                ]
+            )
+        ).alias("p"),
+    )
+
+
+def novelty_ingest_bloom(
+    spark, index_dir: str, docs: DataFrame, batch_id: int
+) -> dict:
+    """Bounded-state incremental novelty: the sketch twin of
+    :func:`novelty_ingest_batch`.  The persisted state is not the
+    first-seen window index (O(distinct windows) forever) but the
+    SET-BIT POSITION relation of an m={2**17} k={3} Bloom filter —
+    **at most m rows, ever**, no matter how much corpus flows past.
+    A window is estimated already-seen iff all k of its positions are
+    set; Bloom false positives can only mark truly-novel windows as
+    seen, so the novelty estimate is ONE-SIDED (never above the exact
+    rate — pinned by test against :func:`novelty_ingest_batch` on the
+    same batch sequence).
+
+    Per batch: one window pass, one position explode (k rows per
+    distinct window), one co-keyed join against the position relation,
+    and an append of only the NEW positions (anti-join), partitioned by
+    introducing batch — the ingest discipline of the exact index with
+    sketch-bounded storage.  At 100 TB the exact index is a real
+    table; this filter is ~16 KB of logical state serving the same
+    \"is the crawl saturating\" signal."""
+    from ..streaming.ingest import _fs_exists
+
+    bc = (
+        _batch_windows(docs)
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    pos = _bloom_positions(bc)
+    have_index = _fs_exists(spark, index_dir)
+    if have_index:
+        seen = spark.read.parquet(index_dir).select("p")
+        probe = pos.join(
+            seen.hint("shuffle_hash").withColumn("hit", F.lit(1)), "p", "left"
+        )
+    else:
+        probe = pos.withColumn("hit", F.lit(None).cast("int"))
+    per_window = probe.groupBy("shingle", "c").agg(
+        (F.count("hit") == _NOV_BLOOM_K).alias("est_seen")
+    )
+    agg = per_window.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).alias("t"),
+        F.coalesce(
+            F.sum(F.when(F.col("est_seen"), 0).otherwise(F.col("c"))), F.lit(0)
+        ).alias("novel"),
+    ).collect()[0]
+    new_pos = pos.select("p").distinct()
+    if have_index:
+        new_pos = new_pos.join(seen.hint("shuffle_hash"), "p", "left_anti")
+    (
+        new_pos.select("p", F.lit(batch_id).alias("first_batch"))
+        .write.mode("append")
+        .partitionBy("first_batch")
+        .parquet(index_dir)
+    )
+    n_windows, n_novel = int(agg["t"]), int(agg["novel"])
+    return {
+        "batch": batch_id,
+        "n_windows": n_windows,
+        "n_novel_est": n_novel,
+        "novelty_rate_est": (
+            math.floor((n_novel * 1.0 / n_windows) * 1e6 + 0.5) / 1e6
+            if n_windows
+            else None
+        ),
+    }
+
+
 # ---------------------------------------------------------------------------
 # PageRank over the near-duplicate graph — which documents sit at the
 # CENTER of duplication clusters (high-rank nodes are the template /

@@ -1107,3 +1107,38 @@ def test_neardup_triangles_match_bruteforce(spark):
     }
     assert got == expect
     assert sum(got.values()) % 3 == 0  # each triangle counted at 3 nodes
+
+
+def test_bloom_novelty_one_sided_and_bounded(spark, tmp_path):
+    """The Bloom-state novelty twin: per batch the estimate never
+    EXCEEDS the exact novelty (false positives only deflate it), it
+    stays close at fixture scale (filter far under capacity), and the
+    persisted state is position-bounded — at most 3 rows per distinct
+    window and never more than the filter size, regardless of corpus."""
+    import hbase_tools_spark.llm  # noqa: F401
+    from pyspark.sql import functions as F
+
+    from hbase_tools_spark.llm.dedup import (
+        _NOV_BLOOM_M, _NOVELTY_BATCH, novelty_ingest_bloom,
+    )
+    from hbase_tools_spark.registry import QUERIES
+
+    m = load_model(spark, SF_DIR)
+    full = {r["batch"]: r for r in QUERIES["corpus_novelty_curve"].fn(m).collect()}
+    idx = str(tmp_path / "bloom_bits")
+    total_windows = 0
+    for b in sorted(full)[:4]:
+        docs = m.documents.where(
+            F.floor(F.col("doc_id") / _NOVELTY_BATCH) == b
+        )
+        got = novelty_ingest_bloom(spark, idx, docs, int(b))
+        want = full[b]
+        assert got["n_windows"] == want["n_windows"], b
+        assert got["n_novel_est"] <= want["n_novel"], b  # one-sided
+        # far below filter capacity -> estimates essentially exact
+        assert got["n_novel_est"] >= want["n_novel"] * 0.98, b
+        total_windows += want["n_novel"]
+    state_rows = spark.read.parquet(idx).count()
+    assert state_rows <= min(_NOV_BLOOM_M, 3 * total_windows)
+    distinct_rows = spark.read.parquet(idx).select("p").distinct().count()
+    assert distinct_rows == state_rows  # appends never duplicate a position
