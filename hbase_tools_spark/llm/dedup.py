@@ -577,8 +577,12 @@ def neardup_edit_distance(m: Model) -> DataFrame:
 
 @query(
     "neardup_triangles",
+    # MATERIALIZED: the pair relation feeds three join legs — inlined,
+    # DuckDB re-runs the whole signature pipeline per leg and OOMs at
+    # the 100x fixture; materialized it is a 25k-row edge list (found
+    # by the sf10 probe, SCALE.md)
     oracle=f"""
-WITH pairs AS ({_MINHASH_PAIRS_SQL}),
+WITH pairs AS MATERIALIZED ({_MINHASH_PAIRS_SQL}),
 tri AS (
   SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
   FROM pairs e1
