@@ -1,0 +1,301 @@
+"""Full-text retrieval over the corpus: BM25 ranking and a persisted
+inverted index with partition-pruned query serving.
+
+The reference's analytics stop at per-table scans and key lookups
+(reader/RowsScanner.java:24-88 is its closest "search" surface); a
+training-data platform additionally needs document RETRIEVAL — "which
+documents match these terms, ranked" — both ad hoc (one corpus scan)
+and served (query-many, against a prebuilt index).  This module adds
+both shapes, Spark-first:
+
+  * :func:`docs_bm25_topk` — Robertson/Sparck-Jones BM25 (the Lucene
+    default scoring) as ONE declarative plan: the corpus collapses to
+    the (doc, word, tf) relation once, query terms ride as a broadcast
+    few-row relation, and the global top-k is a
+    ``TakeOrderedAndProject`` — no global sort, no driver loop.
+  * :func:`materialize_inverted_index` / :func:`bm25_topk_from_index`
+    — the query-many production shape (the text analog of
+    ``similarity.materialize_ivf_index``): postings persisted
+    PARTITIONED BY a term-hash bucket so each query reads only its
+    terms' buckets (static PartitionFilters, pinned by test), never
+    the corpus.
+
+Float discipline (see exprs.py): idf logarithms run through the libm
+``pln`` contract (JVM ``Math.log`` differs from libm/DuckDB in the
+last ulp); the per-document score sum is made order-independent by
+per-term DECIMAL(28,12) quantization; ranking compares the exact
+decimal sums, so ties cannot flip between engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import Model
+from ..functions.exprs import fround_sql, pln
+from ..registry import query
+from .corpus import _WC_SQL, _wc
+
+_BM25_TOPK = 20
+#: Query terms = vocabulary Zipf ranks [11, 13] (count desc, word asc):
+#: mid-frequency terms derived from the corpus itself, so the query is
+#: meaningful at any fixture scale (hand-picked literals would miss the
+#: vocabulary of a different corpus entirely).
+_QTERM_LO, _QTERM_HI = 11, 13
+
+#: BM25 with k1=1.2, b=0.75 (the Lucene/standard defaults), written as
+#: ONE shared SQL fragment over columns (idf, tf, dl, avgdl) so Spark
+#: and DuckDB evaluate the identical IEEE op sequence.  1-b and b are
+#: pre-folded to the exact binary constants 0.25/0.75.  Every constant
+#: is an ``e0`` float literal: a bare ``2.2`` parses as DECIMAL in both
+#: engines and their decimal promotion/rounding rules differ (measured:
+#: a last-ulp score divergence that flipped the 6th rounded digit).
+_BM25_TERM_SCORE = (
+    "idf * (tf * 2.2e0) / (tf + 1.2e0 * (0.25e0 + 0.75e0 * (dl / avgdl)))"
+)
+
+#: Lucene's non-negative idf: ln(1 + (N - df + 0.5)/(df + 0.5)),
+#: evaluated over bigint (n_docs, df) — the +0.5s promote to double.
+_BM25_IDF_RATIO = "(n_docs - df + 0.5e0) / (df + 0.5e0) + 1.0e0"
+
+
+@query(
+    "docs_bm25_topk",
+    oracle=f"""
+WITH wc AS ({_WC_SQL}),
+v AS (SELECT word, sum(c) AS n_occ, count(*) AS df FROM wc GROUP BY word),
+qt AS (
+  SELECT word, CAST(df AS BIGINT) AS df
+  FROM (SELECT word, df,
+               row_number() OVER (ORDER BY n_occ DESC, word) AS r
+        FROM v) t
+  WHERE r BETWEEN {_QTERM_LO} AND {_QTERM_HI}
+),
+d AS (SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+      FROM documents),
+st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+              sum(dl) * 1.0e0 / count(*) AS avgdl
+       FROM d),
+sc AS (
+  SELECT wc.doc_id, CAST(wc.c AS BIGINT) AS tf, d.dl, st.avgdl,
+         ln({_BM25_IDF_RATIO}) AS idf
+  FROM wc JOIN qt USING (word)
+  JOIN d ON d.doc_id = wc.doc_id
+  CROSS JOIN st
+),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+         sum(CAST({_BM25_TERM_SCORE} AS DECIMAL(28,12))) AS s
+  FROM sc GROUP BY doc_id
+),
+top AS (
+  SELECT doc_id, n_terms, s,
+         row_number() OVER (ORDER BY s DESC, doc_id) AS rank
+  FROM agg
+)
+SELECT t.doc_id, d.source, t.n_terms,
+       CAST(round(t.s, 6) AS DOUBLE) AS score,
+       CAST(t.rank AS BIGINT) AS rank
+FROM top t JOIN d ON d.doc_id = t.doc_id
+WHERE t.rank <= {_BM25_TOPK}
+""",
+    views=[],
+)
+def docs_bm25_topk(m: Model) -> DataFrame:
+    """BM25 top-{20} retrieval for a corpus-derived term query (the
+    vocabulary's Zipf ranks 11-13): per matching document the number of
+    query terms present, the BM25 score, and the rank — the standard
+    lexical-retrieval scoreboard (and the exact-scoring baseline the
+    persisted-index serving path must reproduce bit-for-bit).
+
+    Plan shape at 100 TB: the corpus collapses ONCE to the (doc, word,
+    tf) pre-aggregate (map-side partials); the 3-row query-term relation
+    and the 1-row (N, avgdl) statistics broadcast into it, so scoring is
+    a narrow decoration of the postings of the query terms only; the
+    per-document sum is one hash aggregate keyed on doc_id; and the
+    global top-k is ``orderBy().limit(k)`` — a ``TakeOrderedAndProject``
+    (per-partition heaps, one k-row merge), never a global sort.  Only
+    the k surviving rows join back to pick up document metadata."""
+    wc = _wc(m)
+    vocab = wc.groupBy("word").agg(
+        F.sum("c").alias("n_occ"), F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    qt = (
+        vocab.orderBy(F.desc("n_occ"), "word")
+        .limit(_QTERM_HI)
+        .withColumn(
+            "r", F.row_number().over(Window.orderBy(F.desc("n_occ"), "word"))
+        )
+        .where(F.col("r") >= _QTERM_LO)
+        .select("word", "df")
+    )
+    d = m.documents.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("dl"),
+    )
+    st = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.expr("sum(dl) * 1.0e0 / count(*)").alias("avgdl"),
+    )
+    sc = (
+        wc.join(F.broadcast(qt), "word")
+        .join(d.select("doc_id", "dl"), "doc_id")
+        .crossJoin(F.broadcast(st))
+        .select(
+            "doc_id",
+            F.col("c").cast("bigint").alias("tf"),
+            "dl",
+            "avgdl",
+            pln(F.expr(_BM25_IDF_RATIO)).alias("idf"),
+        )
+    )
+    agg = sc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        F.sum(F.expr(_BM25_TERM_SCORE).cast("decimal(28,12)")).alias("s"),
+    )
+    top = (
+        agg.orderBy(F.desc("s"), "doc_id")
+        .limit(_BM25_TOPK)
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.desc("s"), "doc_id")).cast("bigint"),
+        )
+    )
+    return (
+        F.broadcast(top)
+        .join(d.select("doc_id", "source"), "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "n_terms",
+            F.round(F.col("s"), 6).cast("double").alias("score"),
+            "rank",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Persisted inverted index — the query-many serving shape.
+# ---------------------------------------------------------------------------
+
+_INDEX_BUCKETS = 64
+
+
+def materialize_inverted_index(
+    docs: DataFrame, out_dir: str, n_buckets: int = _INDEX_BUCKETS
+) -> None:
+    """Persist the BM25 inverted index: postings (word, doc_id, tf, dl)
+    and the per-term dictionary (word, df), both written PARTITIONED BY
+    ``bucket = pmod(xxhash64(word), n_buckets)`` so a query's read
+    prunes to its terms' buckets (~postings/n_buckets rows touched per
+    term instead of the corpus), plus the 1-row (n_docs, avgdl)
+    statistics relation.
+
+    The posting build is the same two-phase (doc, word) pre-aggregate as
+    the ad hoc query — ONE corpus scan, one hash shuffle — and the
+    partitioned write is the only extra cost.  Serving
+    (:func:`bm25_topk_from_index`) then reproduces
+    :func:`docs_bm25_topk` bit-for-bit (pinned by test) without ever
+    scanning a document."""
+    bucket = F.pmod(F.xxhash64("word"), F.lit(n_buckets)).cast("int")
+    d = docs.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).cast("bigint").alias("dl")
+    )
+    wc = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+        )
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    postings = wc.join(d, "doc_id").withColumn("bucket", bucket)
+    postings.write.mode("overwrite").partitionBy("bucket").parquet(
+        f"{out_dir}/postings"
+    )
+    dictionary = (
+        wc.groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+        .withColumn("bucket", bucket)
+    )
+    dictionary.write.mode("overwrite").partitionBy("bucket").parquet(
+        f"{out_dir}/dictionary"
+    )
+    st = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.expr("sum(dl) * 1.0e0 / count(*)").alias("avgdl"),
+    )
+    st.write.mode("overwrite").parquet(f"{out_dir}/stats")
+
+
+def _term_buckets(
+    spark: SparkSession, terms: list[str], n_buckets: int
+) -> list[int]:
+    """The terms' partition buckets, computed with the SAME engine hash
+    the writer used (xxhash64 is a Spark builtin with no stable Python
+    twin — a driver-side reimplementation would silently drift)."""
+    tdf = spark.createDataFrame([(t,) for t in terms], "word string")
+    rows = tdf.select(
+        F.pmod(F.xxhash64("word"), F.lit(n_buckets)).cast("int").alias("b")
+    ).collect()
+    return sorted({r["b"] for r in rows})
+
+
+def bm25_topk_from_index(
+    spark: SparkSession,
+    index_dir: str,
+    terms: list[str],
+    k: int = _BM25_TOPK,
+    n_buckets: int = _INDEX_BUCKETS,
+) -> DataFrame:
+    """Serve a BM25 top-k query from the persisted index: reads prune
+    statically to the query terms' hash buckets (PartitionFilters on
+    both the postings and dictionary scans — asserted in
+    tests/test_search.py), so per-query cost scales with the matched
+    postings, not the corpus.  Scoring reuses the exact fragments of
+    :func:`docs_bm25_topk`, so served results are bit-identical to the
+    ad hoc scan (equality pinned by test)."""
+    buckets = _term_buckets(spark, terms, n_buckets)
+    bfilter = F.col("bucket").isin(buckets)
+    postings = (
+        spark.read.parquet(f"{index_dir}/postings")
+        .where(bfilter & F.col("word").isin(terms))
+    )
+    dictionary = (
+        spark.read.parquet(f"{index_dir}/dictionary")
+        .where(bfilter & F.col("word").isin(terms))
+        .select("word", "df")
+    )
+    st = spark.read.parquet(f"{index_dir}/stats")
+    sc = (
+        postings.join(F.broadcast(dictionary), "word")
+        .crossJoin(F.broadcast(st))
+        .select(
+            "doc_id",
+            F.col("tf"),
+            "dl",
+            "avgdl",
+            pln(F.expr(_BM25_IDF_RATIO)).alias("idf"),
+        )
+    )
+    agg = sc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        F.sum(F.expr(_BM25_TERM_SCORE).cast("decimal(28,12)")).alias("s"),
+    )
+    return (
+        agg.orderBy(F.desc("s"), "doc_id")
+        .limit(k)
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.desc("s"), "doc_id")).cast("bigint"),
+        )
+        .select(
+            "doc_id",
+            "n_terms",
+            F.round(F.col("s"), 6).cast("double").alias("score"),
+            "rank",
+        )
+    )
