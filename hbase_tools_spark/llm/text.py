@@ -645,16 +645,20 @@ list_reduce(toks, (acc, x) -> CASE
 """
 
 
-def _bpe_oracle() -> str:
-    """Unrolled K-round BPE training in DuckDB SQL (the LR-train /
-    Markov-chain convention: per-round CTEs, deterministic argmax)."""
-    sql = """
+def _bpe_chain_sql(carry_word: bool) -> str:
+    """The unrolled K-round BPE training CTE chain in DuckDB SQL (the
+    LR-train / Markov-chain convention: per-round CTEs, deterministic
+    argmax).  ``carry_word`` threads the original word through the
+    vocabulary rewrites (needed by the encode query, ignored by the
+    pair counts either way)."""
+    wcol = "word, " if carry_word else ""
+    sql = f"""
 w AS (
   SELECT word, CAST(count(*) AS BIGINT) AS c
   FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
   GROUP BY word
 ),
-v1 AS (SELECT trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS s, c FROM w)
+v1 AS (SELECT {wcol}trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS s, c FROM w)
 """
     for i in range(1, _BPE_STEPS + 1):
         sql += f""",
@@ -673,16 +677,20 @@ m{i} AS (
   FROM p{i} ORDER BY n DESC, pair LIMIT 1
 ),
 v{i + 1} AS (
-  SELECT {_BPE_FOLD_DUCK.strip()} AS s, c
-  FROM (SELECT string_split(s, ' ') AS toks, c FROM v{i}) t
+  SELECT {wcol}{_BPE_FOLD_DUCK.strip()} AS s, c
+  FROM (SELECT {wcol}string_split(s, ' ') AS toks, c FROM v{i}) t
   CROSS JOIN m{i}
 )
 """
+    return sql
+
+
+def _bpe_oracle() -> str:
     union = " UNION ALL ".join(
         f"SELECT CAST(step AS BIGINT) AS step, pair, merged, n FROM m{i}"
         for i in range(1, _BPE_STEPS + 1)
     )
-    return "WITH " + sql + union
+    return "WITH " + _bpe_chain_sql(carry_word=False) + union
 
 
 @query("bpe_merge_steps", oracle=_bpe_oracle(), views=[])
@@ -700,12 +708,27 @@ def bpe_merge_steps(m: Model) -> DataFrame:
     round is vocab-sized — exactly why real BPE trainers pre-aggregate
     to the vocabulary.  Pair counts are exact integer sums; the greedy
     merge is a left fold with identical lambda text in both engines."""
+    merges, _ = _bpe_chain(m)
+    out = merges[0]
+    for b in merges[1:]:
+        out = out.unionAll(b)
+    return out
+
+
+def _bpe_chain(m: Model) -> tuple[list[DataFrame], DataFrame]:
+    """The K-round BPE training chain shared by :func:`bpe_merge_steps`
+    (consumes the per-round argmax relations) and
+    :func:`bpe_encode_tokens` (consumes the final merged vocabulary):
+    returns (one 1-row merge DataFrame per round, the (word, s, c)
+    vocabulary after all K merges — ``s`` is the space-joined symbol
+    segmentation of ``word``)."""
     words = F.explode(F.split(F.col("text"), " ")).alias("word")
     vocab = (
         m.documents.select(words)
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
         .select(
+            "word",
             F.trim(F.regexp_replace(F.col("word"), "(.)", "$1 ")).alias("s"),
             "c",
         )
@@ -737,14 +760,11 @@ def bpe_merge_steps(m: Model) -> DataFrame:
         )
         merges.append(best)
         cur = (
-            cur.select(F.split("s", " ").alias("toks"), "c")
+            cur.select("word", F.split("s", " ").alias("toks"), "c")
             .crossJoin(F.broadcast(best.select("pair", "merged")))
-            .select(F.expr(_BPE_FOLD_SPARK.strip()).alias("s"), "c")
+            .select("word", F.expr(_BPE_FOLD_SPARK.strip()).alias("s"), "c")
         )
-    out = merges[0]
-    for b in merges[1:]:
-        out = out.unionAll(b)
-    return out
+    return merges, cur
 
 
 # ---------------------------------------------------------------------------
@@ -803,4 +823,73 @@ def docs_length_percentile_filter(m: Model) -> DataFrame:
         F.count(F.when(ln > F.col("hi"), 1)).cast("bigint").alias("n_dropped_long"),
         fround(F.first("lo"), 4).alias("lo_chars"),
         fround(F.first("hi"), 4).alias("hi_chars"),
+    )
+
+
+_BPE_ENCODE_TAIL = f"""
+, cost AS (
+  SELECT word, CAST(len(string_split(s, ' ')) AS BIGINT) AS n_tokens
+  FROM v{_BPE_STEPS + 1}
+),
+sw AS (
+  SELECT source, word, CAST(count(*) AS BIGINT) AS n_uses
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS word FROM documents) t
+  GROUP BY source, word
+)
+SELECT source,
+       CAST(sum(n_uses) AS BIGINT)             AS total_words,
+       CAST(sum(n_uses * n_tokens) AS BIGINT)  AS total_tokens,
+       CAST(sum(n_uses * len(word)) AS BIGINT) AS total_chars,
+       {fround_sql('sum(n_uses * n_tokens) * 1.0e0 / sum(n_uses)', 6)} AS fertility,
+       {fround_sql('sum(n_uses * len(word)) * 1.0e0 / sum(n_uses * n_tokens)', 6)} AS chars_per_token
+FROM sw JOIN cost USING (word)
+GROUP BY source
+"""
+
+
+@query(
+    "bpe_encode_tokens",
+    oracle="WITH " + _bpe_chain_sql(carry_word=True) + _BPE_ENCODE_TAIL,
+    views=[],
+)
+def bpe_encode_tokens(m: Model) -> DataFrame:
+    """Apply the trained BPE merges back to the corpus: per source, the
+    whitespace-word count, the token count under the {4}-merge BPE
+    tokenizer, the character volume, and the resulting fertility
+    (tokens/word) and compression (chars/token) — the "what does this
+    tokenizer cost on MY data" readout that pairs with
+    :func:`bpe_merge_steps` (training) and the heuristic
+    ``tokenizer_fertility`` profile.
+
+    Scale shape — the reason real tokenizers are applied via the
+    vocabulary, never the raw text: the trained segmentation exists for
+    every distinct WORD (vocab-sized), so encoding the corpus is a join
+    of the (source, word, n_uses) pre-aggregate against the vocab cost
+    relation — both vocabulary-bounded — followed by one low-cardinality
+    rollup.  The corpus text is scanned exactly twice (once to train,
+    once to count per-source usage) and no per-document re-segmentation
+    ever runs.  Integer count sums feed the two final divisions, so the
+    doubles are engine-identical."""
+    _, trained = _bpe_chain(m)
+    cost = trained.select(
+        "word", F.size(F.split("s", " ")).cast("bigint").alias("n_tokens")
+    )
+    sw = (
+        m.documents.select(
+            "source", F.explode(F.split(F.col("text"), " ")).alias("word")
+        )
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_uses"))
+    )
+    j = sw.join(cost, "word")
+    return j.groupBy("source").agg(
+        F.sum("n_uses").cast("bigint").alias("total_words"),
+        F.sum(F.col("n_uses") * F.col("n_tokens")).cast("bigint").alias("total_tokens"),
+        F.sum(F.col("n_uses") * F.length("word")).cast("bigint").alias("total_chars"),
+        fround(
+            F.expr("sum(n_uses * n_tokens) * 1.0e0 / sum(n_uses)"), 6
+        ).alias("fertility"),
+        fround(
+            F.expr("sum(n_uses * len(word)) * 1.0e0 / sum(n_uses * n_tokens)"), 6
+        ).alias("chars_per_token"),
     )

@@ -387,3 +387,49 @@ def test_bpe_merges_match_python_reference(model):
                     i += 1
             new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
         vocab = new_vocab
+
+
+def test_bpe_encode_tokens_matches_python_reference(model):
+    """Applying the trained merges via the vocabulary join reproduces a
+    word-by-word Python re-encode of the corpus, and the token counts
+    sit in the [words, chars] band (merges only ever shrink the
+    char-level segmentation, never below one token per word)."""
+    from collections import Counter
+
+    merges = [
+        tuple(r["pair"].split(" "))
+        for r in sorted(
+            QUERIES["bpe_merge_steps"].fn(model).collect(),
+            key=lambda r: r["step"],
+        )
+    ]
+
+    def encode_len(word: str) -> int:
+        syms = list(word)
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    exp_words, exp_tokens, exp_chars = Counter(), Counter(), Counter()
+    for r in model.documents.select("source", "text").collect():
+        for w in r["text"].split(" "):
+            exp_words[r["source"]] += 1
+            exp_tokens[r["source"]] += encode_len(w)
+            exp_chars[r["source"]] += len(w)
+
+    rows = QUERIES["bpe_encode_tokens"].fn(model).collect()
+    assert {r["source"] for r in rows} == set(exp_words)
+    for r in rows:
+        s = r["source"]
+        assert r["total_words"] == exp_words[s]
+        assert r["total_tokens"] == exp_tokens[s]
+        assert r["total_chars"] == exp_chars[s]
+        assert r["total_words"] <= r["total_tokens"] <= r["total_chars"]

@@ -137,6 +137,8 @@ def test_no_unjustified_cartesian_or_nested_loop_join(spark):
         "neardup_pagerank",  # node count N: broadcast 1-row agg per iteration
         "docs_budget_selection",  # corpus token budget: broadcast 1-row agg
         "bpe_merge_steps",  # per-round argmax merge pair: broadcast 1-row LIMIT 1
+        "bpe_encode_tokens",  # same training chain: per-round 1-row argmax broadcasts
+        "docs_bm25_topk",  # (n_docs, avgdl) statistics: broadcast 1-row agg
         # broadcast side is the fixed probe set / literal range grid
         "embedding_topk", "range_lookup",
         "embedding_int8_topk",  # fixed probe set, quantized + exact rerank
