@@ -66,7 +66,7 @@ _R5_EDITED = [
 # ~50-query budget the tail (simple aggregate shapes, all still
 # gated by tests/test_contract.py locally) is what misses.
 _DEBUT_PRIORITY = [
-    "docs_bm25_topk", "bpe_encode_tokens",
+    "docs_bm25_topk", "bpe_encode_tokens", "ann_recall_at_k",
     "multimodal_png_stats", "multimodal_jpeg_roundtrip",
     "multimodal_gif_stats", "multimodal_wav_pcm_stats",
     "multimodal_wav_tone_detect", "multimodal_mp4_boxes",

@@ -46,9 +46,9 @@ _DOT_SQL = "list_sum(list_transform(range(1, 65), i -> CAST({a}[i] AS DOUBLE) * 
 _NORM_SQL = "sqrt(list_sum(list_transform(range(1, 65), i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))"
 
 
-@query(
-    "embedding_topk",
-    oracle=f"""
+#: Exact brute-force top-k oracle — also the ground-truth leg of
+#: ``ann_recall_at_k``.
+_EXACT_TOPK_SQL = f"""
 SELECT query_id, vec_id, label, cosine, rank
 FROM (
   SELECT q.vec_id AS query_id, c.vec_id AS vec_id, c.label,
@@ -66,7 +66,12 @@ FROM (
   WHERE q.vec_id <> c.vec_id
 ) t
 WHERE rank <= {_TOPK}
-""",
+"""
+
+
+@query(
+    "embedding_topk",
+    oracle=_EXACT_TOPK_SQL,
     views=[],
 )
 def embedding_topk(m: Model) -> DataFrame:
@@ -116,9 +121,9 @@ def _sign_bucket(a: Column) -> Column:
     )
 
 
-@query(
-    "embedding_lsh_topk",
-    oracle=f"""
+#: Sign-LSH bucketed top-k oracle — also the LSH leg of
+#: ``ann_recall_at_k``.
+_LSH_TOPK_SQL = f"""
 SELECT query_id, vec_id, cosine, rank
 FROM (
   SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
@@ -137,7 +142,12 @@ FROM (
    AND q.vec_id <> c.vec_id
 ) t
 WHERE rank <= {_TOPK}
-""",
+"""
+
+
+@query(
+    "embedding_lsh_topk",
+    oracle=_LSH_TOPK_SQL,
     views=[],
 )
 def embedding_lsh_topk(m: Model) -> DataFrame:
@@ -420,9 +430,11 @@ _NORMDD_SQL = "sqrt(list_sum(list_transform(range(1, 65), i -> {a}[i] * {a}[i]))
 _DOTVC_SQL = "list_sum(list_transform(range(1, 65), i -> CAST({a}[i] AS DOUBLE) * {b}[i]))"
 
 
-@query(
-    "embedding_ivf_topk",
-    oracle=f"""
+#: IVF coarse-quantizer CTE chain (centroids, assignments, probed
+#: cells) + its final top-k SELECT — composed by the embedding_ivf_topk
+#: oracle (with the `servers` view providing the WITH prefix) and by
+#: the IVF leg of ``ann_recall_at_k``.
+_IVF_CTES = f"""
 , cent AS (
   SELECT label,
          list(CAST(s AS DOUBLE) / n ORDER BY dim) AS c
@@ -465,6 +477,9 @@ probe_cells AS (
   ) t
   WHERE rnk <= {_NPROBE}
 )
+"""
+
+_IVF_TOPK_SELECT = f"""
 SELECT query_id, vec_id, cosine, rank
 FROM (
   SELECT p.query_id, a.vec_id,
@@ -482,7 +497,12 @@ FROM (
   JOIN embeddings q ON q.vec_id = p.query_id
 ) t
 WHERE rank <= {_TOPK}
-""",
+"""
+
+
+@query(
+    "embedding_ivf_topk",
+    oracle=_IVF_CTES + _IVF_TOPK_SELECT,
     views=["servers"],
 )
 def embedding_ivf_topk(m: Model) -> DataFrame:
@@ -1873,4 +1893,73 @@ def embedding_label_outliers(m: Model) -> DataFrame:
             fround(F.col("cos_raw"), 6).alias("cosine"),
             F.col("rank").cast("int"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANN quality measurement — recall@k of the approximate indexes against
+# the exact brute-force ground truth ("measure, don't guess": the same
+# scoreboard FAISS-style evaluations report before an index ships).
+# ---------------------------------------------------------------------------
+
+_RECALL_LEGS_SQL = f"""
+WITH exact AS ({_EXACT_TOPK_SQL}),
+lshq AS ({_LSH_TOPK_SQL}){_IVF_CTES},
+ivfq AS ({_IVF_TOPK_SELECT}),
+legs AS (
+  SELECT 'lsh' AS method, e.query_id, e.vec_id, a.vec_id AS hit
+  FROM exact e LEFT JOIN lshq a
+    ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+  UNION ALL
+  SELECT 'ivf' AS method, e.query_id, e.vec_id, a.vec_id AS hit
+  FROM exact e LEFT JOIN ivfq a
+    ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+)
+"""
+
+
+@query(
+    "ann_recall_at_k",
+    oracle=_RECALL_LEGS_SQL
+    + f"""
+SELECT method, query_id,
+       CAST(count(*) AS BIGINT)   AS n_exact,
+       CAST(count(hit) AS BIGINT) AS n_hit,
+       {fround_sql('count(hit) * 1.0e0 / count(*)', 6)} AS recall
+FROM legs
+GROUP BY method, query_id
+""",
+    views=[],
+)
+def ann_recall_at_k(m: Model) -> DataFrame:
+    """Recall@{10} of the approximate indexes vs exact search, per probe
+    and method: how many of the true top-{10} neighbors the sign-LSH
+    bucket probe and the IVF nprobe={2} search each return — the
+    accuracy-vs-cost scoreboard that justifies (or vetoes) deploying a
+    bucketed index at 100 TB, computed from the SAME certified query
+    definitions it evaluates (any change to an index's semantics moves
+    this relation, so quality regressions are hash-visible).
+
+    Scale shape: the ground-truth and candidate relations are all
+    (n_probes × k)-row results — the expensive part is producing them
+    (each leg keeps its own certified plan); the recall join itself is
+    a broadcast-sized set intersection."""
+    exact = embedding_topk(m).select("query_id", "vec_id")
+    legs = None
+    for method, fn in (("lsh", embedding_lsh_topk), ("ivf", embedding_ivf_topk)):
+        a = fn(m).select(
+            F.col("query_id").alias("aq"), F.col("vec_id").alias("hit")
+        )
+        j = exact.join(
+            a,
+            (exact["query_id"] == a["aq"]) & (exact["vec_id"] == a["hit"]),
+            "left",
+        ).select(
+            F.lit(method).alias("method"), "query_id", "vec_id", "hit"
+        )
+        legs = j if legs is None else legs.unionAll(j)
+    return legs.groupBy("method", "query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+        F.count("hit").cast("bigint").alias("n_hit"),
+        fround(F.expr("count(hit) * 1.0e0 / count(*)"), 6).alias("recall"),
     )

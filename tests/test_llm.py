@@ -1142,3 +1142,34 @@ def test_bloom_novelty_one_sided_and_bounded(spark, tmp_path):
     assert state_rows <= min(_NOV_BLOOM_M, 3 * total_windows)
     distinct_rows = spark.read.parquet(idx).select("p").distinct().count()
     assert distinct_rows == state_rows  # appends never duplicate a position
+
+
+def test_ann_recall_scoreboard_consistent_with_legs(spark):
+    """The recall relation is exactly the set intersection of each
+    method's certified result with the certified exact top-k (recomputed
+    here driver-side), with a complete (method x probe) grid."""
+    import hbase_tools_spark.llm  # noqa: F401 — registers the queries
+    from hbase_tools_spark.catalog import load_model
+    from hbase_tools_spark.registry import QUERIES
+
+    m = load_model(spark, SF_DIR)
+    exact = {}
+    for r in QUERIES["embedding_topk"].fn(m).collect():
+        exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+    approx = {
+        "lsh": QUERIES["embedding_lsh_topk"].fn(m),
+        "ivf": QUERIES["embedding_ivf_topk"].fn(m),
+    }
+    hits = {}
+    for meth, df in approx.items():
+        got = {}
+        for r in df.collect():
+            got.setdefault(r["query_id"], set()).add(r["vec_id"])
+        for q, ex in exact.items():
+            hits[(meth, q)] = len(ex & got.get(q, set()))
+    rows = QUERIES["ann_recall_at_k"].fn(m).collect()
+    assert {(r["method"], r["query_id"]) for r in rows} == set(hits)
+    for r in rows:
+        assert r["n_exact"] == len(exact[r["query_id"]])
+        assert r["n_hit"] == hits[(r["method"], r["query_id"])]
+        assert 0.0 <= r["recall"] <= 1.0 and r["n_hit"] <= r["n_exact"]
