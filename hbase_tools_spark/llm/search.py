@@ -34,9 +34,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import Model
-from ..functions.exprs import fround_sql, pln
+from ..functions.exprs import fround, fround_sql, pln
 from ..registry import query
 from .corpus import _WC_SQL, _wc
+from .similarity import _EXACT_TOPK_SQL, _NQUERIES as _SIM_NQUERIES
 
 _BM25_TOPK = 20
 #: Query terms = vocabulary Zipf ranks [11, 13] (count desc, word asc):
@@ -298,4 +299,179 @@ def bm25_topk_from_index(
             F.round(F.col("s"), 6).cast("double").alias("score"),
             "rank",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval — BM25 more-like-this + embedding cosine, fused with
+# Reciprocal Rank Fusion (Cormack et al. 2009), the standard way
+# production search blends lexical and vector rankings.
+# ---------------------------------------------------------------------------
+
+_HYBRID_K = 10       # depth of each leg and of the fused output
+_RRF_C = 60          # the RRF damping constant (the paper's default)
+#: One shared fragment: a leg contributes 1/(C + rank), absent legs 0.
+_RRF_SCORE = (
+    "coalesce(1.0e0 / (60 + lex_rank), 0.0e0)"
+    " + coalesce(1.0e0 / (60 + sem_rank), 0.0e0)"
+)
+
+#: Lexical leg: BM25 "more-like-this" — each probe DOCUMENT's distinct
+#: words are the query; candidates are scored with the same BM25
+#: fragments as docs_bm25_topk and ranked per probe.
+_MLT_LEX_SQL = f"""
+SELECT query_id, doc_id, lex_rank
+FROM (
+  SELECT query_id, doc_id,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY s DESC, doc_id
+         ) AS lex_rank
+  FROM (
+    SELECT query_id, doc_id,
+           sum(CAST({_BM25_TERM_SCORE} AS DECIMAL(28,12))) AS s
+    FROM (
+      SELECT qw.query_id, wc.doc_id, CAST(wc.c AS BIGINT) AS tf,
+             d.dl, st.avgdl,
+             ln({_BM25_IDF_RATIO}) AS idf
+      FROM (SELECT DISTINCT doc_id AS query_id, word
+            FROM ({{wc}}) qwc WHERE doc_id < {{nq}}) qw
+      JOIN ({{wc}}) wc USING (word)
+      JOIN (SELECT word, CAST(count(*) AS BIGINT) AS df
+            FROM ({{wc}}) dwc GROUP BY word) dfr USING (word)
+      JOIN (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+            FROM documents) d ON d.doc_id = wc.doc_id
+      CROSS JOIN (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               sum(CAST(len(string_split(text, ' ')) AS BIGINT)) * 1.0e0
+                 / count(*) AS avgdl
+        FROM documents) st
+      WHERE wc.doc_id <> qw.query_id
+    ) terms
+    GROUP BY query_id, doc_id
+  ) scored
+) ranked
+WHERE lex_rank <= {_HYBRID_K}
+"""
+
+
+def _mlt_lex_oracle() -> str:
+    return _MLT_LEX_SQL.format(wc=_WC_SQL, nq=_SIM_NQUERIES)
+
+
+_HYBRID_ORACLE = f"""
+WITH lex AS ({{lex}}),
+sem AS (SELECT query_id, vec_id AS doc_id, rank AS sem_rank
+        FROM ({{sem}}) s),
+fused AS (
+  SELECT coalesce(lex.query_id, sem.query_id) AS query_id,
+         coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+         lex.lex_rank, sem.sem_rank,
+         {_RRF_SCORE} AS rrf
+  FROM lex FULL OUTER JOIN sem
+    ON lex.query_id = sem.query_id AND lex.doc_id = sem.doc_id
+)
+SELECT query_id, doc_id,
+       CAST(lex_rank AS BIGINT) AS lex_rank,
+       CAST(sem_rank AS BIGINT) AS sem_rank,
+       {fround_sql('rrf', 6)} AS rrf_score,
+       CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT *, row_number() OVER (
+           PARTITION BY query_id ORDER BY rrf DESC, doc_id
+         ) AS rank
+  FROM fused
+) t
+WHERE rank <= {_HYBRID_K}
+"""
+
+
+@query(
+    "hybrid_rrf_search",
+    oracle=_HYBRID_ORACLE.format(lex=_mlt_lex_oracle(), sem=_EXACT_TOPK_SQL),
+    views=[],
+)
+def hybrid_rrf_search(m: Model) -> DataFrame:
+    """Hybrid retrieval for the {5} probe documents: the BM25
+    more-like-this lexical ranking (the probe's distinct words as the
+    query) and the exact embedding-cosine ranking, fused with
+    Reciprocal Rank Fusion (1/(60+rank) per leg, Cormack et al. 2009) —
+    the blend production search runs because the legs fail differently
+    (lexical misses paraphrases, vectors miss rare exact terms).
+
+    Scale shape: the probe term sets are a broadcast few-row relation,
+    so the lexical leg touches only the probes' postings (plus the same
+    (doc, word, tf) backbone every retrieval query shares); the
+    semantic leg is the certified exact top-k (swap in the IVF/PQ leg
+    for the indexed production posture — same fusion contract); the
+    fusion itself is a full outer join of two k-row-per-probe relations
+    ranked by an engine-identical double.  Probe-count partitions are
+    few and k-bounded — the window never sees the corpus."""
+    from .similarity import embedding_topk
+
+    wc = _wc(m)
+    qw = (
+        wc.where(F.col("doc_id") < _SIM_NQUERIES)
+        .select(F.col("doc_id").alias("query_id"), "word")
+        .distinct()
+    )
+    dfr = wc.groupBy("word").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    d = m.documents.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).cast("bigint").alias("dl")
+    )
+    st = m.documents.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.expr(
+            "sum(CAST(size(split(text, ' ')) AS BIGINT)) * 1.0e0"
+            " / count(*)"
+        ).alias("avgdl"),
+    )
+    terms = (
+        wc.join(F.broadcast(qw), "word")
+        .where(F.col("doc_id") != F.col("query_id"))
+        .join(F.broadcast(dfr.join(F.broadcast(qw.select("word").distinct()), "word")), "word")
+        .join(d, "doc_id")
+        .crossJoin(F.broadcast(st))
+        .select(
+            "query_id",
+            "doc_id",
+            F.col("c").cast("bigint").alias("tf"),
+            "dl",
+            "avgdl",
+            pln(F.expr(_BM25_IDF_RATIO)).alias("idf"),
+        )
+    )
+    scored = terms.groupBy("query_id", "doc_id").agg(
+        F.sum(F.expr(_BM25_TERM_SCORE).cast("decimal(28,12)")).alias("s")
+    )
+    lex = (
+        scored.withColumn(
+            "lex_rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.desc("s"), "doc_id")
+            ).cast("bigint"),
+        )
+        .where(F.col("lex_rank") <= _HYBRID_K)
+        .select("query_id", "doc_id", "lex_rank")
+    )
+    sem = embedding_topk(m).select(
+        "query_id",
+        F.col("vec_id").alias("doc_id"),
+        F.col("rank").cast("bigint").alias("sem_rank"),
+    )
+    fused = lex.join(sem, ["query_id", "doc_id"], "full_outer").withColumn(
+        "rrf", F.expr(_RRF_SCORE)
+    )
+    ranked = fused.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(F.desc("rrf"), "doc_id")
+        ).cast("bigint"),
+    )
+    return ranked.where(F.col("rank") <= _HYBRID_K).select(
+        "query_id",
+        "doc_id",
+        "lex_rank",
+        "sem_rank",
+        fround(F.col("rrf"), 6).alias("rrf_score"),
+        "rank",
     )

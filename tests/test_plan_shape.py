@@ -139,8 +139,10 @@ def test_no_unjustified_cartesian_or_nested_loop_join(spark):
         "bpe_merge_steps",  # per-round argmax merge pair: broadcast 1-row LIMIT 1
         "bpe_encode_tokens",  # same training chain: per-round 1-row argmax broadcasts
         "docs_bm25_topk",  # (n_docs, avgdl) statistics: broadcast 1-row agg
+        "hybrid_rrf_search",  # same 1-row corpus-stats broadcast in the lexical leg
         # broadcast side is the fixed probe set / literal range grid
         "embedding_topk", "range_lookup",
+        "ann_recall_at_k",  # contains embedding_topk's fixed-probe-set leg
         "embedding_int8_topk",  # fixed probe set, quantized + exact rerank
         "embedding_pq_topk",  # 5-row probe relation with driver-built ADC luts
         "docs_length_percentile_filter",  # p5/p95 thresholds: broadcast 1-row agg

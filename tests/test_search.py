@@ -94,3 +94,83 @@ def test_bm25_index_prune_skips_unrelated_buckets(spark, tmp_path):
         ).collect()
     }
     assert {r["doc_id"] for r in rows} <= hits
+
+
+def test_hybrid_rrf_fusion_matches_leg_recompute(spark):
+    """RRF fusion recomputed driver-side from the two certified legs
+    (lexical scored by an independent Python BM25 over the corpus,
+    semantic from embedding_topk) reproduces the fused ranking."""
+    import math
+    from collections import Counter, defaultdict
+
+    from hbase_tools_spark.llm.search import (
+        _HYBRID_K,
+        _SIM_NQUERIES,
+        hybrid_rrf_search,
+    )
+    from hbase_tools_spark.registry import QUERIES
+
+    m = load_model(spark, SF_DIR)
+    docs = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in m.documents.select("doc_id", "text").collect()
+    }
+    n_docs = len(docs)
+    avgdl = sum(len(t) for t in docs.values()) * 1.0 / n_docs
+    df = Counter()
+    for toks in docs.values():
+        df.update(set(toks))
+
+    lex_rank = {}
+    for q in range(_SIM_NQUERIES):
+        scores = {}
+        qterms = set(docs[q])
+        for d, toks in docs.items():
+            if d == q:
+                continue
+            tf = Counter(toks)
+            s = 0.0
+            for t in qterms:
+                if tf[t] == 0:
+                    continue
+                idf = math.log((n_docs - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+                dl = len(toks)
+                s += idf * (tf[t] * 2.2) / (
+                    tf[t] + 1.2 * (0.25 + 0.75 * (dl / avgdl))
+                )
+            if s > 0:
+                scores[d] = s
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        for r, (d, _) in enumerate(ranked[:_HYBRID_K], 1):
+            lex_rank[(q, d)] = r
+
+    sem_rank = {
+        (r["query_id"], r["vec_id"]): r["rank"]
+        for r in QUERIES["embedding_topk"].fn(m).collect()
+    }
+    fused = defaultdict(float)
+    for (q, d), r in lex_rank.items():
+        fused[(q, d)] += 1.0 / (60 + r)
+    for (q, d), r in sem_rank.items():
+        fused[(q, d)] += 1.0 / (60 + r)
+    expect = {}
+    for q in range(_SIM_NQUERIES):
+        cand = sorted(
+            ((d, s) for (qq, d), s in fused.items() if qq == q),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[:_HYBRID_K]
+        for r, (d, _) in enumerate(cand, 1):
+            expect[(q, d)] = r
+
+    rows = hybrid_rrf_search(m).collect()
+    got = {(r["query_id"], r["doc_id"]): r["rank"] for r in rows}
+    assert got == expect
+    for r in rows:
+        assert r["lex_rank"] is not None or r["sem_rank"] is not None
+        assert abs(
+            r["rrf_score"]
+            - (
+                (1.0 / (60 + r["lex_rank"]) if r["lex_rank"] else 0.0)
+                + (1.0 / (60 + r["sem_rank"]) if r["sem_rank"] else 0.0)
+            )
+        ) < 1e-6
