@@ -1723,3 +1723,108 @@ def corpus_temperature_mixture(m: Model) -> DataFrame:
         fround(q, 6).alias("temp_share"),
         fround(q / F.col("p"), 4).alias("boost"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Crawl-to-crawl corpus diff: the churn dashboard a curation team
+# watches between snapshot N and N+1 (the corpus-grain analog of the
+# reference's topology set-difference, core/SnapshotsDiff.java-style
+# J3/SET2 shapes).  The fixture carries ONE snapshot, so the two
+# versions are derived deterministically from the doc-id hash (the
+# docs_split_assign convention): first hex digit '0' = added in new,
+# '1' = removed from new, '2' = content changed, else unchanged —
+# fixture plumbing only; the OPERATOR below is the general full-outer
+# hash-compare diff of any two document relations.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "corpus_version_diff",
+    oracle="""
+WITH g AS (
+  SELECT doc_id, source, text,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS gd
+  FROM documents
+),
+old AS (
+  SELECT doc_id, source, md5(text) AS h FROM g WHERE gd <> '0'
+),
+new AS (
+  SELECT doc_id, source,
+         md5(CASE WHEN gd = '2'
+                  THEN substr(text, 1, greatest(length(text) - 7, 1))
+                  ELSE text END) AS h
+  FROM g WHERE gd <> '1'
+),
+d AS (
+  SELECT coalesce(o.source, n.source) AS source,
+         CASE WHEN o.doc_id IS NULL THEN 'added'
+              WHEN n.doc_id IS NULL THEN 'removed'
+              WHEN o.h <> n.h THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+)
+SELECT source,
+       CAST(count(*) FILTER (WHERE status = 'added') AS BIGINT)     AS n_added,
+       CAST(count(*) FILTER (WHERE status = 'removed') AS BIGINT)   AS n_removed,
+       CAST(count(*) FILTER (WHERE status = 'changed') AS BIGINT)   AS n_changed,
+       CAST(count(*) FILTER (WHERE status = 'unchanged') AS BIGINT) AS n_unchanged,
+       floor((count(*) FILTER (WHERE status <> 'unchanged') * 1.0e0
+              / NULLIF(count(*) FILTER (WHERE status <> 'added'), 0))
+             * 1000000.0 + 0.5) / 1000000.0 AS churn_vs_old
+FROM d
+GROUP BY source
+""",
+    views=[],
+)
+def corpus_version_diff(m: Model) -> DataFrame:
+    """Snapshot-to-snapshot corpus churn per source: documents added,
+    removed, content-changed, and unchanged between the derived old/new
+    corpus versions, plus churn relative to the old snapshot — the
+    crawl-ops view that decides whether a refresh is worth reprocessing
+    (and the input to incremental dedup/novelty runs).
+
+    The operator is the general two-snapshot diff: each side reduces to
+    (doc_id, source, content_hash) — a narrow scan — and ONE full outer
+    join on doc_id classifies every document; the per-source rollup is a
+    single map-side-combined shuffle.  Hashes are compared, never texts,
+    so the join rows stay fixed-width at 100 TB; the doc_id-keyed join
+    is the same co-partitionable shape as the write-path upsert."""
+    g = _doc_hash().substr(1, 1)
+    docs = m.documents.select("doc_id", "source", "text", g.alias("gd"))
+    old = docs.where(F.col("gd") != "0").select(
+        F.col("doc_id").alias("o_id"),
+        F.col("source").alias("o_source"),
+        F.md5(F.col("text").cast("binary")).alias("h_old"),
+    )
+    new_text = F.when(
+        F.col("gd") == "2",
+        F.substring(F.col("text"), 1, F.greatest(F.length("text") - 7, F.lit(1))),
+    ).otherwise(F.col("text"))
+    new = docs.where(F.col("gd") != "1").select(
+        F.col("doc_id").alias("n_id"),
+        F.col("source").alias("n_source"),
+        F.md5(new_text.cast("binary")).alias("h_new"),
+    )
+    d = old.join(new, old["o_id"] == new["n_id"], "full_outer").select(
+        F.coalesce("o_source", "n_source").alias("source"),
+        F.when(F.col("o_id").isNull(), "added")
+        .when(F.col("n_id").isNull(), "removed")
+        .when(F.col("h_old") != F.col("h_new"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+    )
+    st = F.col("status")
+    n_not_new = F.count(F.when(st != "added", 1))
+    return d.groupBy("source").agg(
+        F.count(F.when(st == "added", 1)).cast("bigint").alias("n_added"),
+        F.count(F.when(st == "removed", 1)).cast("bigint").alias("n_removed"),
+        F.count(F.when(st == "changed", 1)).cast("bigint").alias("n_changed"),
+        F.count(F.when(st == "unchanged", 1)).cast("bigint").alias("n_unchanged"),
+        fround(
+            F.count(F.when(st != "unchanged", 1))
+            * F.lit(1.0)
+            / F.nullif(n_not_new, F.lit(0)),
+            6,
+        ).alias("churn_vs_old"),
+    )

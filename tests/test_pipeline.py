@@ -445,3 +445,33 @@ def test_epoch_shuffle_manifest_partition_pruned(spark, tmp_path):
     rows = one.collect()  # single file per shard: arrival order = file order
     assert [r["position"] for r in rows] == sorted(r["position"] for r in rows)
     assert rows and rows[0]["position"] == 1
+
+
+def test_corpus_version_diff_conserves_both_snapshots(spark):
+    """Status counts reconcile exactly with the derived old/new version
+    populations: old = removed+changed+unchanged, new =
+    added+changed+unchanged, per source and in total."""
+    import hashlib
+    from collections import Counter
+
+    from hbase_tools_spark.catalog import load_model
+    from hbase_tools_spark.registry import QUERIES
+
+    m = load_model(spark, SF_DIR)
+    old_n, new_n = Counter(), Counter()
+    for r in m.documents.select("doc_id", "source").collect():
+        gd = hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[0]
+        if gd != "0":
+            old_n[r["source"]] += 1
+        if gd != "1":
+            new_n[r["source"]] += 1
+    rows = QUERIES["corpus_version_diff"].fn(m).collect()
+    assert {r["source"] for r in rows} == set(old_n) | set(new_n)
+    for r in rows:
+        s = r["source"]
+        assert r["n_removed"] + r["n_changed"] + r["n_unchanged"] == old_n[s]
+        assert r["n_added"] + r["n_changed"] + r["n_unchanged"] == new_n[s]
+        denom = r["n_removed"] + r["n_changed"] + r["n_unchanged"]
+        if denom:
+            churn = (r["n_added"] + r["n_removed"] + r["n_changed"]) / denom
+            assert abs(r["churn_vs_old"] - churn) < 1e-6
