@@ -187,19 +187,27 @@ _INDEX_BUCKETS = 64
 
 
 def materialize_inverted_index(
-    docs: DataFrame, out_dir: str, n_buckets: int = _INDEX_BUCKETS
+    docs: DataFrame,
+    out_dir: str,
+    n_buckets: int = _INDEX_BUCKETS,
+    mode: str = "overwrite",
 ) -> None:
     """Persist the BM25 inverted index: postings (word, doc_id, tf, dl)
     and the per-term dictionary (word, df), both written PARTITIONED BY
     ``bucket = pmod(xxhash64(word), n_buckets)`` so a query's read
     prunes to its terms' buckets (~postings/n_buckets rows touched per
-    term instead of the corpus), plus the 1-row (n_docs, avgdl)
-    statistics relation.
+    term instead of the corpus), plus the (n_docs, sum_dl) statistics
+    relation.
 
-    The posting build is the same two-phase (doc, word) pre-aggregate as
-    the ad hoc query — ONE corpus scan, one hash shuffle — and the
-    partitioned write is the only extra cost.  Serving
-    (:func:`bm25_topk_from_index`) then reproduces
+    Every index relation is ADDITIVE — the dictionary holds partial df
+    rows and the statistics hold integer sums, with serving aggregating
+    across write batches — so ``mode="append"`` ingests a NEW document
+    batch incrementally (one batch scan, postings disjoint by doc_id),
+    and an index grown by appends serves bit-identically to a full
+    rebuild (pinned by test).  The posting build is the same two-phase
+    (doc, word) pre-aggregate as the ad hoc query — ONE corpus scan,
+    one hash shuffle — and the partitioned write is the only extra
+    cost.  Serving (:func:`bm25_topk_from_index`) then reproduces
     :func:`docs_bm25_topk` bit-for-bit (pinned by test) without ever
     scanning a document."""
     bucket = F.pmod(F.xxhash64("word"), F.lit(n_buckets)).cast("int")
@@ -214,7 +222,7 @@ def materialize_inverted_index(
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
     )
     postings = wc.join(d, "doc_id").withColumn("bucket", bucket)
-    postings.write.mode("overwrite").partitionBy("bucket").parquet(
+    postings.write.mode(mode).partitionBy("bucket").parquet(
         f"{out_dir}/postings"
     )
     dictionary = (
@@ -222,14 +230,14 @@ def materialize_inverted_index(
         .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
         .withColumn("bucket", bucket)
     )
-    dictionary.write.mode("overwrite").partitionBy("bucket").parquet(
+    dictionary.write.mode(mode).partitionBy("bucket").parquet(
         f"{out_dir}/dictionary"
     )
     st = d.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.expr("sum(dl) * 1.0e0 / count(*)").alias("avgdl"),
+        F.sum("dl").cast("bigint").alias("sum_dl"),
     )
-    st.write.mode("overwrite").parquet(f"{out_dir}/stats")
+    st.write.mode(mode).parquet(f"{out_dir}/stats")
 
 
 def _term_buckets(
@@ -268,9 +276,13 @@ def bm25_topk_from_index(
     dictionary = (
         spark.read.parquet(f"{index_dir}/dictionary")
         .where(bfilter & F.col("word").isin(terms))
-        .select("word", "df")
+        .groupBy("word")  # partial df rows per append batch are additive
+        .agg(F.sum("df").cast("bigint").alias("df"))
     )
-    st = spark.read.parquet(f"{index_dir}/stats")
+    st = spark.read.parquet(f"{index_dir}/stats").agg(
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.expr("sum(sum_dl) * 1.0e0 / sum(n_docs)").alias("avgdl"),
+    )
     sc = (
         postings.join(F.broadcast(dictionary), "word")
         .crossJoin(F.broadcast(st))

@@ -174,3 +174,35 @@ def test_hybrid_rrf_fusion_matches_leg_recompute(spark):
                 + (1.0 / (60 + r["sem_rank"]) if r["sem_rank"] else 0.0)
             )
         ) < 1e-6
+
+
+def test_bm25_index_incremental_append_equals_rebuild(spark, tmp_path):
+    """An index grown by appending a second document batch serves
+    bit-identically to a full rebuild over the union — the additive
+    dictionary/stats contract (partial df rows and integer sums summed
+    at serve time) that makes incremental crawl ingest possible."""
+    m = load_model(spark, SF_DIR)
+    half_a = m.documents.where(F.col("doc_id") % 2 == 0)
+    half_b = m.documents.where(F.col("doc_id") % 2 == 1)
+
+    full_idx = str(tmp_path / "full_idx")
+    materialize_inverted_index(m.documents, full_idx)
+    inc_idx = str(tmp_path / "inc_idx")
+    materialize_inverted_index(half_a, inc_idx)
+    materialize_inverted_index(half_b, inc_idx, mode="append")
+
+    terms = _query_terms(spark)
+    key = lambda r: (r["doc_id"], r["n_terms"], r["score"], r["rank"])
+    from_full = sorted(
+        map(key, bm25_topk_from_index(spark, full_idx, terms).collect())
+    )
+    from_inc = sorted(
+        map(key, bm25_topk_from_index(spark, inc_idx, terms).collect())
+    )
+    assert from_inc == from_full
+    # and both still equal the direct corpus scan
+    direct = sorted(
+        (r["doc_id"], r["n_terms"], r["score"], r["rank"])
+        for r in docs_bm25_topk(m).collect()
+    )
+    assert from_full == direct
