@@ -1898,3 +1898,92 @@ def docs_table_profile(m: Model) -> DataFrame:
     for o in outs[1:]:
         out = out.unionAll(o)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Curriculum ordering — the length-banded training order (easy → hard)
+# with a deterministic within-band shuffle: curriculum learning's data
+# layout, composed from two certified idioms (the two-pass scalar
+# percentile thresholds and the md5 data-loader shuffle).
+# ---------------------------------------------------------------------------
+
+_CURRICULUM_KEY_SQL = "md5('c:' || CAST(doc_id AS VARCHAR))"
+
+
+@query(
+    "docs_curriculum_order",
+    oracle=f"""
+WITH th AS (
+  SELECT quantile_cont(length(text), 0.25) AS q1,
+         quantile_cont(length(text), 0.50) AS q2,
+         quantile_cont(length(text), 0.75) AS q3
+  FROM documents
+),
+banded AS (
+  SELECT doc_id,
+         CASE WHEN length(text) <= q1 THEN 1
+              WHEN length(text) <= q2 THEN 2
+              WHEN length(text) <= q3 THEN 3
+              ELSE 4 END AS band,
+         {_CURRICULUM_KEY_SQL} AS h,
+         CAST(CAST(('0x' || substr({_CURRICULUM_KEY_SQL}, 1, 12)) AS BIGINT)
+              % {_SHUFFLE_SHARDS} AS INTEGER) AS shard
+  FROM documents CROSS JOIN th
+)
+SELECT doc_id, CAST(band AS BIGINT) AS band, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY band, shard ORDER BY h, doc_id)
+            AS BIGINT) AS position
+FROM banded
+""",
+    views=[],
+)
+def docs_curriculum_order(m: Model) -> DataFrame:
+    """Curriculum training order: documents banded easy→hard by global
+    char-length quartile (the standard length-as-difficulty proxy —
+    swap in any certified quality score under the same contract), with
+    a deterministic md5 shuffle within each band — a trainer consumes
+    band 1's shards, then band 2's, each internally pseudo-randomly
+    ordered and reproducible from ids alone.
+
+    Scale shape: pass 1 computes the three quartiles as a broadcast
+    1-row relation (percentile_approx at 100 TB, same plan); the band
+    and shard keys are then narrow per-row derivations, and the ONE
+    shuffle is the (band, shard) hash exchange the per-shard
+    ``row_number`` needs — per-partition external sort, no global sort,
+    exactly the ``docs_epoch_shuffle`` discipline."""
+    th = m.documents.agg(
+        F.expr("percentile(length(text), 0.25)").alias("q1"),
+        F.expr("percentile(length(text), 0.50)").alias("q2"),
+        F.expr("percentile(length(text), 0.75)").alias("q3"),
+    )
+    ln = F.length("text")
+    band = (
+        F.when(ln <= F.col("q1"), 1)
+        .when(ln <= F.col("q2"), 2)
+        .when(ln <= F.col("q3"), 3)
+        .otherwise(4)
+    )
+    h = F.md5(
+        F.concat(F.lit("c:"), F.col("doc_id").cast("string")).cast("binary")
+    )
+    banded = (
+        m.documents.crossJoin(F.broadcast(th))
+        .select(
+            "doc_id",
+            band.cast("bigint").alias("band"),
+            h.alias("h"),
+        )
+        .withColumn(
+            "shard",
+            F.pmod(
+                F.conv(F.substring(F.col("h"), 1, 12), 16, 10).cast("bigint"),
+                F.lit(_SHUFFLE_SHARDS),
+            ).cast("int"),
+        )
+    )
+    pos = F.row_number().over(
+        Window.partitionBy("band", "shard").orderBy("h", "doc_id")
+    )
+    return banded.select(
+        "doc_id", "band", "shard", pos.cast("bigint").alias("position")
+    )

@@ -475,3 +475,30 @@ def test_corpus_version_diff_conserves_both_snapshots(spark):
         if denom:
             churn = (r["n_added"] + r["n_removed"] + r["n_changed"]) / denom
             assert abs(r["churn_vs_old"] - churn) < 1e-6
+
+
+def test_curriculum_order_is_banded_permutation(spark):
+    """Every document appears exactly once; positions are contiguous
+    1..n per (band, shard); band assignment follows the global length
+    quartiles; each band holds ~25% of the corpus."""
+    from collections import Counter
+
+    from hbase_tools_spark.catalog import load_model
+    from hbase_tools_spark.registry import QUERIES
+
+    m = load_model(spark, SF_DIR)
+    rows = QUERIES["docs_curriculum_order"].fn(m).collect()
+    n_docs = m.documents.count()
+    assert len(rows) == n_docs
+    assert len({r["doc_id"] for r in rows}) == n_docs
+    per = Counter((r["band"], r["shard"]) for r in rows)
+    pos = Counter()
+    for r in rows:
+        pos[(r["band"], r["shard"])] = max(
+            pos[(r["band"], r["shard"])], r["position"]
+        )
+    assert pos == per  # contiguous 1..n per group
+    bands = Counter(r["band"] for r in rows)
+    assert set(bands) <= {1, 2, 3, 4}
+    for b in bands.values():
+        assert b >= n_docs * 0.1  # quartile banding, allowing length ties

@@ -146,6 +146,7 @@ def test_no_unjustified_cartesian_or_nested_loop_join(spark):
         "embedding_int8_topk",  # fixed probe set, quantized + exact rerank
         "embedding_pq_topk",  # 5-row probe relation with driver-built ADC luts
         "docs_length_percentile_filter",  # p5/p95 thresholds: broadcast 1-row agg
+        "docs_curriculum_order",  # quartile thresholds: broadcast 1-row agg
         "word_embedding_neighbors",  # cooc total N: broadcast 1-row agg
         "events_markov_attribution",  # p_full / effect-total: broadcast 1-row relations
         "docs_lr_quality_train",  # weight vector + n: broadcast 1-row relations per GD step
