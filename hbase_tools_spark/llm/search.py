@@ -370,6 +370,57 @@ def _mlt_lex_oracle() -> str:
     return _MLT_LEX_SQL.format(wc=_WC_SQL, nq=_SIM_NQUERIES)
 
 
+def _mlt_lex(m: Model) -> DataFrame:
+    """The BM25 more-like-this lexical leg: (query_id, doc_id, lex_rank
+    <= k) for the probe documents — shared by the RRF fusion and the
+    rank-agreement diagnostics so the leg definition cannot drift."""
+    wc = _wc(m)
+    qw = (
+        wc.where(F.col("doc_id") < _SIM_NQUERIES)
+        .select(F.col("doc_id").alias("query_id"), "word")
+        .distinct()
+    )
+    dfr = wc.groupBy("word").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    d = m.documents.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).cast("bigint").alias("dl")
+    )
+    st = m.documents.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.expr(
+            "sum(CAST(size(split(text, ' ')) AS BIGINT)) * 1.0e0"
+            " / count(*)"
+        ).alias("avgdl"),
+    )
+    terms = (
+        wc.join(F.broadcast(qw), "word")
+        .where(F.col("doc_id") != F.col("query_id"))
+        .join(F.broadcast(dfr.join(F.broadcast(qw.select("word").distinct()), "word")), "word")
+        .join(d, "doc_id")
+        .crossJoin(F.broadcast(st))
+        .select(
+            "query_id",
+            "doc_id",
+            F.col("c").cast("bigint").alias("tf"),
+            "dl",
+            "avgdl",
+            pln(F.expr(_BM25_IDF_RATIO)).alias("idf"),
+        )
+    )
+    scored = terms.groupBy("query_id", "doc_id").agg(
+        F.sum(F.expr(_BM25_TERM_SCORE).cast("decimal(28,12)")).alias("s")
+    )
+    return (
+        scored.withColumn(
+            "lex_rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.desc("s"), "doc_id")
+            ).cast("bigint"),
+        )
+        .where(F.col("lex_rank") <= _HYBRID_K)
+        .select("query_id", "doc_id", "lex_rank")
+    )
+
+
 _HYBRID_ORACLE = f"""
 WITH lex AS ({{lex}}),
 sem AS (SELECT query_id, vec_id AS doc_id, rank AS sem_rank
@@ -420,51 +471,7 @@ def hybrid_rrf_search(m: Model) -> DataFrame:
     few and k-bounded — the window never sees the corpus."""
     from .similarity import embedding_topk
 
-    wc = _wc(m)
-    qw = (
-        wc.where(F.col("doc_id") < _SIM_NQUERIES)
-        .select(F.col("doc_id").alias("query_id"), "word")
-        .distinct()
-    )
-    dfr = wc.groupBy("word").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
-    d = m.documents.select(
-        "doc_id", F.size(F.split(F.col("text"), " ")).cast("bigint").alias("dl")
-    )
-    st = m.documents.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.expr(
-            "sum(CAST(size(split(text, ' ')) AS BIGINT)) * 1.0e0"
-            " / count(*)"
-        ).alias("avgdl"),
-    )
-    terms = (
-        wc.join(F.broadcast(qw), "word")
-        .where(F.col("doc_id") != F.col("query_id"))
-        .join(F.broadcast(dfr.join(F.broadcast(qw.select("word").distinct()), "word")), "word")
-        .join(d, "doc_id")
-        .crossJoin(F.broadcast(st))
-        .select(
-            "query_id",
-            "doc_id",
-            F.col("c").cast("bigint").alias("tf"),
-            "dl",
-            "avgdl",
-            pln(F.expr(_BM25_IDF_RATIO)).alias("idf"),
-        )
-    )
-    scored = terms.groupBy("query_id", "doc_id").agg(
-        F.sum(F.expr(_BM25_TERM_SCORE).cast("decimal(28,12)")).alias("s")
-    )
-    lex = (
-        scored.withColumn(
-            "lex_rank",
-            F.row_number().over(
-                Window.partitionBy("query_id").orderBy(F.desc("s"), "doc_id")
-            ).cast("bigint"),
-        )
-        .where(F.col("lex_rank") <= _HYBRID_K)
-        .select("query_id", "doc_id", "lex_rank")
-    )
+    lex = _mlt_lex(m)
     sem = embedding_topk(m).select(
         "query_id",
         F.col("vec_id").alias("doc_id"),
@@ -486,4 +493,119 @@ def hybrid_rrf_search(m: Model) -> DataFrame:
         "sem_rank",
         fround(F.col("rrf"), 6).alias("rrf_score"),
         "rank",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rank-Biased Overlap (Webber et al. 2010) between the lexical and
+# semantic rankings — the top-weighted agreement diagnostic that tells
+# a search team whether fusing the legs is worth it (RBO ≈ 1 means the
+# legs are redundant; low RBO with good per-leg recall is exactly when
+# RRF fusion pays).
+# ---------------------------------------------------------------------------
+
+
+def _rbo_weights() -> list[tuple[int, str]]:
+    """Truncated-RBO depth weights: the row a doc first counted at depth
+    m contributes sum_{d=m..k} (1-p)·p^(d-1)/d.  Each TERM is an exact
+    Decimal (p=0.9 powers are exact in base 10) quantized to 12 dp
+    HALF_UP, and the m-row weight is the exact SUM of its terms — the
+    identical literal values ship to BOTH engines, so no pow()/log()
+    ever runs in either (JVM Math.pow differs from libm in the last
+    ulp; decimal literals cannot)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    p = Decimal("0.9")
+    q12 = Decimal("1e-12")
+    terms = [
+        (Decimal("0.1") * p ** (d - 1) / d).quantize(q12, ROUND_HALF_UP)
+        for d in range(1, _HYBRID_K + 1)
+    ]
+    return [
+        (m_, str(sum(terms[m_ - 1 :]).quantize(q12, ROUND_HALF_UP)))
+        for m_ in range(1, _HYBRID_K + 1)
+    ]
+
+
+_RBO_VALUES = ", ".join(f"({m_}, {w})" for m_, w in _rbo_weights())
+
+
+@query(
+    "retrieval_rank_overlap",
+    oracle=f"""
+WITH lex AS ({{lex}}),
+sem AS (SELECT query_id, vec_id AS doc_id, rank AS sem_rank
+        FROM ({{sem}}) s),
+w(m, wt) AS (VALUES {_RBO_VALUES}),
+joint AS (
+  SELECT lex.query_id, lex.doc_id,
+         greatest(lex.lex_rank, sem.sem_rank) AS m
+  FROM lex JOIN sem
+    ON lex.query_id = sem.query_id AND lex.doc_id = sem.doc_id
+),
+agg AS (
+  SELECT query_id,
+         CAST(count(*) AS BIGINT) AS n_overlap,
+         sum(CAST(wt AS DECIMAL(14,12))) AS rbo_s
+  FROM joint JOIN w ON w.m = joint.m
+  GROUP BY query_id
+)
+SELECT q.query_id,
+       coalesce(a.n_overlap, 0) AS n_overlap,
+       CAST(round(coalesce(a.rbo_s, 0), 6) AS DOUBLE) AS rbo
+FROM (SELECT vec_id AS query_id FROM embeddings
+      WHERE vec_id < {_SIM_NQUERIES}) q
+LEFT JOIN agg a ON a.query_id = q.query_id
+""".format(
+        lex="{lex}", sem="{sem}"
+    ).format(lex=_mlt_lex_oracle(), sem=_EXACT_TOPK_SQL),
+    views=[],
+)
+def retrieval_rank_overlap(m: Model) -> DataFrame:
+    """Truncated Rank-Biased Overlap (p=0.9, k={10}) between the BM25
+    more-like-this ranking and the exact cosine ranking, per probe —
+    plus the raw top-k overlap count.  RBO weights agreement at the top
+    of the lists (the part a user or a fusion step actually consumes);
+    a doc first co-present at depth m contributes the exact-decimal
+    tail weight sum_(d=m..k) (1-p)p^(d-1)/d, shipped as identical
+    literals to both engines (never pow()).
+
+    Scale shape: both legs are k-row-per-probe relations (their plans
+    are the certified ones); the diagnostic itself is an inner join on
+    (probe, doc), a 10-row broadcast weight lookup, and a probe-keyed
+    aggregate — constant work per probe at any corpus size."""
+    from decimal import Decimal
+
+    from .similarity import embedding_topk
+
+    lex = _mlt_lex(m)
+    sem = embedding_topk(m).select(
+        "query_id",
+        F.col("vec_id").alias("doc_id"),
+        F.col("rank").cast("bigint").alias("sem_rank"),
+    )
+    w = m.spark.createDataFrame(
+        [(m_, Decimal(wt)) for m_, wt in _rbo_weights()],
+        "m int, wt decimal(14,12)",
+    )
+    joint = lex.join(sem, ["query_id", "doc_id"]).select(
+        "query_id", F.greatest("lex_rank", "sem_rank").cast("int").alias("m")
+    )
+    agg = (
+        joint.join(F.broadcast(w), "m")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_overlap"),
+            F.sum(F.col("wt").cast("decimal(14,12)")).alias("rbo_s"),
+        )
+    )
+    probes = m.embeddings.where(F.col("vec_id") < _SIM_NQUERIES).select(
+        F.col("vec_id").alias("query_id")
+    )
+    return probes.join(agg, "query_id", "left").select(
+        "query_id",
+        F.coalesce("n_overlap", F.lit(0)).cast("bigint").alias("n_overlap"),
+        F.round(F.coalesce(F.col("rbo_s"), F.lit(0)), 6)
+        .cast("double")
+        .alias("rbo"),
     )

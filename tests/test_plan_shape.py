@@ -140,6 +140,7 @@ def test_no_unjustified_cartesian_or_nested_loop_join(spark):
         "bpe_encode_tokens",  # same training chain: per-round 1-row argmax broadcasts
         "docs_bm25_topk",  # (n_docs, avgdl) statistics: broadcast 1-row agg
         "hybrid_rrf_search",  # same 1-row corpus-stats broadcast in the lexical leg
+        "retrieval_rank_overlap",  # same lexical leg; plus the 10-row weight lookup
         # broadcast side is the fixed probe set / literal range grid
         "embedding_topk", "range_lookup",
         "ann_recall_at_k",  # contains embedding_topk's fixed-probe-set leg

@@ -206,3 +206,49 @@ def test_bm25_index_incremental_append_equals_rebuild(spark, tmp_path):
         for r in docs_bm25_topk(m).collect()
     )
     assert from_full == direct
+
+
+def test_rbo_matches_python_recompute_from_legs(spark):
+    """Truncated RBO recomputed in Python from the two leg relations
+    (exact Decimal tail weights, the same formula) reproduces the
+    query's output, including zero-overlap probes."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from hbase_tools_spark.llm.search import (
+        _HYBRID_K,
+        _SIM_NQUERIES,
+        _mlt_lex,
+        retrieval_rank_overlap,
+    )
+    from hbase_tools_spark.registry import QUERIES
+
+    m = load_model(spark, SF_DIR)
+    lex = {
+        (r["query_id"], r["doc_id"]): r["lex_rank"]
+        for r in _mlt_lex(m).collect()
+    }
+    sem = {
+        (r["query_id"], r["vec_id"]): r["rank"]
+        for r in QUERIES["embedding_topk"].fn(m).collect()
+    }
+    p, q12 = Decimal("0.9"), Decimal("1e-12")
+    terms = [
+        (Decimal("0.1") * p ** (d - 1) / d).quantize(q12, ROUND_HALF_UP)
+        for d in range(1, _HYBRID_K + 1)
+    ]
+    tail = {
+        m_: sum(terms[m_ - 1 :]).quantize(q12, ROUND_HALF_UP)
+        for m_ in range(1, _HYBRID_K + 1)
+    }
+    expect = {}
+    for q in range(_SIM_NQUERIES):
+        s, n = Decimal(0), 0
+        for (qq, d), lr in lex.items():
+            if qq != q or (qq, d) not in sem:
+                continue
+            n += 1
+            s += tail[max(lr, sem[(qq, d)])]
+        expect[q] = (n, float(s.quantize(Decimal("1e-6"), ROUND_HALF_UP)))
+    rows = retrieval_rank_overlap(m).collect()
+    got = {r["query_id"]: (r["n_overlap"], r["rbo"]) for r in rows}
+    assert got == expect
