@@ -1701,3 +1701,65 @@ def docs_lr_quality_train(m: Model) -> DataFrame:
         "n_docs",
         "train_accuracy",
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus OLAP cube — the (source × lang) ROLLUP dashboard: per-cell,
+# per-source, and grand-total volumes in ONE aggregate pass (the
+# GROUPING SETS shape every BI layer asks of a corpus warehouse; the
+# reference's reports always fix one grouping — this is the
+# multi-grain generalization).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "corpus_rollup_stats",
+    oracle=f"""
+SELECT coalesce(source, '(all)') AS source,
+       coalesce(lang, '(all)')   AS lang,
+       CAST(grouping(source) * 2 + grouping(lang) AS BIGINT) AS grouping_level,
+       CAST(count(*) AS BIGINT)  AS n_docs,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_words,
+       CAST(sum(length(text)) AS BIGINT) AS n_chars_total,
+       {fround_sql("sum(length(text)) * 1.0e0 / count(*)", 4)} AS avg_chars
+FROM documents
+GROUP BY ROLLUP(source, lang)
+""",
+    views=[],
+)
+def corpus_rollup_stats(m: Model) -> DataFrame:
+    """Multi-grain corpus volumes in one pass: (source, lang) cells,
+    per-source subtotals, and the grand total via ``ROLLUP`` — with the
+    grouping level exposed so a dashboard can split the grains.  NULL
+    grouping keys render as ``(all)`` (and the level column
+    disambiguates a real NULL from a rollup row).
+
+    One aggregate: Catalyst expands the rollup into grouping sets
+    inside a single Expand + hash aggregate — one corpus scan, one
+    map-side-combined shuffle (vs three separate groupBys = three
+    scans).  Integer sums; the single division per output row is
+    engine-identical."""
+    toks = F.size(F.split(F.col("text"), " ")).cast("bigint")
+    return (
+        m.documents.rollup("source", "lang")
+        .agg(
+            (F.grouping("source") * 2 + F.grouping("lang"))
+            .cast("bigint")
+            .alias("grouping_level"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(toks).cast("bigint").alias("n_words"),
+            F.sum(F.length("text")).cast("bigint").alias("n_chars_total"),
+            fround(
+                F.sum(F.length("text")) * F.lit(1.0) / F.count(F.lit(1)), 4
+            ).alias("avg_chars"),
+        )
+        .select(
+            F.coalesce("source", F.lit("(all)")).alias("source"),
+            F.coalesce("lang", F.lit("(all)")).alias("lang"),
+            "grouping_level",
+            "n_docs",
+            "n_words",
+            "n_chars_total",
+            "avg_chars",
+        )
+    )
