@@ -210,6 +210,24 @@ def materialize_inverted_index(
     cost.  Serving (:func:`bm25_topk_from_index`) then reproduces
     :func:`docs_bm25_topk` bit-for-bit (pinned by test) without ever
     scanning a document."""
+    postings, dictionary, st = _index_relations(docs, n_buckets)
+    postings.write.mode(mode).partitionBy("bucket").parquet(
+        f"{out_dir}/postings"
+    )
+    dictionary.write.mode(mode).partitionBy("bucket").parquet(
+        f"{out_dir}/dictionary"
+    )
+    st.write.mode(mode).parquet(f"{out_dir}/stats")
+
+
+def _index_relations(
+    docs: DataFrame, n_buckets: int = _INDEX_BUCKETS
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The three additive index relations for one document batch:
+    postings (word, doc_id, tf, dl, bucket), dictionary partials
+    (word, df, bucket), statistics (n_docs, sum_dl) — shared by the
+    batch materializer and the streaming ingest so the index layout
+    has exactly one definition."""
     bucket = F.pmod(F.xxhash64("word"), F.lit(n_buckets)).cast("int")
     d = docs.select(
         "doc_id", F.size(F.split(F.col("text"), " ")).cast("bigint").alias("dl")
@@ -222,22 +240,76 @@ def materialize_inverted_index(
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
     )
     postings = wc.join(d, "doc_id").withColumn("bucket", bucket)
-    postings.write.mode(mode).partitionBy("bucket").parquet(
-        f"{out_dir}/postings"
-    )
     dictionary = (
         wc.groupBy("word")
         .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
         .withColumn("bucket", bucket)
     )
-    dictionary.write.mode(mode).partitionBy("bucket").parquet(
-        f"{out_dir}/dictionary"
-    )
     st = d.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("dl").cast("bigint").alias("sum_dl"),
     )
-    st.write.mode(mode).parquet(f"{out_dir}/stats")
+    return postings, dictionary, st
+
+
+def index_ingest_batch(
+    spark: SparkSession,
+    batch_docs: DataFrame,
+    index_dir: str,
+    batch_id: int,
+    n_buckets: int = _INDEX_BUCKETS,
+) -> None:
+    """One replay-idempotent search-index ingest cycle (the inverted-
+    index twin of ``streaming.ingest.dedup_ingest_batch``): the batch's
+    postings, dictionary partials, and statistics each overwrite ONLY
+    their own ``batch_id=N`` partition via dynamic partition overwrite,
+    so a foreachBatch replay after a partial failure rewrites the same
+    partitions instead of double-appending.  At-least-once reprocessing
+    + idempotent per-partition output = exactly-once index state.
+    Serving (:func:`bm25_topk_from_index`) is already additive across
+    write batches, and its bucket pruning composes with the batch_id
+    partitioning (every batch's other buckets are still skipped)."""
+    postings, dictionary, st = _index_relations(
+        batch_docs.select("doc_id", "text"), n_buckets
+    )
+    for df, sub, parts in (
+        (postings, "postings", ["batch_id", "bucket"]),
+        (dictionary, "dictionary", ["batch_id", "bucket"]),
+        (st, "stats", ["batch_id"]),
+    ):
+        (
+            df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*parts)
+            .parquet(f"{index_dir}/{sub}")
+        )
+
+
+def index_ingest_stream(
+    docs_stream: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+    n_buckets: int = _INDEX_BUCKETS,
+):
+    """Continuous search-index ingest: every arriving micro-batch of
+    documents lands in the persisted inverted index through the
+    idempotent batch cycle.  AvailableNow drains a backlog
+    deterministically (tests); ProcessingTime makes it the continuous
+    production loop — nothing else changes."""
+    spark = docs_stream.sparkSession
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        index_ingest_batch(spark, batch_df, index_dir, batch_id, n_buckets)
+
+    return (
+        docs_stream.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
 
 
 def _term_buckets(

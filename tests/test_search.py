@@ -252,3 +252,59 @@ def test_rbo_matches_python_recompute_from_legs(spark):
     rows = retrieval_rank_overlap(m).collect()
     got = {r["query_id"]: (r["n_overlap"], r["rbo"]) for r in rows}
     assert got == expect
+
+
+def test_index_ingest_stream_serves_like_full_rebuild(spark, tmp_path):
+    """Documents streamed in three micro-batches through the
+    foreachBatch index loop must serve BM25 bit-identically to a full
+    one-shot rebuild, and a replayed batch must leave the index
+    unchanged (dynamic-partition-overwrite idempotence)."""
+    import os
+
+    from hbase_tools_spark.llm.search import (
+        index_ingest_batch,
+        index_ingest_stream,
+    )
+
+    m = load_model(spark, SF_DIR)
+    src = str(tmp_path / "docs_in")
+    os.makedirs(src)
+    for i in range(3):
+        (
+            m.documents.filter(F.col("doc_id") % 3 == i)
+            .select("doc_id", "text")
+            .coalesce(1)
+            .write.parquet(os.path.join(src, f"arrival-{i}.parquet"))
+        )
+    idx = str(tmp_path / "stream_idx")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*.parquet")
+    )
+    q = index_ingest_stream(stream, idx, str(tmp_path / "ckpt"))
+    q.awaitTermination()
+    assert len(q.recentProgress) >= 3
+
+    full_idx = str(tmp_path / "full_idx")
+    materialize_inverted_index(m.documents, full_idx)
+    terms = _query_terms(spark)
+    key = lambda r: (r["doc_id"], r["n_terms"], r["score"], r["rank"])
+    from_stream = sorted(map(key, bm25_topk_from_index(spark, idx, terms).collect()))
+    from_full = sorted(map(key, bm25_topk_from_index(spark, full_idx, terms).collect()))
+    assert from_stream == from_full
+
+    # replay the last batch: same batch_id partitions overwritten, not duplicated
+    last_bid = (
+        spark.read.parquet(f"{idx}/postings")
+        .agg(F.max("batch_id"))
+        .collect()[0][0]
+    )
+    last = m.documents.filter(F.col("doc_id") % 3 == last_bid % 3).select(
+        "doc_id", "text"
+    )
+    index_ingest_batch(spark, last, idx, last_bid)
+    replayed = sorted(map(key, bm25_topk_from_index(spark, idx, terms).collect()))
+    assert replayed == from_full
+    n_postings = spark.read.parquet(f"{idx}/postings").count()
+    assert n_postings == spark.read.parquet(f"{full_idx}/postings").count()
