@@ -195,3 +195,23 @@ def test_window_dedup_has_no_window_key_join(spark):
     assert "SortMergeJoin" not in plan
     # exactly one join operator: the doc-keyed one
     assert plan.count("Join") == 1, "corpus-keyed re-association join returned"
+
+
+def test_curriculum_order_single_exchange_and_pruned_scan(spark):
+    """docs_curriculum_order's one shuffle is the (band, shard) hash
+    exchange its window needs — the epoch-shuffle discipline — and the
+    documents scan prunes to the consumed columns."""
+    plan = _plan(spark, "docs_curriculum_order")
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:1500]
+    read = plan.split("ReadSchema", 1)[1][:300]
+    assert "lang" not in read and "source" not in read
+
+
+def test_bm25_topk_is_take_ordered_not_global_sort(spark):
+    """The BM25 top-k must plan as TakeOrderedAndProject (bounded
+    per-partition heaps) — a global Sort before the limit would
+    materialize a corpus-wide order at 100 TB."""
+    plan = _plan(spark, "docs_bm25_topk")
+    assert "TakeOrderedAndProject" in plan
+    read = plan.split("ReadSchema", 1)[1][:300]
+    assert "lang" not in read and "n_chars" not in read
