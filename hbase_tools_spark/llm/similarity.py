@@ -1944,7 +1944,10 @@ def ann_recall_at_k(m: Model) -> DataFrame:
     (n_probes × k)-row results — the expensive part is producing them
     (each leg keeps its own certified plan); the recall join itself is
     a broadcast-sized set intersection."""
-    exact = embedding_topk(m).select("query_id", "vec_id")
+    # the ground truth feeds one join per method — materialize it once
+    exact = embedding_topk(m).select("query_id", "vec_id").localCheckpoint(
+        eager=False
+    )
     legs = None
     for method, fn in (("lsh", embedding_lsh_topk), ("ivf", embedding_ivf_topk)):
         a = fn(m).select(
