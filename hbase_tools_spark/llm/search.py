@@ -214,7 +214,7 @@ def materialize_inverted_index(
     cost.  Serving (:func:`bm25_topk_from_index`) then reproduces
     :func:`docs_bm25_topk` bit-for-bit (pinned by test) without ever
     scanning a document."""
-    postings, dictionary, st = _index_relations(docs, n_buckets)
+    postings, dictionary, st, forward = _index_relations(docs, n_buckets)
     postings.write.mode(mode).partitionBy("bucket").parquet(
         f"{out_dir}/postings"
     )
@@ -222,16 +222,22 @@ def materialize_inverted_index(
         f"{out_dir}/dictionary"
     )
     st.write.mode(mode).parquet(f"{out_dir}/stats")
+    forward.write.mode(mode).partitionBy("dbucket").parquet(
+        f"{out_dir}/forward"
+    )
 
 
 def _index_relations(
     docs: DataFrame, n_buckets: int = _INDEX_BUCKETS
-) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """The three additive index relations for one document batch:
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """The four additive index relations for one document batch:
     postings (word, doc_id, tf, dl, bucket), dictionary partials
-    (word, df, bucket), statistics (n_docs, sum_dl) — shared by the
-    batch materializer and the streaming ingest so the index layout
-    has exactly one definition."""
+    (word, df, bucket), statistics (n_docs, sum_dl), and the FORWARD
+    index (doc_id, word, dbucket) — the doc-major mirror a serving
+    layer reads to recover a probe document's terms without scanning
+    text (real search stacks keep forward + inverted side by side).
+    Shared by the batch materializer and the streaming ingest so the
+    index layout has exactly one definition."""
     bucket = F.pmod(F.xxhash64("word"), F.lit(n_buckets)).cast("int")
     d = docs.select(
         "doc_id", F.size(F.split(F.col("text"), " ")).cast("bigint").alias("dl")
@@ -253,7 +259,12 @@ def _index_relations(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("dl").cast("bigint").alias("sum_dl"),
     )
-    return postings, dictionary, st
+    forward = wc.select(
+        "doc_id",
+        "word",
+        F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int").alias("dbucket"),
+    )
+    return postings, dictionary, st, forward
 
 
 def index_ingest_batch(
@@ -273,13 +284,14 @@ def index_ingest_batch(
     Serving (:func:`bm25_topk_from_index`) is already additive across
     write batches, and its bucket pruning composes with the batch_id
     partitioning (every batch's other buckets are still skipped)."""
-    postings, dictionary, st = _index_relations(
+    postings, dictionary, st, forward = _index_relations(
         batch_docs.select("doc_id", "text"), n_buckets
     )
     for df, sub, parts in (
         (postings, "postings", ["batch_id", "bucket"]),
         (dictionary, "dictionary", ["batch_id", "bucket"]),
         (st, "stats", ["batch_id"]),
+        (forward, "forward", ["batch_id", "dbucket"]),
     ):
         (
             df.withColumn("batch_id", F.lit(batch_id))
@@ -687,3 +699,130 @@ def retrieval_rank_overlap(m: Model) -> DataFrame:
         .cast("double")
         .alias("rbo"),
     )
+
+
+def hybrid_rrf_from_index(
+    spark: SparkSession,
+    index_dir: str,
+    embeddings: DataFrame,
+    k: int = _HYBRID_K,
+    n_buckets: int = _INDEX_BUCKETS,
+) -> DataFrame:
+    """Serve the hybrid RRF search from the PERSISTED search stack: the
+    probe documents' terms come from the forward index (doc-bucket
+    pruned read — the text is never rescanned), the lexical leg scores
+    against bucket-pruned postings/dictionary reads, the semantic leg
+    is the exact cosine over the embeddings relation, and the fusion is
+    the same 1/(60+rank) contract.  Reproduces
+    :func:`hybrid_rrf_search` bit-for-bit (pinned by test) — the
+    query-many production posture where per-query cost is the probes'
+    postings, not the corpus.
+
+    The probe vocabulary (a few hundred words for a handful of probes)
+    is collected once to drive the static bucket pruning — probe-count
+    bounded, never corpus-bounded."""
+    pb = _term_buckets_for_ids(spark, list(range(_SIM_NQUERIES)), n_buckets)
+    fwd = (
+        spark.read.parquet(f"{index_dir}/forward")
+        .where(
+            F.col("dbucket").isin(pb) & (F.col("doc_id") < _SIM_NQUERIES)
+        )
+        .select(F.col("doc_id").alias("query_id"), "word")
+        .distinct()
+        .localCheckpoint(eager=True)  # tiny; drives two pruned reads
+    )
+    terms = [r["word"] for r in fwd.select("word").distinct().collect()]
+    buckets = _term_buckets(spark, terms, n_buckets)
+    bfilter = F.col("bucket").isin(buckets) & F.col("word").isin(terms)
+    postings = spark.read.parquet(f"{index_dir}/postings").where(bfilter)
+    dictionary = (
+        spark.read.parquet(f"{index_dir}/dictionary")
+        .where(bfilter)
+        .groupBy("word")
+        .agg(F.sum("df").cast("bigint").alias("df"))
+    )
+    st = spark.read.parquet(f"{index_dir}/stats").agg(
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.expr("sum(sum_dl) * 1.0e0 / sum(n_docs)").alias("avgdl"),
+    )
+    terms_rel = (
+        postings.join(F.broadcast(fwd), "word")
+        .where(F.col("doc_id") != F.col("query_id"))
+        .join(F.broadcast(dictionary), "word")
+        .crossJoin(F.broadcast(st))
+        .select(
+            "query_id",
+            "doc_id",
+            F.col("tf"),
+            "dl",
+            "avgdl",
+            pln(F.expr(_BM25_IDF_RATIO)).alias("idf"),
+        )
+    )
+    scored = terms_rel.groupBy("query_id", "doc_id").agg(
+        F.sum(F.expr(_BM25_TERM_SCORE).cast("decimal(28,12)")).alias("s")
+    )
+    lex = (
+        scored.withColumn(
+            "lex_rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.desc("s"), "doc_id")
+            ).cast("bigint"),
+        )
+        .where(F.col("lex_rank") <= k)
+        .select("query_id", "doc_id", "lex_rank")
+    )
+    from .similarity import _dot, _norm
+
+    q = embeddings.filter(F.col("vec_id") < _SIM_NQUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    pairs = F.broadcast(q).crossJoin(
+        embeddings.select("vec_id", F.col("embedding").alias("ce"))
+    ).filter(F.col("query_id") != F.col("vec_id"))
+    cos = _dot(F.col("qe"), F.col("ce")) / (_norm(F.col("qe")) * _norm(F.col("ce")))
+    sem = (
+        pairs.withColumn("cos_raw", cos)
+        .withColumn(
+            "sem_rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("cos_raw"), F.asc("vec_id")
+                )
+            ).cast("bigint"),
+        )
+        .where(F.col("sem_rank") <= k)
+        .select("query_id", F.col("vec_id").alias("doc_id"), "sem_rank")
+    )
+    fused = lex.join(sem, ["query_id", "doc_id"], "full_outer").withColumn(
+        "rrf", F.expr(_RRF_SCORE)
+    )
+    return (
+        fused.withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.desc("rrf"), "doc_id")
+            ).cast("bigint"),
+        )
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "doc_id",
+            "lex_rank",
+            "sem_rank",
+            fround(F.col("rrf"), 6).alias("rrf_score"),
+            "rank",
+        )
+    )
+
+
+def _term_buckets_for_ids(
+    spark: SparkSession, ids: list[int], n_buckets: int
+) -> list[int]:
+    """Doc-bucket partitions for the probe ids (engine-hash, same
+    discipline as :func:`_term_buckets`)."""
+    tdf = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    rows = tdf.select(
+        F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int").alias("b")
+    ).collect()
+    return sorted({r["b"] for r in rows})

@@ -308,3 +308,33 @@ def test_index_ingest_stream_serves_like_full_rebuild(spark, tmp_path):
     assert replayed == from_full
     n_postings = spark.read.parquet(f"{idx}/postings").count()
     assert n_postings == spark.read.parquet(f"{full_idx}/postings").count()
+
+
+def test_hybrid_served_from_index_equals_direct(spark, tmp_path):
+    """The fully-served hybrid (probe terms from the forward index,
+    lexical leg from pruned postings/dictionary reads) reproduces the
+    direct hybrid_rrf_search bit-for-bit, and the forward read prunes
+    on the probes' doc buckets."""
+    from hbase_tools_spark.llm.search import (
+        hybrid_rrf_from_index,
+        hybrid_rrf_search,
+    )
+
+    m = load_model(spark, SF_DIR)
+    idx = str(tmp_path / "stack_idx")
+    materialize_inverted_index(m.documents, idx)
+    served = hybrid_rrf_from_index(spark, idx, m.embeddings)
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    pruned = [
+        p
+        for p in plan.split("PartitionFilters: [")[1:]
+        if "bucket" in p[:160] and ("INSET" in p[:160] or " IN " in p[:160])
+    ]
+    assert len(pruned) >= 2, plan[:2000]
+    key = lambda r: (
+        r["query_id"], r["doc_id"], r["lex_rank"], r["sem_rank"],
+        r["rrf_score"], r["rank"],
+    )
+    direct = sorted(map(key, hybrid_rrf_search(m).collect()))
+    got = sorted(map(key, served.collect()))
+    assert got == direct
