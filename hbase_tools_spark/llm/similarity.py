@@ -1966,3 +1966,134 @@ def ann_recall_at_k(m: Model) -> DataFrame:
         F.count("hit").cast("bigint").alias("n_hit"),
         fround(F.expr("count(hit) * 1.0e0 / count(*)"), 6).alias("recall"),
     )
+
+
+# ---------------------------------------------------------------------------
+# nDCG@k of the approximate indexes — the graded-relevance companion to
+# recall@k (hit counting) and RBO (rank agreement): position-discounted
+# gain, with relevance graded by the exact ranking itself.
+# ---------------------------------------------------------------------------
+
+
+def _ndcg_weights() -> list[tuple[int, str]]:
+    """Discount weights 1/log2(r+1) for r = 1..k, quantized to exact
+    12-dp decimals shipped as identical literals to both engines (the
+    RBO convention — no log2() runs at query time in either engine)."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q12 = Decimal("1e-12")
+    return [
+        (r, str(Decimal(1.0 / math.log2(r + 1)).quantize(q12, ROUND_HALF_UP)))
+        for r in range(1, _TOPK + 1)
+    ]
+
+
+def _ideal_dcg() -> str:
+    """IDCG@k for the graded-relevance scale rel(r) = k+1-r over the
+    exact top-k, as one exact-decimal literal (constant across probes)."""
+    from decimal import Decimal
+
+    return str(
+        sum(Decimal(wt) * (_TOPK + 1 - r) for r, wt in _ndcg_weights())
+    )
+
+
+_NDCG_VALUES = ", ".join(f"({r}, {wt})" for r, wt in _ndcg_weights())
+#: Shared gain fragment over (erank, wt): relevance k+1-erank for docs
+#: present in the exact top-k, 0 otherwise, discounted by the rank
+#: weight — per-term DECIMAL so the sum is order-independent.
+_NDCG_TERM = (
+    f"CAST((CASE WHEN erank IS NULL THEN 0 ELSE {_TOPK + 1} - erank END)"
+    " * wt AS DECIMAL(20,12))"
+)
+
+
+@query(
+    "retrieval_ndcg",
+    oracle=f"""
+WITH exact AS ({_EXACT_TOPK_SQL}),
+lshq AS ({_LSH_TOPK_SQL}){_IVF_CTES},
+ivfq AS ({_IVF_TOPK_SELECT}),
+w(r, wt) AS (VALUES {_NDCG_VALUES}),
+legs AS (
+  SELECT 'lsh' AS method, a.query_id, a.rank, e.rank AS erank
+  FROM lshq a LEFT JOIN exact e
+    ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+  UNION ALL
+  SELECT 'ivf' AS method, a.query_id, a.rank, e.rank AS erank
+  FROM ivfq a LEFT JOIN exact e
+    ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+),
+agg AS (
+  SELECT method, query_id, sum({_NDCG_TERM}) AS dcg
+  FROM legs JOIN w ON w.r = legs.rank
+  GROUP BY method, query_id
+)
+SELECT g.query_id, g.method,
+       CAST(round(coalesce(a.dcg, 0), 6) AS DOUBLE) AS dcg,
+       {fround_sql(f'CAST(coalesce(a.dcg, 0) AS DOUBLE) / {_ideal_dcg()}', 6)} AS ndcg
+FROM (SELECT vec_id AS query_id, m.method
+      FROM embeddings CROSS JOIN (SELECT unnest(['lsh', 'ivf']) AS method) m
+      WHERE vec_id < {_NQUERIES}) g
+LEFT JOIN agg a ON a.query_id = g.query_id AND a.method = g.method
+""",
+    views=[],
+)
+def retrieval_ndcg(m: Model) -> DataFrame:
+    """nDCG@{10} of the sign-LSH and IVF rankings against the exact
+    cosine ranking, per probe and method — graded relevance (the exact
+    rank-r neighbor is worth k+1-r) discounted by 1/log2(rank+1), so a
+    method that finds the right neighbors but shuffles their order
+    scores below one that preserves it (the signal recall@k cannot
+    see).  Discount weights and the constant IDCG ship as identical
+    exact-decimal literals to both engines — no log2() at query time.
+
+    Scale shape: same as the recall scoreboard — the legs carry their
+    certified plans; the metric is a k-row join per probe, a 10-row
+    broadcast weight lookup, and a probe-keyed aggregate."""
+    from decimal import Decimal
+
+    exact = embedding_topk(m).select(
+        "query_id",
+        F.col("vec_id").alias("doc_id"),
+        F.col("rank").cast("bigint").alias("erank"),
+    ).localCheckpoint(eager=False)
+    w = m.spark.createDataFrame(
+        [(r, Decimal(wt)) for r, wt in _ndcg_weights()],
+        "r int, wt decimal(14,12)",
+    )
+    legs = None
+    for method, fn in (("lsh", embedding_lsh_topk), ("ivf", embedding_ivf_topk)):
+        a = fn(m).select(
+            "query_id",
+            F.col("vec_id").alias("doc_id"),
+            F.col("rank").cast("int").alias("r"),
+        )
+        j = (
+            a.join(exact, ["query_id", "doc_id"], "left")
+            .join(F.broadcast(w), "r")
+            .select(F.lit(method).alias("method"), "query_id", "erank", "wt")
+        )
+        legs = j if legs is None else legs.unionAll(j)
+    agg = legs.groupBy("method", "query_id").agg(
+        F.sum(F.expr(_NDCG_TERM)).alias("dcg")
+    )
+    grid = (
+        m.embeddings.where(F.col("vec_id") < _NQUERIES)
+        .select(F.col("vec_id").alias("query_id"))
+        .crossJoin(
+            F.broadcast(
+                m.spark.createDataFrame(
+                    [("lsh",), ("ivf",)], "method string"
+                )
+            )
+        )
+    )
+    dcg0 = F.coalesce(F.col("dcg"), F.lit(0).cast("decimal(20,12)"))
+    return grid.join(agg, ["method", "query_id"], "left").select(
+        "query_id",
+        "method",
+        F.round(dcg0, 6).cast("double").alias("dcg"),
+        fround(dcg0.cast("double") / F.lit(float(_ideal_dcg())), 6).alias("ndcg"),
+    )

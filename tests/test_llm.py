@@ -1173,3 +1173,45 @@ def test_ann_recall_scoreboard_consistent_with_legs(spark):
         assert r["n_exact"] == len(exact[r["query_id"]])
         assert r["n_hit"] == hits[(r["method"], r["query_id"])]
         assert 0.0 <= r["recall"] <= 1.0 and r["n_hit"] <= r["n_exact"]
+
+
+def test_retrieval_ndcg_matches_python_recompute(spark):
+    """nDCG recomputed in Python (exact-decimal weights, graded
+    relevance from the exact ranking) reproduces the query, including
+    the zero rows of probes whose approximate leg found nothing."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import hbase_tools_spark.llm  # noqa: F401
+    from hbase_tools_spark.catalog import load_model
+    from hbase_tools_spark.registry import QUERIES
+
+    m = load_model(spark, SF_DIR)
+    K = 10
+    q12 = Decimal("1e-12")
+    w = {
+        r: Decimal(1.0 / math.log2(r + 1)).quantize(q12, ROUND_HALF_UP)
+        for r in range(1, K + 1)
+    }
+    idcg = float(sum(w[r] * (K + 1 - r) for r in w))
+    exact = {
+        (r["query_id"], r["vec_id"]): r["rank"]
+        for r in QUERIES["embedding_topk"].fn(m).collect()
+    }
+    expect = {}
+    for method in ("lsh", "ivf"):
+        approx = QUERIES[f"embedding_{method}_topk"].fn(m).collect()
+        dcg = {q: Decimal(0) for q in range(5)}
+        for r in approx:
+            erank = exact.get((r["query_id"], r["vec_id"]))
+            rel = 0 if erank is None else K + 1 - erank
+            dcg[r["query_id"]] += rel * w[r["rank"]]
+        for q in range(5):
+            d6 = float(dcg[q].quantize(Decimal("1e-6"), ROUND_HALF_UP))
+            expect[(q, method)] = (d6, math.floor(float(dcg[q]) / idcg * 1e6 + 0.5) / 1e6)
+    rows = QUERIES["retrieval_ndcg"].fn(m).collect()
+    got = {(r["query_id"], r["method"]): (r["dcg"], r["ndcg"]) for r in rows}
+    assert set(got) == set(expect)
+    for k in got:
+        assert got[k][0] == expect[k][0], k
+        assert abs(got[k][1] - expect[k][1]) < 2e-6, k

@@ -144,6 +144,7 @@ def test_no_unjustified_cartesian_or_nested_loop_join(spark):
         # broadcast side is the fixed probe set / literal range grid
         "embedding_topk", "range_lookup",
         "ann_recall_at_k",  # contains embedding_topk's fixed-probe-set leg
+        "retrieval_ndcg",  # same legs; plus the 2-row method-grid broadcast
         "embedding_int8_topk",  # fixed probe set, quantized + exact rerank
         "embedding_pq_topk",  # 5-row probe relation with driver-built ADC luts
         "docs_length_percentile_filter",  # p5/p95 thresholds: broadcast 1-row agg
