@@ -111,6 +111,21 @@ TOOL_QUERIES: dict[str, list[str]] = {
         "events_hll_cardinality", "events_kmv_overlap",
         "events_cms_heavy_hitters", "docs_length_quantile_sketch",
     ],
+    # Retrieval over the corpus: BM25 + hybrid fusion + quality
+    # scoreboards (the persisted inverted-index serving paths live in
+    # llm/search.py: materialize_inverted_index / bm25_topk_from_index
+    # / hybrid_rrf_from_index / index_ingest_stream).
+    "search": [
+        "docs_bm25_topk", "hybrid_rrf_search", "ann_recall_at_k",
+        "retrieval_rank_overlap", "retrieval_ndcg",
+    ],
+    # Corpus operations: snapshot churn, profiling, training order,
+    # OLAP rollup, tokenizer application.
+    "corpus_ops": [
+        "corpus_version_diff", "docs_table_profile",
+        "docs_curriculum_order", "corpus_rollup_stats",
+        "bpe_merge_steps", "bpe_encode_tokens", "docs_epoch_shuffle",
+    ],
 }
 
 LIFECYCLE_TOOLS = {"table_copy", "table_replace"}
