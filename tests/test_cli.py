@@ -31,7 +31,8 @@ def test_all_15_reference_tools_covered():
     assert len(_REFERENCE_TOOLS) == 15
     extras = set(TOOL_QUERIES) - _REFERENCE_TOOLS
     assert all(
-        t.startswith("llm_") or t in ("events_analyzer", "sketches")
+        t.startswith("llm_")
+        or t in ("events_analyzer", "sketches", "search", "corpus_ops")
         for t in extras
     )
 
