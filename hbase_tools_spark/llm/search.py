@@ -268,7 +268,6 @@ def _index_relations(
 
 
 def index_ingest_batch(
-    spark: SparkSession,
     batch_docs: DataFrame,
     index_dir: str,
     batch_id: int,
@@ -313,12 +312,11 @@ def index_ingest_stream(
     idempotent batch cycle.  AvailableNow drains a backlog
     deterministically (tests); ProcessingTime makes it the continuous
     production loop — nothing else changes."""
-    spark = docs_stream.sparkSession
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        index_ingest_batch(spark, batch_df, index_dir, batch_id, n_buckets)
+        index_ingest_batch(batch_df, index_dir, batch_id, n_buckets)
 
     return (
         docs_stream.writeStream.foreachBatch(on_batch)
@@ -412,8 +410,8 @@ _HYBRID_K = 10       # depth of each leg and of the fused output
 _RRF_C = 60          # the RRF damping constant (the paper's default)
 #: One shared fragment: a leg contributes 1/(C + rank), absent legs 0.
 _RRF_SCORE = (
-    "coalesce(1.0e0 / (60 + lex_rank), 0.0e0)"
-    " + coalesce(1.0e0 / (60 + sem_rank), 0.0e0)"
+    f"coalesce(1.0e0 / ({_RRF_C} + lex_rank), 0.0e0)"
+    f" + coalesce(1.0e0 / ({_RRF_C} + sem_rank), 0.0e0)"
 )
 
 #: Lexical leg: BM25 "more-like-this" — each probe DOCUMENT's distinct
@@ -646,9 +644,7 @@ SELECT q.query_id,
 FROM (SELECT vec_id AS query_id FROM embeddings
       WHERE vec_id < {_SIM_NQUERIES}) q
 LEFT JOIN agg a ON a.query_id = q.query_id
-""".format(
-        lex="{lex}", sem="{sem}"
-    ).format(lex=_mlt_lex_oracle(), sem=_EXACT_TOPK_SQL),
+""".format(lex=_mlt_lex_oracle(), sem=_EXACT_TOPK_SQL),
     views=[],
 )
 def retrieval_rank_overlap(m: Model) -> DataFrame:
@@ -705,7 +701,6 @@ def hybrid_rrf_from_index(
     spark: SparkSession,
     index_dir: str,
     embeddings: DataFrame,
-    k: int = _HYBRID_K,
     n_buckets: int = _INDEX_BUCKETS,
 ) -> DataFrame:
     """Serve the hybrid RRF search from the PERSISTED search stack: the
@@ -716,7 +711,9 @@ def hybrid_rrf_from_index(
     the same 1/(60+rank) contract.  Reproduces
     :func:`hybrid_rrf_search` bit-for-bit (pinned by test) — the
     query-many production posture where per-query cost is the probes'
-    postings, not the corpus.
+    postings, not the corpus.  The leg and output depth is FIXED at the
+    contract's k={10} — a caller-chosen depth would silently break the
+    bit-equality (the direct query's legs are defined at that depth).
 
     The probe vocabulary (a few hundred words for a handful of probes)
     is collected once to drive the static bucket pruning — probe-count
@@ -769,30 +766,15 @@ def hybrid_rrf_from_index(
                 Window.partitionBy("query_id").orderBy(F.desc("s"), "doc_id")
             ).cast("bigint"),
         )
-        .where(F.col("lex_rank") <= k)
+        .where(F.col("lex_rank") <= _HYBRID_K)
         .select("query_id", "doc_id", "lex_rank")
     )
-    from .similarity import _dot, _norm
+    from .similarity import exact_cosine_ranks
 
-    q = embeddings.filter(F.col("vec_id") < _SIM_NQUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
-    )
-    pairs = F.broadcast(q).crossJoin(
-        embeddings.select("vec_id", F.col("embedding").alias("ce"))
-    ).filter(F.col("query_id") != F.col("vec_id"))
-    cos = _dot(F.col("qe"), F.col("ce")) / (_norm(F.col("qe")) * _norm(F.col("ce")))
-    sem = (
-        pairs.withColumn("cos_raw", cos)
-        .withColumn(
-            "sem_rank",
-            F.row_number().over(
-                Window.partitionBy("query_id").orderBy(
-                    F.desc("cos_raw"), F.asc("vec_id")
-                )
-            ).cast("bigint"),
-        )
-        .where(F.col("sem_rank") <= k)
-        .select("query_id", F.col("vec_id").alias("doc_id"), "sem_rank")
+    sem = exact_cosine_ranks(embeddings, _HYBRID_K).select(
+        "query_id",
+        F.col("vec_id").alias("doc_id"),
+        F.col("rank").alias("sem_rank"),
     )
     fused = lex.join(sem, ["query_id", "doc_id"], "full_outer").withColumn(
         "rrf", F.expr(_RRF_SCORE)
@@ -804,7 +786,7 @@ def hybrid_rrf_from_index(
                 Window.partitionBy("query_id").orderBy(F.desc("rrf"), "doc_id")
             ).cast("bigint"),
         )
-        .where(F.col("rank") <= k)
+        .where(F.col("rank") <= _HYBRID_K)
         .select(
             "query_id",
             "doc_id",

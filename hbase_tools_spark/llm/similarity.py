@@ -526,6 +526,36 @@ def embedding_ivf_topk(m: Model) -> DataFrame:
     return _ivf_candidate_topk(emb, cent_rows, probes)
 
 
+def exact_cosine_ranks(emb: DataFrame, k: int = _TOPK) -> DataFrame:
+    """(query_id, vec_id, rank <= k) of the exact cosine search over an
+    embeddings relation — THE semantic-leg definition (same cosine,
+    ordering, and tie-break as ``embedding_topk``), shared with the
+    served hybrid in llm/search.py so the leg cannot drift from the
+    certified query."""
+    q = emb.filter(F.col("vec_id") < _NQUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    pairs = (
+        F.broadcast(q)
+        .crossJoin(emb.select("vec_id", F.col("embedding").alias("ce")))
+        .filter(F.col("query_id") != F.col("vec_id"))
+    )
+    cos = _dot(F.col("qe"), F.col("ce")) / (_norm(F.col("qe")) * _norm(F.col("ce")))
+    return (
+        pairs.withColumn("cos_raw", cos)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("cos_raw"), F.asc("vec_id")
+                )
+            ).cast("bigint"),
+        )
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank")
+    )
+
+
 def _label_centroids(emb: DataFrame) -> DataFrame:
     """Per-label exact-decimal mean embeddings: (label, c array<double>)
     — one narrow posexplode + two-level groupBy over 64·C cells."""

@@ -650,7 +650,15 @@ def _bpe_chain_sql(carry_word: bool) -> str:
     LR-train / Markov-chain convention: per-round CTEs, deterministic
     argmax).  ``carry_word`` threads the original word through the
     vocabulary rewrites (needed by the encode query, ignored by the
-    pair counts either way)."""
+    pair counts either way).
+
+    Each round's argmax unions a SENTINEL candidate (pair ``' '`` —
+    empty left/right symbols, provably unmatched since tokens are
+    never empty — with n=0, below any real pair): without it, a round
+    with NO adjacent pairs left (fully-merged or single-char
+    vocabulary) would produce an empty 1-row relation whose cross join
+    annihilates the whole chain, silently emptying every downstream
+    relation in BOTH engines."""
     wcol = "word, " if carry_word else ""
     sql = f"""
 w AS (
@@ -674,7 +682,9 @@ p{i} AS (
 ),
 m{i} AS (
   SELECT {i} AS step, pair, replace(pair, ' ', '') AS merged, n
-  FROM p{i} ORDER BY n DESC, pair LIMIT 1
+  FROM (SELECT pair, n FROM p{i}
+        UNION ALL SELECT ' ' AS pair, 0 AS n) c
+  ORDER BY n DESC, pair LIMIT 1
 ),
 v{i + 1} AS (
   SELECT {wcol}{_BPE_FOLD_DUCK.strip()} AS s, c
@@ -739,6 +749,14 @@ def _bpe_chain(m: Model) -> tuple[list[DataFrame], DataFrame]:
     )
     merges = []
     cur = vocab
+    # Sentinel argmax candidate (pair " " = empty symbols, unmatched by
+    # the fold since tokens are never empty; n=0 loses to any real
+    # pair): keeps each round's 1-row argmax NON-EMPTY even when no
+    # adjacent pairs remain — an empty best would cross-join the whole
+    # chain away.  Mirrored verbatim in the oracle chain.
+    sentinel = m.documents.sparkSession.createDataFrame(
+        [(" ", 0)], "pair string, n bigint"
+    )
     for step in range(1, _BPE_STEPS + 1):
         toks = cur.select(F.split("s", " ").alias("toks"), "c").where(
             F.size("toks") >= 2
@@ -749,7 +767,8 @@ def _bpe_chain(m: Model) -> tuple[list[DataFrame], DataFrame]:
             .agg(F.sum("c").cast("bigint").alias("n"))
         )
         best = (
-            counts.orderBy(F.desc("n"), "pair")
+            counts.unionAll(sentinel)
+            .orderBy(F.desc("n"), "pair")
             .limit(1)
             .select(
                 F.lit(step).cast("bigint").alias("step"),

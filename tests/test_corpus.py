@@ -433,3 +433,35 @@ def test_bpe_encode_tokens_matches_python_reference(model):
         assert r["total_tokens"] == exp_tokens[s]
         assert r["total_chars"] == exp_chars[s]
         assert r["total_words"] <= r["total_tokens"] <= r["total_chars"]
+
+
+def test_bpe_chain_survives_dry_rounds(spark):
+    """A vocabulary that exhausts its merges before _BPE_STEPS rounds
+    must NOT annihilate the chain: dry rounds emit the sentinel no-op
+    merge (pair ' ', n=0) and the encode side still counts every word."""
+    from hbase_tools_spark.catalog import Model
+    from hbase_tools_spark.llm.text import bpe_encode_tokens, bpe_merge_steps
+
+    docs = spark.createDataFrame(
+        [(0, "ab ab a b", "en", "s0", 9), (1, "a b a", "en", "s0", 5)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    try:
+        docs.createOrReplaceTempView("documents")
+        m = Model(spark, "/tmp/unused")
+        merges = sorted(bpe_merge_steps(m).collect(), key=lambda r: r["step"])
+        assert len(merges) == 4
+        # round 1 merges 'a b' -> 'ab'; afterwards every word is a
+        # single symbol, so rounds 2-4 are dry sentinels
+        assert merges[0]["pair"] == "a b" and merges[0]["merged"] == "ab"
+        for r in merges[1:]:
+            assert r["pair"] == " " and r["merged"] == "" and r["n"] == 0
+        enc = {r["source"]: r for r in bpe_encode_tokens(m).collect()}
+        assert enc["s0"]["total_words"] == 7
+        # every word encodes to one symbol after the single real merge
+        assert enc["s0"]["total_tokens"] == 7
+        assert enc["s0"]["total_chars"] == 9
+    finally:
+        # the fixture view was overwritten — force re-registration
+        spark.conf.set("spark.hbase_tools.model_dir", "")
+        load_model(spark, SF_DIR)

@@ -1215,3 +1215,24 @@ def test_retrieval_ndcg_matches_python_recompute(spark):
     for k in got:
         assert got[k][0] == expect[k][0], k
         assert abs(got[k][1] - expect[k][1]) < 2e-6, k
+
+
+def test_exact_cosine_ranks_helper_pins_to_embedding_topk(spark):
+    """The shared semantic-leg helper must produce exactly
+    embedding_topk's (query_id, vec_id, rank) triples — the one-
+    definition guarantee the served hybrid relies on."""
+    import hbase_tools_spark.llm  # noqa: F401
+    from hbase_tools_spark.catalog import load_model
+    from hbase_tools_spark.llm.similarity import exact_cosine_ranks
+    from hbase_tools_spark.registry import QUERIES
+
+    m = load_model(spark, SF_DIR)
+    helper = {
+        (r["query_id"], r["vec_id"], r["rank"])
+        for r in exact_cosine_ranks(m.embeddings).collect()
+    }
+    query = {
+        (r["query_id"], r["vec_id"], r["rank"])
+        for r in QUERIES["embedding_topk"].fn(m).collect()
+    }
+    assert helper == query and helper

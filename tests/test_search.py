@@ -76,9 +76,11 @@ def test_bm25_index_serving_equals_direct_and_prunes(spark, tmp_path):
 
 
 def test_bm25_index_prune_skips_unrelated_buckets(spark, tmp_path):
-    """A single rare term's serving read touches only its bucket: the
-    scanned postings rows are exactly that term's docs (observable
-    partition pruning, not just a plan string)."""
+    """A single term's serving plan prunes to exactly its ONE hash
+    bucket (the static PartitionFilter names the bucket value —
+    ``DataFrame.inputFiles`` cannot observe pruning, it lists the
+    pre-filter FileIndex), and the served docs are a subset of the
+    term's true postings."""
     m = load_model(spark, SF_DIR)
     idx = str(tmp_path / "inv_index2")
     materialize_inverted_index(m.documents, idx)
@@ -86,6 +88,17 @@ def test_bm25_index_prune_skips_unrelated_buckets(spark, tmp_path):
     served = bm25_topk_from_index(spark, idx, [term], k=5)
     rows = served.collect()
     assert 0 < len(rows) <= 5
+    from hbase_tools_spark.llm.search import _term_buckets
+
+    (b,) = _term_buckets(spark, [term], 64)
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    pruned = [
+        p[:80]
+        for p in plan.split("PartitionFilters: [")[1:]
+        if "bucket" in p[:80]
+    ]
+    assert len(pruned) >= 2, plan[:1500]
+    assert all(f"= {b})" in p for p in pruned), (b, pruned)
     # every served doc really contains the term
     hits = {
         r["doc_id"]
@@ -303,7 +316,7 @@ def test_index_ingest_stream_serves_like_full_rebuild(spark, tmp_path):
     last = m.documents.filter(F.col("doc_id") % 3 == last_bid % 3).select(
         "doc_id", "text"
     )
-    index_ingest_batch(spark, last, idx, last_bid)
+    index_ingest_batch(last, idx, last_bid)
     replayed = sorted(map(key, bm25_topk_from_index(spark, idx, terms).collect()))
     assert replayed == from_full
     n_postings = spark.read.parquet(f"{idx}/postings").count()
