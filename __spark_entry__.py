@@ -69,7 +69,7 @@ _DEBUT_PRIORITY = [
     "docs_bm25_topk", "bpe_encode_tokens", "ann_recall_at_k",
     "hybrid_rrf_search", "corpus_version_diff", "docs_table_profile",
     "docs_curriculum_order", "retrieval_rank_overlap",
-    "corpus_rollup_stats", "retrieval_ndcg",
+    "corpus_rollup_stats", "retrieval_ndcg", "docs_bm25_served",
     "multimodal_png_stats", "multimodal_jpeg_roundtrip",
     "multimodal_gif_stats", "multimodal_wav_pcm_stats",
     "multimodal_wav_tone_detect", "multimodal_mp4_boxes",

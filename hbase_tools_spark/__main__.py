@@ -116,7 +116,7 @@ TOOL_QUERIES: dict[str, list[str]] = {
     # llm/search.py: materialize_inverted_index / bm25_topk_from_index
     # / hybrid_rrf_from_index / index_ingest_stream).
     "search": [
-        "docs_bm25_topk", "hybrid_rrf_search", "ann_recall_at_k",
+        "docs_bm25_topk", "docs_bm25_served", "hybrid_rrf_search", "ann_recall_at_k",
         "retrieval_rank_overlap", "retrieval_ndcg",
     ],
     # Corpus operations: snapshot churn, profiling, training order,

@@ -808,3 +808,69 @@ def _term_buckets_for_ids(
         F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int").alias("b")
     ).collect()
     return sorted({r["b"] for r in rows})
+
+
+# ---------------------------------------------------------------------------
+# Served BM25 as a REGISTERED query — the query-many production twin of
+# docs_bm25_topk (the ccnet `_served` convention: the index artifact is
+# materialized once per process and the measured query cost is
+# serving alone), hash-gated against the SAME oracle.
+# ---------------------------------------------------------------------------
+
+
+def _index_artifact_dir(m: Model) -> str:
+    """Materialize the inverted index ONCE per (process, fixture dir)
+    into a scratch location and memoize the path — in production the
+    index exists before any query runs, so the serving query's measured
+    cost is pruned reads + scoring, never the index build."""
+    import tempfile
+
+    from ..functions.memo import sf_cached
+
+    def build() -> str:
+        import atexit
+        import os
+        import shutil
+
+        base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+        out = tempfile.mkdtemp(prefix="bm25_index_", dir=base)
+        atexit.register(shutil.rmtree, out, ignore_errors=True)
+        materialize_inverted_index(m.documents, out)
+        return out
+
+    return sf_cached(m.sf_dir, "bm25_index_dir", build)
+
+
+def docs_bm25_served(m: Model) -> DataFrame:
+    """BM25 top-{20} SERVED from the persisted inverted index — same
+    output contract (and oracle) as ``docs_bm25_topk``, but the query
+    path is index-only: the query terms re-derive from the POSTINGS
+    relation (occurrence ranks {11}-{13} — identical to the vocabulary
+    ranks since postings tf sums are the word counts), scoring reads
+    only the terms' pruned buckets, and the corpus text is never
+    rescanned (documents is touched only to decorate the k surviving
+    rows with their source)."""
+    idx = _index_artifact_dir(m)
+    occ = (
+        m.spark.read.parquet(f"{idx}/postings")
+        .groupBy("word")
+        .agg(F.sum("tf").alias("n_occ"))
+    )
+    rows = occ.orderBy(F.desc("n_occ"), "word").limit(_QTERM_HI).collect()
+    terms = [r["word"] for r in rows[_QTERM_LO - 1 : _QTERM_HI]]
+    served = bm25_topk_from_index(m.spark, idx, terms)
+    d = m.documents.select("doc_id", "source")
+    return (
+        F.broadcast(served)
+        .join(d, "doc_id")
+        .select("doc_id", "source", "n_terms", "score", "rank")
+    )
+
+
+from ..registry import QUERIES as _Q  # noqa: E402 — reuse the direct oracle
+
+query(
+    "docs_bm25_served",
+    oracle=_Q["docs_bm25_topk"].oracle,
+    views=[],
+)(docs_bm25_served)

@@ -139,6 +139,7 @@ def test_no_unjustified_cartesian_or_nested_loop_join(spark):
         "bpe_merge_steps",  # per-round argmax merge pair: broadcast 1-row LIMIT 1
         "bpe_encode_tokens",  # same training chain: per-round 1-row argmax broadcasts
         "docs_bm25_topk",  # (n_docs, avgdl) statistics: broadcast 1-row agg
+        "docs_bm25_served",  # same 1-row stats broadcast, from the index
         "hybrid_rrf_search",  # same 1-row corpus-stats broadcast in the lexical leg
         "retrieval_rank_overlap",  # same lexical leg; plus the 10-row weight lookup
         # broadcast side is the fixed probe set / literal range grid
