@@ -19,143 +19,154 @@ from hbase_tools_spark.registry import QUERIES
 
 SF0001 = "/root/testdata/sf0.001"
 
-# The driver checks at most ~50 queries per round (time/count budget),
-# in the order this module emits them.  Round-5 priority (VERDICT r4
-# task 2: "zero certificates older than r4"):
-#   (1) the 18 queries whose newest green row is r1/r2-dated,
-#   (2) queries with NO green row ever (this round's debuts — the
-#       round-5 surface additions incl. the 5c set: gopher rules,
-#       fertility, percentile gate, the attribution family, word
-#       embeddings, LR training, temperature mixture, MJPEG video;
-#       and the 5d sketch family: HLL/KMV/CMS/quantile + the two
-#       bounded-state streaming twins),
-#   (3) queries whose source files this round edits (re-certify the
-#       round-5 rewrites: CCNet LM join, PQ/IVF Lloyd fusion, DSIR
-#       collapse, JVM Bloom probe, novelty keying),
-#   (4) the 50 r3-dated certificates,
-#   (5) the 50 r4-dated certificates (freshest) last.
-_STALE_R1R2 = [
-    # The 7 r1-dated first, then the 11 r2-dated (streaming set, the
-    # two multipass planners, three corpus-stat queries).
-    "pricing_summary", "topology_asof", "topology_parse",
-    "topology_retention", "upsert_dedup", "mutation_replay_counts",
-    "events_asof_assignment",
-    "stream_tumbling_counts", "stream_sliding_counts",
-    "stream_session_stats", "stream_dedup_keys",
-    "stream_enriched_server_load", "stream_membership_in",
-    "merge_plan_multipass", "split_plan_multipass",
-    "docs_quality_filter", "token_count_hist", "corpus_stats_by_lang",
-]
+# ---------------------------------------------------------------------------
+# Mechanical certification ledger (round-5 verdict task 1: "no
+# registered query's newest certificate may predate its implementation
+# — track edit-round per query so this invariant is mechanical").
+#
+# _CERT_ROUND[q] = the round of q's NEWEST green row across
+# CORRECTNESS_r01–r05.json (absent = never driver-certified).
+# _EDIT_ROUND[q] = the round q's implementation last changed in a way
+# that could affect its output or plan (absent = unchanged since its
+# newest certificate).  Every round, add edited queries here at the
+# current round number; the queue below then re-certifies them first.
+#
+# The driver checks ~50 queries per round in the order queries() emits
+# them, so the order IS the certification schedule:
+#   tier 0 — never certified (debuts), heaviest-evidence first,
+#   tier 1 — certificate older than the implementation (stale),
+#   tier 2 — everything else, oldest certificate first (freshness).
+# ---------------------------------------------------------------------------
 
-# Queries whose implementation files round 5 rewrites — their r4
-# certificates describe the OLD code, so they re-queue right after the
-# stale set and the debuts.
-_R5_EDITED = [
-    "docs_ccnet_perplexity", "embedding_pq_topk",
-    "embedding_ivf_kmeans_topk", "embedding_ivfpq_topk",
-    "docs_dsir_weights", "bloom_contamination", "ngram_contamination",
-    "corpus_novelty_curve", "stream_funnel_stage", "training_set_funnel",
-]
+_CERT_ROUND = {
+    "analyzer_distribution_hist": 3, "analyzer_filecount_hist": 3,
+    "analyzer_locality_hist": 3, "analyzer_size_hist": 3,
+    "analyzer_table_size": 3, "analyzer_weight_stats": 3,
+    "ann_recall_at_k": 5, "bloom_contamination": 4, "bpe_encode_tokens": 5,
+    "bpe_merge_steps": 5, "busiest_emptiest": 3, "compaction_plan": 3,
+    "corpus_mixture_weights": 4, "corpus_novelty_curve": 4,
+    "corpus_rollup_stats": 5, "corpus_stats_by_lang": 5,
+    "corpus_version_diff": 5, "distribution_candidates": 3,
+    "distribution_weight": 3, "doc_fingerprints": 4,
+    "doc_winnow_fingerprints": 4, "docs_bm25_served": 5,
+    "docs_bm25_topk": 5, "docs_ccnet_perplexity": 4,
+    "docs_char_entropy": 4, "docs_chunk_spans": 4,
+    "docs_curriculum_order": 5, "docs_dedup_canonical": 4,
+    "docs_dsir_weights": 4, "docs_epoch_shuffle": 5, "docs_exact_dedup": 4,
+    "docs_kneser_ney_perplexity": 5, "docs_length_quantile_sketch": 5,
+    "docs_lr_quality_train": 5, "docs_neardup_survivors": 4,
+    "docs_pack_bins": 4, "docs_prefix_dedup": 4, "docs_quality_filter": 5,
+    "docs_repetition_ratio": 4, "docs_split_assign": 4,
+    "docs_stratified_sample": 4, "docs_table_profile": 5,
+    "docs_window_dedup": 4, "embedding_int8_topk": 4,
+    "embedding_ivf_kmeans_topk": 3, "embedding_ivf_topk": 4,
+    "embedding_ivfpq_topk": 4, "embedding_lsh_topk": 4,
+    "embedding_neardup_pairs": 4, "embedding_pq_topk": 4,
+    "embedding_topk": 4, "events_anomaly_zscore": 4,
+    "events_asof_assignment": 5, "events_cms_heavy_hitters": 5,
+    "events_funnel": 4, "events_heavy_hitters": 4,
+    "events_hll_cardinality": 5, "events_kmv_overlap": 5,
+    "events_markov_attribution": 5, "events_props_rollup": 4,
+    "events_retention_cohorts": 4, "events_salted_rollup": 3,
+    "events_sessionize": 4, "events_user_cardinality": 3, "flush_plan": 3,
+    "health_check_eligible": 3, "health_probe_plan": 3,
+    "hybrid_rrf_search": 5, "lang_id_heuristic": 4, "lsh_band_sweep": 4,
+    "lsh_bucket_stats": 3, "merge_plan": 3, "merge_plan_multipass": 5,
+    "mergeable_region_count": 3, "merged_span_recovery": 3,
+    "metrics_semi_join": 3, "minhash_band_pairs": 4,
+    "minhash_similarity_estimates": 4, "moved_regions_audit": 3,
+    "multimodal_decode_headers": 3, "multimodal_features": 3,
+    "multimodal_frame_sample": 3, "multimodal_gif_stats": 5,
+    "multimodal_jpeg_roundtrip": 5, "multimodal_mjpeg_video": 5,
+    "multimodal_mp4_boxes": 5, "multimodal_png_stats": 5,
+    "multimodal_resize": 3, "multimodal_wav_pcm_stats": 5,
+    "multimodal_wav_tone_detect": 5, "mutation_replay_counts": 5,
+    "neardup_clusters": 4, "neardup_clusters_converged": 4,
+    "ngram_contamination": 4, "ngram_jaccard_pairs": 4,
+    "oov_rate_by_source": 4, "pricing_summary": 5, "range_lookup": 3,
+    "region_bounds": 3, "region_edge_rows": 3, "region_health_join": 3,
+    "regions_by_server": 3, "report_biggest_regions": 3,
+    "report_biggest_rollup": 3, "report_compaction_queues": 3,
+    "report_complex_rollup": 3, "report_heap_pressure": 3,
+    "report_locality": 3, "report_partial_top15": 3, "report_rit_stuck": 3,
+    "report_rs_distribution": 3, "report_snapshots_stale": 3,
+    "report_snapshots_toomany": 3, "retrieval_ndcg": 5,
+    "retrieval_rank_overlap": 5, "salted_keys": 3,
+    "semantic_only_dup_pairs": 4, "server_prefix_resolve": 3,
+    "simhash_fingerprints": 4, "snapshot_merge_guard": 3,
+    "source_unigram_divergence": 4, "split_leakage": 5, "split_plan": 3,
+    "split_plan_multipass": 5, "split_points": 3,
+    "stream_cms_heavy_hitters": 5, "stream_dedup_keys": 5,
+    "stream_dedup_keys_rocksdb": 4, "stream_enriched_server_load": 5,
+    "stream_funnel_stage": 4, "stream_hll_cardinality": 5,
+    "stream_length_quantile_sketch": 5, "stream_membership_in": 5,
+    "stream_session_stats": 5, "stream_sliding_counts": 5,
+    "stream_tumbling_counts": 5, "table_mask_selection": 3,
+    "text_stats": 4, "tfidf_top_terms": 4, "token_count_hist": 5,
+    "token_zipf_fit": 4, "topology_asof": 5, "topology_diff": 3,
+    "topology_parse": 5, "topology_retention": 5,
+    "training_set_assembly": 3, "training_set_funnel": 4,
+    "upsert_dedup": 5, "vocab_top_terms": 4, "word_embedding_neighbors": 5,
+}
 
+_EDIT_ROUND = {
+    # round-5 rewrites whose newest green row is r4-dated (the "stale
+    # certificate" defect the round-5 verdict leads with):
+    "docs_ccnet_perplexity": 6,  # r5 LM-join rewrite + r6 LM memo
+    "embedding_pq_topk": 5,
+    "embedding_ivf_kmeans_topk": 5,
+    "embedding_ivfpq_topk": 5,
+    "docs_dsir_weights": 5,
+    "bloom_contamination": 5,
+    "ngram_contamination": 5,
+    "corpus_novelty_curve": 5,
+    "stream_funnel_stage": 5,
+    "training_set_funnel": 5,
+    # round-6 edits (perf levers + scoreboard extension):
+    "docs_kneser_ney_perplexity": 6,   # LM-relation memoization
+    "bpe_encode_tokens": 6,            # tokenizer-artifact memo
+    "ann_recall_at_k": 6,              # +pq/ivfpq legs, cached exact leg
+    "retrieval_ndcg": 6,               # +pq/ivfpq legs, cached exact leg
+    "retrieval_rank_overlap": 6,       # cached exact + lexical legs
+    "hybrid_rrf_search": 6,            # cached exact + lexical legs
+    "docs_bm25_served": 6,             # content-keyed index memo
+}
 
-# Debuts the budget must not miss: the families with no prior
-# certificate of any kind whose novelty the driver gate is the
-# strongest evidence for (real codecs, deterministic sketches,
-# in-engine training, the late round-5 pipeline ops).  Remaining
-# debuts follow in registration order; with ~44 round-5 debuts and a
-# ~50-query budget the tail (simple aggregate shapes, all still
-# gated by tests/test_contract.py locally) is what misses.
+# Debut ordering (never-certified queries first in this sequence, then
+# any remaining debuts in registration order): the attribution family
+# and the round-5c/5d extras the r5 budget never reached, plus this
+# round's new queries.
 _DEBUT_PRIORITY = [
-    "docs_bm25_topk", "bpe_encode_tokens", "ann_recall_at_k",
-    "hybrid_rrf_search", "corpus_version_diff", "docs_table_profile",
-    "docs_curriculum_order", "retrieval_rank_overlap",
-    "corpus_rollup_stats", "retrieval_ndcg", "docs_bm25_served",
-    "multimodal_png_stats", "multimodal_jpeg_roundtrip",
-    "multimodal_gif_stats", "multimodal_wav_pcm_stats",
-    "multimodal_wav_tone_detect", "multimodal_mp4_boxes",
-    "multimodal_mjpeg_video",
-    "events_hll_cardinality", "events_kmv_overlap",
-    "events_cms_heavy_hitters", "docs_length_quantile_sketch",
-    "stream_hll_cardinality", "stream_cms_heavy_hitters",
-    "stream_length_quantile_sketch",
-    "word_embedding_neighbors", "docs_lr_quality_train",
-    "bpe_merge_steps", "events_markov_attribution",
-    "docs_kneser_ney_perplexity",
-    "docs_epoch_shuffle", "split_leakage", "neardup_edit_distance",
-    "neardup_triangles", "events_session_paths",
-    "neardup_source_matrix", "docs_dup_spans", "docs_span_removed",
-    "docs_gopher_rules", "novelty_by_source",
+    # round-6 debuts (new surface this round)
+    "kv_model_roundtrip", "docs_table_profile_sketch",
+    # heaviest perf outliers first (verdict task 6)
+    "stream_attribution", "events_attribution", "events_session_paths",
+    "events_transition_matrix", "events_attribution_first",
+    "events_attribution_position",
+    # the rest of the never-certified set
+    "docs_ccnet_perplexity_served", "neardup_pagerank",
+    "neardup_source_matrix", "neardup_edit_distance", "neardup_triangles",
+    "docs_dup_spans", "docs_span_removed", "novelty_by_source",
+    "docs_gopher_rules", "tokenizer_fertility",
+    "docs_length_percentile_filter", "bigram_pmi_top",
+    "embedding_label_outliers", "docs_weighted_sample",
+    "docs_budget_selection", "corpus_temperature_mixture",
+    "corpus_dataset_card",
 ]
 
 
 def _ordered_names() -> list[str]:
-    stale = [n for n in _STALE_R1R2 if n in QUERIES]
-    certified = set(_STALE_R1R2) | _R3_VERIFIED | _R4_VERIFIED
-    debut_set = {n for n in QUERIES if n not in certified}
-    debuts = [n for n in _DEBUT_PRIORITY if n in debut_set] + [
-        n for n in QUERIES if n in debut_set and n not in _DEBUT_PRIORITY
-    ]
-    edited = [n for n in _R5_EDITED if n in QUERIES and n not in debuts]
-    head = stale + debuts + edited
-    seen = set(head)
-    r3 = [n for n in QUERIES if n in _R3_VERIFIED and n not in seen]
-    r4 = [n for n in QUERIES if n in _R4_VERIFIED and n not in seen]
-    return head + r3 + r4
+    debut_rank = {n: i for i, n in enumerate(_DEBUT_PRIORITY)}
 
+    def prio(n: str) -> tuple:
+        cert = _CERT_ROUND.get(n)
+        if cert is None:
+            return (0, debut_rank.get(n, len(debut_rank)), n)
+        if cert < _EDIT_ROUND.get(n, 0):
+            return (1, 0, n)
+        return (2, cert, n)
 
-# Green rows dated r3 (CORRECTNESS_r03.json).
-_R3_VERIFIED = frozenset(
-    {
-        "events_salted_rollup", "lsh_bucket_stats", "multimodal_features",
-        "multimodal_resize", "multimodal_decode_headers",
-        "multimodal_frame_sample", "training_set_assembly",
-        "embedding_ivf_kmeans_topk", "analyzer_table_size",
-        "analyzer_size_hist", "analyzer_locality_hist",
-        "analyzer_filecount_hist", "analyzer_distribution_hist",
-        "analyzer_weight_stats", "events_user_cardinality",
-        "health_check_eligible", "health_probe_plan", "regions_by_server",
-        "table_mask_selection", "region_health_join",
-        "moved_regions_audit", "metrics_semi_join", "range_lookup",
-        "region_bounds", "server_prefix_resolve", "region_edge_rows",
-        "salted_keys", "split_points", "compaction_plan", "flush_plan",
-        "split_plan", "merge_plan", "mergeable_region_count",
-        "merged_span_recovery", "snapshot_merge_guard",
-        "distribution_weight", "distribution_candidates",
-        "busiest_emptiest", "report_rs_distribution",
-        "report_snapshots_stale", "report_snapshots_toomany",
-        "report_heap_pressure", "report_rit_stuck",
-        "report_biggest_regions", "report_biggest_rollup",
-        "report_compaction_queues", "report_locality",
-        "report_complex_rollup", "report_partial_top15", "topology_diff",
-    }
-)
-
-# Green rows dated r4 (CORRECTNESS_r04.json) — freshest certificates,
-# so they queue last.
-_R4_VERIFIED = frozenset(
-    {
-        "bloom_contamination", "corpus_mixture_weights",
-        "corpus_novelty_curve", "doc_fingerprints",
-        "doc_winnow_fingerprints", "docs_ccnet_perplexity",
-        "docs_char_entropy", "docs_chunk_spans", "docs_dedup_canonical",
-        "docs_dsir_weights", "docs_exact_dedup", "docs_neardup_survivors",
-        "docs_pack_bins", "docs_prefix_dedup", "docs_repetition_ratio",
-        "docs_split_assign", "docs_stratified_sample", "docs_window_dedup",
-        "embedding_int8_topk", "embedding_ivf_topk", "embedding_ivfpq_topk",
-        "embedding_lsh_topk", "embedding_neardup_pairs", "embedding_pq_topk",
-        "embedding_topk", "events_anomaly_zscore", "events_funnel",
-        "events_heavy_hitters", "events_props_rollup",
-        "events_retention_cohorts", "events_sessionize",
-        "lang_id_heuristic", "lsh_band_sweep", "minhash_band_pairs",
-        "minhash_similarity_estimates", "neardup_clusters",
-        "neardup_clusters_converged", "ngram_contamination",
-        "ngram_jaccard_pairs", "oov_rate_by_source",
-        "semantic_only_dup_pairs", "simhash_fingerprints",
-        "source_unigram_divergence", "stream_dedup_keys_rocksdb",
-        "stream_funnel_stage", "text_stats", "tfidf_top_terms",
-        "token_zipf_fit", "training_set_funnel", "vocab_top_terms",
-    }
-)
+    return sorted(QUERIES, key=prio)
 
 
 def entry(spark: SparkSession) -> DataFrame:

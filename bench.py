@@ -41,6 +41,62 @@ def _sf_of(sf_dir: str) -> float:
         return -1.0
 
 
+def _steady_state_batch_ms(spark) -> float:
+    """Median non-first micro-batch duration (ms) of a 12-batch
+    windowed streaming aggregation — the continuous-stream per-batch
+    cost the one-shot drains in stream_* cannot show."""
+    import datetime
+    import shutil
+    import statistics
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    work = tempfile.mkdtemp(prefix="bench_steady_")
+    try:
+        src = os.path.join(work, "src")
+        os.makedirs(src)
+        schema = "user_id bigint, event_type string, ts timestamp"
+        base = datetime.datetime(2025, 1, 1)
+        for b in range(12):
+            rows = [
+                (i, "view", base + datetime.timedelta(seconds=b * 600 + i % 600))
+                for i in range(2000)
+            ]
+            f = f"{src}/b{b:02d}.parquet"
+            spark.createDataFrame(rows, schema).coalesce(1).write.parquet(f)
+            t = time.time() + b * 10
+            for root, _, files in os.walk(f):
+                for name in files:
+                    os.utime(os.path.join(root, name), (t, t))
+            os.utime(f, (t, t))
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/*.parquet")
+        )
+        agg = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "5 minutes"), "event_type")
+            .count()
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("bench_steady_t")
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        durs = [
+            p["batchDuration"] for p in q.recentProgress if p["numInputRows"] > 0
+        ]
+        return round(float(statistics.median(sorted(durs[1:]))), 1)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
@@ -179,6 +235,20 @@ def main() -> None:
     except Exception as exc:  # bench must still emit its line
         print(f"duckdb comparison skipped: {exc}", file=sys.stderr)
 
+    # Steady-state streaming batch cost (round-5 verdict task 2c): the
+    # stream_* drains above pay one-shot machinery (state-store
+    # bootstrap, first planning) a continuous production stream
+    # amortizes.  Measure it: one 12-micro-batch windowed aggregation,
+    # report the median non-first batchDuration beside the drain total
+    # so the artifact separates the fixed floor from per-batch plan
+    # cost.  (Mirrors tests/test_streaming.py::
+    # test_stream_batch_cost_amortizes, which pins the amortization.)
+    stream_steady_ms = None
+    try:
+        stream_steady_ms = _steady_state_batch_ms(spark)
+    except Exception as exc:
+        print(f"steady-state stream probe skipped: {exc}", file=sys.stderr)
+
     total = round(sum(spark_med.values()), 4)
     # Ratio only over queries both engines ran (rows-only queries have no
     # oracle and would inflate the Spark side).
@@ -223,6 +293,7 @@ def main() -> None:
             round(batch_spark / batch_duck, 3) if batch_duck else None
         ),
         "stream_secs": round(sum(spark_med[n] for n in stream_names), 4),
+        "stream_steady_batch_ms": stream_steady_ms,
         "n_over_2x": len(over_2x),
         "runs": runs,
         "aggregation": "median",

@@ -84,6 +84,15 @@ def _shingles_exploded(docs: DataFrame) -> DataFrame:
     )
 
 
+#: Hard ceiling on the benchmark suite's distinct-shingle count before
+#: the driver will collect it (round-5 verdict task 5).  Real held-out
+#: benchmark suites are MBs of text (well under this); a corpus
+#: mis-pointed at the "benchmark" source would otherwise OOM the driver
+#: silently.  Above the bound, callers must use the shuffle-join shape
+#: (``split_leakage``), which handles corpus×corpus scale.
+_CONTAM_BENCH_MAX_SHINGLES = 2_000_000
+
+
 def _bench_shingle_set(m: Model) -> frozenset:
     """The benchmark source's distinct shingle set, memoized per
     fixture dir (a static dim; see functions/memo.py) — the single
@@ -91,22 +100,29 @@ def _bench_shingle_set(m: Model) -> frozenset:
     consumers cannot drift apart.  Shingling and dedup run
     DISTRIBUTED (explode + distinct); only the distinct shingle
     strings — the very payload consumers broadcast — ever reach the
-    driver, never full document texts."""
-    from ..functions.memo import sf_cached
+    driver, never full document texts.  A distributed pre-count
+    fail-fasts if the suite exceeds ``_CONTAM_BENCH_MAX_SHINGLES``
+    (a corpus mis-pointed as the benchmark) instead of OOMing the
+    driver — the corpus-scale screen is the ``split_leakage``
+    shuffle-join shape."""
+    from ..functions.memo import model_cached
 
-    return sf_cached(
-        m.sf_dir,
-        "contam_bench_set",
-        lambda: frozenset(
-            r["shingle"]
-            for r in _shingles_exploded(
-                m.documents.where(F.col("source") == _CONTAM_BENCH)
+    def build() -> frozenset:
+        sh = _shingles_exploded(
+            m.documents.where(F.col("source") == _CONTAM_BENCH)
+        ).select("shingle").distinct()
+        n = sh.count()  # distributed; the collect below is then bounded
+        if n > _CONTAM_BENCH_MAX_SHINGLES:
+            raise ValueError(
+                f"benchmark source {_CONTAM_BENCH!r} has {n} distinct "
+                f"shingles (> {_CONTAM_BENCH_MAX_SHINGLES}); the broadcast "
+                "decontamination path is for suite-sized benchmarks — use "
+                "the split_leakage shuffle-join shape for corpus-scale "
+                "screens"
             )
-            .select("shingle")
-            .distinct()
-            .collect()
-        ),
-    )
+        return frozenset(r["shingle"] for r in sh.collect())
+
+    return model_cached(m, "contam_bench_set", build)
 
 
 def _doc_hash() -> Column:
@@ -1150,7 +1166,7 @@ def bloom_contamination(m: Model) -> DataFrame:
             .cast("bigint") % M
         )
 
-    from ..functions.memo import sf_cached
+    from ..functions.memo import model_cached
 
     def _train_bitmap() -> list:
         # distributed: shingle -> K positions -> distinct; the collect
@@ -1170,7 +1186,7 @@ def bloom_contamination(m: Model) -> DataFrame:
         # two's-complement fold into signed int64 for the array<long> literal
         return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
 
-    words = sf_cached(m.sf_dir, "contam_bloom_words", _train_bitmap)
+    words = model_cached(m, "contam_bloom_words", _train_bitmap)
     # The bitmap travels as DATA (a one-row array<bigint> relation,
     # broadcast into a nested-loop join) rather than as an expression
     # literal: F.lit(list) builds thousands of py4j Literal objects per
@@ -1898,6 +1914,136 @@ def docs_table_profile(m: Model) -> DataFrame:
     for o in outs[1:]:
         out = out.unionAll(o)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Table profile, sketch edition — the 100 TB shape the exact profile's
+# docstring promises: HLL register distincts instead of the
+# multi-count_distinct Expand, with the exact count kept as the
+# certificate branch (drop it in production and the distinct state is
+# n_cols x 256 registers regardless of corpus size).
+# ---------------------------------------------------------------------------
+
+
+def _profile_keyed_sql() -> str:
+    """Per-column (event_type, k) keyed relation over documents — the
+    profile analog of the HLL sketch's (type, daily-key) relation."""
+    return "\n  UNION ALL\n  ".join(
+        f"SELECT '{c}' AS event_type, '{c}:' || CAST({c} AS VARCHAR) AS k"
+        f" FROM documents WHERE {c} IS NOT NULL"
+        for c in _PROFILE_COLS
+    )
+
+
+def _profile_sketch_oracle() -> str:
+    from ..operators.sketches import _KEY_SQL, HLL_ORACLE
+
+    hll = HLL_ORACLE.replace(
+        f"SELECT event_type, {_KEY_SQL} AS k FROM events",
+        _profile_keyed_sql(),
+    )
+    stats = (
+        "SELECT CAST(count(*) AS BIGINT) AS n_rows,\n"
+        + ",\n".join(
+            f"    CAST(count(*) - count({c}) AS BIGINT) AS nn_{c},\n"
+            f"    CAST(min({c}) AS VARCHAR) AS mn_{c},\n"
+            f"    CAST(max({c}) AS VARCHAR) AS mx_{c}"
+            for c in _PROFILE_COLS
+        )
+        + "\n  FROM documents"
+    )
+    cols = "\n  UNION ALL\n  ".join(
+        f"SELECT '{c}' AS column_name, n_rows, nn_{c} AS n_nulls,"
+        f" mn_{c} AS min_value, mx_{c} AS max_value FROM a"
+        for c in _PROFILE_COLS
+    )
+    return f"""
+WITH hll AS ({hll}),
+a AS (
+  {stats}
+),
+cols AS (
+  {cols}
+)
+SELECT cols.column_name, cols.n_rows, cols.n_nulls,
+       CAST(hll.n_exact AS BIGINT) AS n_distinct,
+       hll.hll_estimate, hll.rel_err,
+       cols.min_value, cols.max_value
+FROM cols JOIN hll ON hll.event_type = cols.column_name
+"""
+
+
+@query("docs_table_profile_sketch", oracle=_profile_sketch_oracle(), views=[])
+def docs_table_profile_sketch(m: Model) -> DataFrame:
+    """Per-column profile of the documents table with SKETCHED distinct
+    counts: row count, null count, the deterministic 256-register HLL
+    estimate (the certified ``events_hll_cardinality`` registers,
+    re-keyed per column) beside the exact distinct as its certificate,
+    and min/max — the shape ``docs_table_profile`` promises for 100 TB,
+    itself hash-gated.
+
+    Plan: ONE corpus scan explodes each row into its (column, key)
+    pairs; the only data-proportional shuffle is the distinct over that
+    relation, after which state is n_cols x 256 registers no matter the
+    corpus size (drop the exact certificate branch in production and
+    nothing event-proportional remains after the distinct).  The exact
+    null/min/max metrics ride a separate single-row aggregate with NO
+    count_distinct, so the Expand blow-up of the exact profile never
+    happens here."""
+    from ..operators.sketches import hll_finalize, hll_rho_cols
+
+    docs = m.documents
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("event_type"),
+                F.concat(F.lit(f"{c}:"), F.col(c).cast("string")).alias("k"),
+            )
+            for c in _PROFILE_COLS
+        ]
+    )
+    ev = (
+        docs.select(F.explode(pairs).alias("p"))
+        .select("p.event_type", "p.k")
+        .where(F.col("k").isNotNull())
+    )
+    dk = hll_rho_cols(ev).distinct()  # ONE shuffle feeds both branches
+    reg = dk.groupBy("event_type", "b").agg(F.max("rho").alias("mr"))
+    exact = dk.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_exact"))
+    est = hll_finalize(reg, exact)
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).cast("bigint").alias(f"nn_{c}"),
+            F.min(c).cast("string").alias(f"mn_{c}"),
+            F.max(c).cast("string").alias(f"mx_{c}"),
+        ]
+    a = docs.agg(*aggs).localCheckpoint(eager=False)
+    outs = [
+        a.select(
+            F.lit(c).alias("column_name"),
+            "n_rows",
+            F.col(f"nn_{c}").alias("n_nulls"),
+            F.col(f"mn_{c}").alias("min_value"),
+            F.col(f"mx_{c}").alias("max_value"),
+        )
+        for c in _PROFILE_COLS
+    ]
+    cols = outs[0]
+    for o in outs[1:]:
+        cols = cols.unionAll(o)
+    return cols.join(
+        F.broadcast(est), cols["column_name"] == est["event_type"]
+    ).select(
+        "column_name",
+        "n_rows",
+        "n_nulls",
+        F.col("n_exact").cast("bigint").alias("n_distinct"),
+        "hll_estimate",
+        "rel_err",
+        "min_value",
+        "max_value",
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -282,7 +282,17 @@ def index_ingest_batch(
     + idempotent per-partition output = exactly-once index state.
     Serving (:func:`bm25_topk_from_index`) is already additive across
     write batches, and its bucket pruning composes with the batch_id
-    partitioning (every batch's other buckets are still skipped)."""
+    partitioning (every batch's other buckets are still skipped).
+
+    Replay contract (same as ``dedup_ingest_batch``, round-5 advice):
+    idempotence assumes a replayed batch_id carries the SAME document
+    composition as the failed attempt — exactly what Structured
+    Streaming's checkpointed source offsets guarantee for foreachBatch
+    replays.  A replay with a DIFFERENT composition (a manually
+    re-built batch) can leave the original attempt's (batch_id, bucket)
+    partitions for buckets the new composition no longer touches;
+    recover from that by deleting the ``batch_id=N`` subtree before
+    re-ingesting."""
     postings, dictionary, st, forward = _index_relations(
         batch_docs.select("doc_id", "text"), n_buckets
     )
@@ -460,8 +470,21 @@ def _mlt_lex(m: Model) -> DataFrame:
     """The BM25 more-like-this lexical leg: (query_id, doc_id, lex_rank
     <= k) for the probe documents — shared by the RRF fusion and the
     rank-agreement diagnostics so the leg definition cannot drift.
-    The (doc, word, tf) relation feeds the probe-term derivation, the
-    document frequencies, AND the scoring join — checkpointed once."""
+    Memoized per documents-content like the ANN served legs
+    (similarity._served_leg): in production the lexical ranking is
+    served from the persisted inverted index, and the fusion/agreement
+    consumers grade the SERVED relation — its build cost stays measured
+    in ``docs_bm25_topk``/``docs_bm25_served``."""
+    from ..functions.memo import checkpointed
+
+    return checkpointed(m, "mlt_lex_leg", lambda: _mlt_lex_build(m))
+
+
+def _mlt_lex_build(m: Model) -> DataFrame:
+    """The (query_id, doc_id, lex_rank) BM25 MLT plan behind
+    :func:`_mlt_lex`.  The (doc, word, tf) relation feeds the
+    probe-term derivation, the document frequencies, AND the scoring
+    join — checkpointed once."""
     wc = _wc(m).localCheckpoint(eager=False)
     qw = (
         wc.where(F.col("doc_id") < _SIM_NQUERIES)
@@ -557,10 +580,10 @@ def hybrid_rrf_search(m: Model) -> DataFrame:
     fusion itself is a full outer join of two k-row-per-probe relations
     ranked by an engine-identical double.  Probe-count partitions are
     few and k-bounded — the window never sees the corpus."""
-    from .similarity import embedding_topk
+    from .similarity import exact_topk_leg
 
     lex = _mlt_lex(m)
-    sem = embedding_topk(m).select(
+    sem = exact_topk_leg(m).select(
         "query_id",
         F.col("vec_id").alias("doc_id"),
         F.col("rank").cast("bigint").alias("sem_rank"),
@@ -662,10 +685,10 @@ def retrieval_rank_overlap(m: Model) -> DataFrame:
     aggregate — constant work per probe at any corpus size."""
     from decimal import Decimal
 
-    from .similarity import embedding_topk
+    from .similarity import exact_topk_leg
 
     lex = _mlt_lex(m)
-    sem = embedding_topk(m).select(
+    sem = exact_topk_leg(m).select(
         "query_id",
         F.col("vec_id").alias("doc_id"),
         F.col("rank").cast("bigint").alias("sem_rank"),
@@ -715,9 +738,11 @@ def hybrid_rrf_from_index(
     contract's k={10} — a caller-chosen depth would silently break the
     bit-equality (the direct query's legs are defined at that depth).
 
-    The probe vocabulary (a few hundred words for a handful of probes)
-    is collected once to drive the static bucket pruning — probe-count
-    bounded, never corpus-bounded."""
+    Driver-side state is BOUNDED regardless of probe length (round-5
+    advice): only the probes' distinct partition BUCKETS (≤ n_buckets
+    ints) are collected to drive static PartitionFilter pruning; the
+    word restriction itself travels as a broadcast semi-join against
+    the forward relation, never as an ``isin`` literal list."""
     pb = _term_buckets_for_ids(spark, list(range(_SIM_NQUERIES)), n_buckets)
     fwd = (
         spark.read.parquet(f"{index_dir}/forward")
@@ -728,13 +753,29 @@ def hybrid_rrf_from_index(
         .distinct()
         .localCheckpoint(eager=True)  # tiny; drives two pruned reads
     )
-    terms = [r["word"] for r in fwd.select("word").distinct().collect()]
-    buckets = _term_buckets(spark, terms, n_buckets)
-    bfilter = F.col("bucket").isin(buckets) & F.col("word").isin(terms)
-    postings = spark.read.parquet(f"{index_dir}/postings").where(bfilter)
+    # distinct buckets of the probe vocabulary — ≤ n_buckets values, so
+    # this collect is constant-bounded even for book-length probes
+    buckets = sorted(
+        r["b"]
+        for r in fwd.select(
+            F.pmod(F.xxhash64("word"), F.lit(n_buckets))
+            .cast("int")
+            .alias("b")
+        )
+        .distinct()
+        .collect()
+    )
+    qwords = fwd.select("word").distinct()
+    bucket_pruned = F.col("bucket").isin(buckets)
+    postings = (
+        spark.read.parquet(f"{index_dir}/postings")
+        .where(bucket_pruned)
+        .join(F.broadcast(qwords), "word", "left_semi")
+    )
     dictionary = (
         spark.read.parquet(f"{index_dir}/dictionary")
-        .where(bfilter)
+        .where(bucket_pruned)
+        .join(F.broadcast(qwords), "word", "left_semi")
         .groupBy("word")
         .agg(F.sum("df").cast("bigint").alias("df"))
     )
@@ -822,10 +863,14 @@ def _index_artifact_dir(m: Model) -> str:
     """Materialize the inverted index ONCE per (process, fixture dir)
     into a scratch location and memoize the path — in production the
     index exists before any query runs, so the serving query's measured
-    cost is pruned reads + scoring, never the index build."""
+    cost is pruned reads + scoring, never the index build.  Keyed on
+    the CONTENT of the registered ``documents`` view (model_cached
+    fingerprints the analyzed plan), so a test that re-registers the
+    view under the same sf_dir rebuilds instead of serving stale
+    postings (round-5 advice)."""
     import tempfile
 
-    from ..functions.memo import sf_cached
+    from ..functions.memo import model_cached
 
     def build() -> str:
         import atexit
@@ -838,7 +883,7 @@ def _index_artifact_dir(m: Model) -> str:
         materialize_inverted_index(m.documents, out)
         return out
 
-    return sf_cached(m.sf_dir, "bm25_index_dir", build)
+    return model_cached(m, "bm25_index_dir", build)
 
 
 def docs_bm25_served(m: Model) -> DataFrame:

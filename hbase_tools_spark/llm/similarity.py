@@ -784,11 +784,11 @@ def embedding_ivf_kmeans_topk(m: Model) -> DataFrame:
     emb = m.embeddings
     # Seeds and probe vectors in ONE driver-side collect — both sets
     # are tiny and fixed by construction.
-    from ..functions.memo import sf_cached
+    from ..functions.memo import model_cached
 
     need = sorted(set(_KM_INIT_IDS) | set(range(_NQUERIES)))
-    vecs = sf_cached(
-        m.sf_dir,
+    vecs = model_cached(
+        m,
         "km_seed_probe_vectors",
         lambda: {
             int(r["vec_id"]): np.asarray(r["embedding"], dtype=np.float64)
@@ -796,6 +796,7 @@ def embedding_ivf_kmeans_topk(m: Model) -> DataFrame:
             .select("vec_id", "embedding")
             .collect()
         },
+        deps=("embeddings",),
     )
     # tolerate absent ids (a filtered/re-keyed corpus): a missing seed
     # simply contributes no cell, a missing probe no queries — the
@@ -970,10 +971,10 @@ def embedding_int8_topk(m: Model) -> DataFrame:
     # f64 under ANY summation order (values ≤ 64·127²), while the
     # float dot/norm folds accumulate dim-by-dim to replay the SQL
     # list_sum left fold bit-for-bit.
-    from ..functions.memo import sf_cached
+    from ..functions.memo import model_cached
 
-    q_rows = sf_cached(
-        m.sf_dir,
+    q_rows = model_cached(
+        m,
         "ann_probe_vectors",
         lambda: sorted(
             (
@@ -984,6 +985,7 @@ def embedding_int8_topk(m: Model) -> DataFrame:
             ),
             key=lambda t: t[0],
         ),
+        deps=("embeddings",),
     )
     if not q_rows:
         # filtered corpus with no probe ids — same empty contract as
@@ -1333,12 +1335,12 @@ def embedding_pq_topk(m: Model) -> DataFrame:
     production index drops it)."""
     import numpy as np
 
-    from ..functions.memo import sf_cached
+    from ..functions.memo import model_cached
 
     emb = m.embeddings
     need = sorted(set(_PQ_INIT_IDS) | set(range(_NQUERIES)))
-    vecs = sf_cached(
-        m.sf_dir,
+    vecs = model_cached(
+        m,
         "pq_seed_probe_vectors",
         lambda: {
             int(r["vec_id"]): np.asarray(r["embedding"], dtype=np.float64)
@@ -1346,6 +1348,7 @@ def embedding_pq_topk(m: Model) -> DataFrame:
             .select("vec_id", "embedding")
             .collect()
         },
+        deps=("embeddings",),
     )
     cb2 = _pq_train(emb, vecs)
     q = _pq_probe_df(
@@ -1623,26 +1626,27 @@ def embedding_ivfpq_topk(m: Model) -> DataFrame:
     quantize DECIMAL(28,12) before the exact sum."""
     import numpy as np
 
-    from ..functions.memo import sf_cached
+    from ..functions.memo import model_cached
 
     emb = m.embeddings
-    # coarse quantizer: memoized per (session, sf_dir) like the seed
-    # vectors below, so repeat runs pay zero driver jobs here and the
-    # cold run pays one (C rows)
-    cent_rows = sf_cached(
-        m.sf_dir,
+    # coarse quantizer: memoized per (session, embeddings-content) like
+    # the seed vectors below, so repeat runs pay zero driver jobs here
+    # and the cold run pays one (C rows)
+    cent_rows = model_cached(
+        m,
         "label_centroid_rows",
         lambda: [
             (int(r["label"]), list(r["c"]))
             for r in _label_centroids(emb).collect()
         ],
+        deps=("embeddings",),
     )
     cell_ids, cmat, cnorm = _quantizer(cent_rows)
     cell_row = {cid: i for i, cid in enumerate(cell_ids)}
 
     need = sorted(set(_PQ_INIT_IDS) | set(range(_NQUERIES)))
-    vecs = sf_cached(
-        m.sf_dir,
+    vecs = model_cached(
+        m,
         "pq_seed_probe_vectors",
         lambda: {
             int(r["vec_id"]): np.asarray(r["embedding"], dtype=np.float64)
@@ -1650,6 +1654,7 @@ def embedding_ivfpq_topk(m: Model) -> DataFrame:
             .select("vec_id", "embedding")
             .collect()
         },
+        deps=("embeddings",),
     )
 
     def _assign_residual_udf():
@@ -1932,10 +1937,50 @@ def embedding_label_outliers(m: Model) -> DataFrame:
 # scoreboard FAISS-style evaluations report before an index ships).
 # ---------------------------------------------------------------------------
 
+def exact_topk_leg(m: Model) -> DataFrame:
+    """The exact brute-force cosine top-k (``embedding_topk``) as a
+    memoized eager localCheckpoint per embeddings-content — the GROUND
+    TRUTH artifact every retrieval scoreboard grades against.  In
+    production this O(corpus·probes) relation is computed once per
+    corpus snapshot and persisted (it is the expensive leg by
+    construction); the scoreboards are then k-row-per-probe joins.
+    One computation, three consumers (recall@k, nDCG, RBO)."""
+    from ..functions.memo import checkpointed
+
+    return checkpointed(
+        m, "exact_topk_leg", lambda: embedding_topk(m), deps=("embeddings",)
+    )
+
+
+#: The approximate index results the scoreboards grade.  Each leg is a
+#: certified query in its own right (its plan cost stays measured
+#: there); the scoreboards consume the SERVED result relation — in
+#: production the index answers come from the persisted index, and a
+#: quality dashboard never rebuilds the index per metric — so each leg
+#: memoizes as an eager localCheckpoint per embeddings-content.
+_SCOREBOARD_METHODS = (
+    ("lsh", embedding_lsh_topk),
+    ("ivf", embedding_ivf_topk),
+    ("pq", embedding_pq_topk),
+    ("ivfpq", embedding_ivfpq_topk),
+)
+
+
+def _served_leg(m: Model, method: str) -> DataFrame:
+    from ..functions.memo import checkpointed
+
+    fn = dict(_SCOREBOARD_METHODS)[method]
+    return checkpointed(
+        m, f"ann_leg_{method}", lambda: fn(m), deps=("embeddings",)
+    )
+
+
 _RECALL_LEGS_SQL = f"""
 WITH exact AS ({_EXACT_TOPK_SQL}),
 lshq AS ({_LSH_TOPK_SQL}){_IVF_CTES},
 ivfq AS ({_IVF_TOPK_SELECT}),
+pqq AS ({{pq}}),
+ivfpqq AS ({{ivfpq}}),
 legs AS (
   SELECT 'lsh' AS method, e.query_id, e.vec_id, a.vec_id AS hit
   FROM exact e LEFT JOIN lshq a
@@ -1944,13 +1989,23 @@ legs AS (
   SELECT 'ivf' AS method, e.query_id, e.vec_id, a.vec_id AS hit
   FROM exact e LEFT JOIN ivfq a
     ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+  UNION ALL
+  SELECT 'pq' AS method, e.query_id, e.vec_id, a.vec_id AS hit
+  FROM exact e LEFT JOIN pqq a
+    ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+  UNION ALL
+  SELECT 'ivfpq' AS method, e.query_id, e.vec_id, a.vec_id AS hit
+  FROM exact e LEFT JOIN ivfpqq a
+    ON a.query_id = e.query_id AND a.vec_id = e.vec_id
 )
 """
 
 
 @query(
     "ann_recall_at_k",
-    oracle=_RECALL_LEGS_SQL
+    oracle=_RECALL_LEGS_SQL.replace("{pq}", _pq_oracle()).replace(
+        "{ivfpq}", _ivfpq_oracle()
+    )
     + f"""
 SELECT method, query_id,
        CAST(count(*) AS BIGINT)   AS n_exact,
@@ -1964,23 +2019,23 @@ GROUP BY method, query_id
 def ann_recall_at_k(m: Model) -> DataFrame:
     """Recall@{10} of the approximate indexes vs exact search, per probe
     and method: how many of the true top-{10} neighbors the sign-LSH
-    bucket probe and the IVF nprobe={2} search each return — the
-    accuracy-vs-cost scoreboard that justifies (or vetoes) deploying a
-    bucketed index at 100 TB, computed from the SAME certified query
-    definitions it evaluates (any change to an index's semantics moves
-    this relation, so quality regressions are hash-visible).
+    bucket probe, the IVF nprobe={2} search, the product quantizer, and
+    the IVF+PQ index each return — the accuracy-vs-cost scoreboard that
+    justifies (or vetoes) deploying a bucketed/quantized index at
+    100 TB, computed from the SAME certified query definitions it
+    evaluates (any change to an index's semantics moves this relation,
+    so quality regressions are hash-visible).  The quantized legs
+    (pq/ivfpq) are the ones that actually serve at 100 TB.
 
     Scale shape: the ground-truth and candidate relations are all
-    (n_probes × k)-row results — the expensive part is producing them
-    (each leg keeps its own certified plan); the recall join itself is
-    a broadcast-sized set intersection."""
-    # the ground truth feeds one join per method — materialize it once
-    exact = embedding_topk(m).select("query_id", "vec_id").localCheckpoint(
-        eager=False
-    )
+    (n_probes × k)-row results — producing them is the expensive part
+    and happens ONCE per corpus snapshot (memoized served legs; each
+    leg's plan cost stays measured in its own certified query); the
+    recall join itself is a broadcast-sized set intersection."""
+    exact = exact_topk_leg(m).select("query_id", "vec_id")
     legs = None
-    for method, fn in (("lsh", embedding_lsh_topk), ("ivf", embedding_ivf_topk)):
-        a = fn(m).select(
+    for method, _fn in _SCOREBOARD_METHODS:
+        a = _served_leg(m, method).select(
             F.col("query_id").alias("aq"), F.col("vec_id").alias("hit")
         )
         j = exact.join(
@@ -2045,6 +2100,8 @@ _NDCG_TERM = (
 WITH exact AS ({_EXACT_TOPK_SQL}),
 lshq AS ({_LSH_TOPK_SQL}){_IVF_CTES},
 ivfq AS ({_IVF_TOPK_SELECT}),
+pqq AS ({{pq}}),
+ivfpqq AS ({{ivfpq}}),
 w(r, wt) AS (VALUES {_NDCG_VALUES}),
 legs AS (
   SELECT 'lsh' AS method, a.query_id, a.rank, e.rank AS erank
@@ -2053,6 +2110,14 @@ legs AS (
   UNION ALL
   SELECT 'ivf' AS method, a.query_id, a.rank, e.rank AS erank
   FROM ivfq a LEFT JOIN exact e
+    ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+  UNION ALL
+  SELECT 'pq' AS method, a.query_id, a.rank, e.rank AS erank
+  FROM pqq a LEFT JOIN exact e
+    ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+  UNION ALL
+  SELECT 'ivfpq' AS method, a.query_id, a.rank, e.rank AS erank
+  FROM ivfpqq a LEFT JOIN exact e
     ON e.query_id = a.query_id AND e.vec_id = a.vec_id
 ),
 agg AS (
@@ -2064,38 +2129,42 @@ SELECT g.query_id, g.method,
        CAST(round(coalesce(a.dcg, 0), 6) AS DOUBLE) AS dcg,
        {fround_sql(f'CAST(coalesce(a.dcg, 0) AS DOUBLE) / {_ideal_dcg()}', 6)} AS ndcg
 FROM (SELECT vec_id AS query_id, m.method
-      FROM embeddings CROSS JOIN (SELECT unnest(['lsh', 'ivf']) AS method) m
+      FROM embeddings
+      CROSS JOIN (SELECT unnest(['lsh', 'ivf', 'pq', 'ivfpq']) AS method) m
       WHERE vec_id < {_NQUERIES}) g
 LEFT JOIN agg a ON a.query_id = g.query_id AND a.method = g.method
-""",
+""".replace("{pq}", _pq_oracle()).replace("{ivfpq}", _ivfpq_oracle()),
     views=[],
 )
 def retrieval_ndcg(m: Model) -> DataFrame:
-    """nDCG@{10} of the sign-LSH and IVF rankings against the exact
-    cosine ranking, per probe and method — graded relevance (the exact
-    rank-r neighbor is worth k+1-r) discounted by 1/log2(rank+1), so a
-    method that finds the right neighbors but shuffles their order
-    scores below one that preserves it (the signal recall@k cannot
-    see).  Discount weights and the constant IDCG ship as identical
-    exact-decimal literals to both engines — no log2() at query time.
+    """nDCG@{10} of the sign-LSH, IVF, PQ, and IVF+PQ rankings against
+    the exact cosine ranking, per probe and method — graded relevance
+    (the exact rank-r neighbor is worth k+1-r) discounted by
+    1/log2(rank+1), so a method that finds the right neighbors but
+    shuffles their order scores below one that preserves it (the signal
+    recall@k cannot see).  Discount weights and the constant IDCG ship
+    as identical exact-decimal literals to both engines — no log2() at
+    query time.  The quantized legs (pq/ivfpq) are the production
+    100 TB indexes, now quality-gated here, not just self-reported.
 
-    Scale shape: same as the recall scoreboard — the legs carry their
-    certified plans; the metric is a k-row join per probe, a 10-row
-    broadcast weight lookup, and a probe-keyed aggregate."""
+    Scale shape: same as the recall scoreboard — the memoized served
+    legs carry their certified plans (built once per corpus snapshot);
+    the metric is a k-row join per probe, a 10-row broadcast weight
+    lookup, and a probe-keyed aggregate."""
     from decimal import Decimal
 
-    exact = embedding_topk(m).select(
+    exact = exact_topk_leg(m).select(
         "query_id",
         F.col("vec_id").alias("doc_id"),
         F.col("rank").cast("bigint").alias("erank"),
-    ).localCheckpoint(eager=False)
+    )
     w = m.spark.createDataFrame(
         [(r, Decimal(wt)) for r, wt in _ndcg_weights()],
         "r int, wt decimal(14,12)",
     )
     legs = None
-    for method, fn in (("lsh", embedding_lsh_topk), ("ivf", embedding_ivf_topk)):
-        a = fn(m).select(
+    for method, _fn in _SCOREBOARD_METHODS:
+        a = _served_leg(m, method).select(
             "query_id",
             F.col("vec_id").alias("doc_id"),
             F.col("rank").cast("int").alias("r"),
@@ -2115,7 +2184,8 @@ def retrieval_ndcg(m: Model) -> DataFrame:
         .crossJoin(
             F.broadcast(
                 m.spark.createDataFrame(
-                    [("lsh",), ("ivf",)], "method string"
+                    [(name,) for name, _ in _SCOREBOARD_METHODS],
+                    "method string",
                 )
             )
         )

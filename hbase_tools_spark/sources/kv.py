@@ -171,3 +171,70 @@ def load_model_from_kv(
     # fixture views must not silently keep the KV overrides
     spark.conf.set("spark.hbase_tools.model_dir", f"{sf_dir}#kv")
     return m
+
+
+# ---------------------------------------------------------------------------
+# Driver-certified KV-ingest roundtrip (round-5 verdict task 3): the
+# connector path above is the reference's actual data model and must
+# face the same oracle as the parquet path, not just pytest.
+# ---------------------------------------------------------------------------
+
+from ..functions.exprs import fround  # noqa: E402
+from ..registry import query  # noqa: E402
+
+
+@query(
+    "kv_model_roundtrip",
+    oracle="""
+, topo AS (
+  SELECT region_id,
+         CAST(count(*) AS BIGINT)                  AS n_topo,
+         arg_max(server, snapshot_ts)              AS last_server,
+         CAST(epoch(max(snapshot_ts)) AS BIGINT)   AS last_ts
+  FROM topology
+  GROUP BY region_id
+)
+SELECT mr.region_id, mr.table_name, mr.server, mr.start_key, mr.end_key,
+       coalesce(topo.n_topo, 0)  AS n_topo,
+       topo.last_server          AS last_server,
+       topo.last_ts              AS last_ts
+FROM meta_regions mr
+LEFT JOIN topo ON topo.region_id = mr.region_id
+""",
+    views=["meta_regions", "topology"],
+)
+def kv_model_roundtrip(m: Model) -> DataFrame:
+    """Full KV-ingest roundtrip: encode the model's ``meta_regions`` and
+    ``topology`` relations into connector-shaped cell snapshots
+    (``meta_regions_to_kv``/``topology_to_kv`` — the hbase:meta rowkey
+    layout and the ``server_<epochMillis>`` technical-meta qualifiers,
+    SequenceBufferedMutator.java:320-336, meta/TechnicalMeta.java:
+    142-146), then REBUILD both relations through the ingest path
+    (last-write-wins cell resolution, explicit-qualifier pivot, rowkey
+    parse, lead-derived end keys, epoch-qualifier decode) and emit a
+    per-region readout.  The oracle computes the same readout from the
+    derived views directly — so a green row certifies that a
+    connector-shaped export reproduces the model bit-for-bit.
+
+    Scale shape: the encode side is a projection; the rebuild is the
+    module's documented single shuffle per relation (groupBy-pivot on
+    rowkey, groupBy on cells); the readout is one broadcast-eligible
+    aggregate join.  A real hbase-spark snapshot export plugs in where
+    the encoded relations are."""
+    rebuilt_meta = kv_meta_regions(meta_regions_to_kv(m.meta_regions))
+    rebuilt_topo = kv_topology(topology_to_kv(m.topology))
+    topo = rebuilt_topo.groupBy("region_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_topo"),
+        F.expr("max_by(server, snapshot_ts)").alias("last_server"),
+        F.unix_timestamp(F.max("snapshot_ts")).cast("bigint").alias("last_ts"),
+    )
+    return rebuilt_meta.join(topo, "region_id", "left").select(
+        "region_id",
+        "table_name",
+        "server",
+        "start_key",
+        "end_key",
+        F.coalesce("n_topo", F.lit(0)).cast("bigint").alias("n_topo"),
+        "last_server",
+        "last_ts",
+    )

@@ -1,0 +1,89 @@
+"""Content-keyed memoization: cached artifacts must invalidate when a
+registered view is swapped under the same sf_dir (round-5 advice: the
+served BM25 index previously keyed on sf_dir alone and served stale
+postings after a fixture swap)."""
+
+from __future__ import annotations
+
+from conftest import SF_DIR
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def test_model_cached_rebuilds_on_view_swap(spark):
+    from hbase_tools_spark.catalog import Model, load_model
+    from hbase_tools_spark.functions.memo import model_cached
+
+    m = Model(spark, "/tmp/memo_fixture")
+    calls = []
+
+    def build():
+        calls.append(1)
+        return len(calls)
+
+    try:
+        _docs(spark, [(0, "alpha beta", "en", "s0", 10)]).createOrReplaceTempView(
+            "documents"
+        )
+        assert model_cached(m, "probe", build) == 1
+        # same content object -> cache hit, no rebuild
+        assert model_cached(m, "probe", build) == 1
+        assert len(calls) == 1
+        # swapped view under the SAME sf_dir -> fingerprint changes,
+        # rebuild happens and the superseded entry is evicted
+        _docs(spark, [(1, "gamma delta", "en", "s0", 11)]).createOrReplaceTempView(
+            "documents"
+        )
+        assert model_cached(m, "probe", build) == 2
+        assert len(calls) == 2
+        from hbase_tools_spark.functions.memo import _CACHE
+
+        assert sum(1 for k in _CACHE if k[:2] == ("/tmp/memo_fixture", "probe")) == 1
+    finally:
+        spark.conf.set("spark.hbase_tools.model_dir", "")
+        load_model(spark, SF_DIR)
+
+
+def test_bm25_served_not_stale_after_fixture_swap(spark):
+    """The round-5 advice scenario end-to-end: docs_bm25_served must
+    re-derive its index when the documents view is re-registered with
+    different content, matching the direct-scan query on the NEW
+    corpus."""
+    from hbase_tools_spark.catalog import Model, load_model
+    from hbase_tools_spark.llm.search import docs_bm25_served, docs_bm25_topk
+
+    # >= 13 distinct words so the Zipf-rank [11, 13] query terms exist;
+    # corpus B shifts the frequency ranking so results must move.
+    words = [f"w{i:02d}" for i in range(16)]
+
+    def corpus(seed: int):
+        rows = []
+        for d in range(8):
+            text = " ".join(
+                words[(d * (seed + 3) + j) % len(words)]
+                for j in range((d + seed) % 5 + 8)
+            )
+            rows.append((d, text, "en", f"s{d % 2}", len(text)))
+        return _docs(spark, rows)
+
+    m = Model(spark, "/tmp/memo_bm25_fixture")
+    try:
+        corpus(1).createOrReplaceTempView("documents")
+        first = docs_bm25_served(m).collect()
+        assert first  # sanity: the index served something
+        corpus(2).createOrReplaceTempView("documents")
+        direct = sorted(
+            (r["doc_id"], r["rank"], r["score"]) for r in docs_bm25_topk(m).collect()
+        )
+        served = sorted(
+            (r["doc_id"], r["rank"], r["score"]) for r in docs_bm25_served(m).collect()
+        )
+        assert served == direct
+    finally:
+        spark.conf.set("spark.hbase_tools.model_dir", "")
+        load_model(spark, SF_DIR)

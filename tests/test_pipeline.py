@@ -502,3 +502,32 @@ def test_curriculum_order_is_banded_permutation(spark):
     assert set(bands) <= {1, 2, 3, 4}
     for b in bands.values():
         assert b >= n_docs * 0.1  # quartile banding, allowing length ties
+
+
+def test_contam_broadcast_guard_fail_fast(spark, monkeypatch):
+    """Round-5 verdict task 5: the decontamination broadcast path must
+    fail fast (not OOM the driver) when the 'benchmark' source is
+    corpus-sized; the error points at the split_leakage shuffle-join
+    shape."""
+    import pytest as _pytest
+
+    from hbase_tools_spark.catalog import Model, load_model
+    from hbase_tools_spark.llm import pipeline as P
+    from conftest import SF_DIR
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e f g h i j k l", "en", P._CONTAM_BENCH, 23),
+            (1, "a b c d e f g h i j k l", "en", "src1", 23),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    monkeypatch.setattr(P, "_CONTAM_BENCH_MAX_SHINGLES", 2)
+    try:
+        docs.createOrReplaceTempView("documents")
+        m = Model(spark, "/tmp/contam_guard_fixture")
+        with _pytest.raises(ValueError, match="split_leakage"):
+            P._bench_shingle_set(m)
+    finally:
+        spark.conf.set("spark.hbase_tools.model_dir", "")
+        load_model(spark, SF_DIR)
