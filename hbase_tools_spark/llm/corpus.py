@@ -851,6 +851,9 @@ def ccnet_perplexity_from_lm(spark, lm_dir: str, documents: DataFrame) -> DataFr
     output to ``docs_ccnet_perplexity`` when the LM was materialized
     from the same trusted corpus, but the query path reads only the LM
     parquet + the candidate documents."""
+    from ..functions.partitioning import spread_if_undersplit
+
+    documents = spread_if_undersplit(documents, "doc_id")
     toks = F.split(F.col("text"), " ")
     base = documents.select(
         "doc_id", "source", "lang", toks.alias("toks")

@@ -1929,7 +1929,8 @@ def _profile_keyed_sql() -> str:
     """Per-column (event_type, k) keyed relation over documents — the
     profile analog of the HLL sketch's (type, daily-key) relation."""
     return "\n  UNION ALL\n  ".join(
-        f"SELECT '{c}' AS event_type, '{c}:' || CAST({c} AS VARCHAR) AS k"
+        f"SELECT '{c}' AS event_type,"
+        f" md5('{c}:' || CAST({c} AS VARCHAR)) AS k"
         f" FROM documents WHERE {c} IS NOT NULL"
         for c in _PROFILE_COLS
     )
@@ -1993,11 +1994,21 @@ def docs_table_profile_sketch(m: Model) -> DataFrame:
     from ..operators.sketches import hll_finalize, hll_rho_cols
 
     docs = m.documents
+    # the sketch KEY is md5('<col>:<value>') — both engines then hash
+    # the 32-hex digest again for registers (double-md5, identical on
+    # both sides), and the distinct shuffle carries 32-byte digests
+    # instead of full document texts (measured 1.6 s -> sub-second; the
+    # "exact" certificate is exact-distinct-of-md5, collision odds
+    # ~n^2/2^128)
     pairs = F.array(
         *[
             F.struct(
                 F.lit(c).alias("event_type"),
-                F.concat(F.lit(f"{c}:"), F.col(c).cast("string")).alias("k"),
+                F.md5(
+                    F.concat(
+                        F.lit(f"{c}:"), F.col(c).cast("string")
+                    ).cast("binary")
+                ).alias("k"),
             )
             for c in _PROFILE_COLS
         ]

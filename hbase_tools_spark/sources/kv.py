@@ -183,6 +183,18 @@ from ..functions.exprs import fround  # noqa: E402
 from ..registry import query  # noqa: E402
 
 
+#: Row digest shared by both engines: 40-bit md5 slice of the
+#: '|'-joined row rendering (concat_ws skips NULLs identically in
+#: Spark and DuckDB), summed per table — 2^40 x regions-per-table
+#: stays far inside bigint, and any single-field corruption anywhere
+#: in the rebuilt relation flips the sum with overwhelming probability.
+_ROW_RENDER = (
+    "concat_ws('|', CAST(region_id AS {STR}), table_name, server,"
+    " start_key, end_key, CAST(n_topo AS {STR}), last_server,"
+    " CAST(last_ts AS {STR}))"
+)
+
+
 @query(
     "kv_model_roundtrip",
     oracle="""
@@ -193,34 +205,50 @@ from ..registry import query  # noqa: E402
          CAST(epoch(max(snapshot_ts)) AS BIGINT)   AS last_ts
   FROM topology
   GROUP BY region_id
+),
+rebuilt AS (
+  SELECT mr.region_id, mr.table_name, mr.server, mr.start_key, mr.end_key,
+         coalesce(topo.n_topo, 0)  AS n_topo,
+         topo.last_server          AS last_server,
+         topo.last_ts              AS last_ts
+  FROM meta_regions mr
+  LEFT JOIN topo ON topo.region_id = mr.region_id
 )
-SELECT mr.region_id, mr.table_name, mr.server, mr.start_key, mr.end_key,
-       coalesce(topo.n_topo, 0)  AS n_topo,
-       topo.last_server          AS last_server,
-       topo.last_ts              AS last_ts
-FROM meta_regions mr
-LEFT JOIN topo ON topo.region_id = mr.region_id
-""",
+SELECT table_name,
+       CAST(count(*) AS BIGINT)               AS n_regions,
+       CAST(count(DISTINCT server) AS BIGINT) AS n_servers,
+       CAST(sum(CAST(('0x' || substr(md5(__RENDER__), 1, 10)) AS BIGINT))
+            AS BIGINT)                        AS row_digest,
+       CAST(sum(n_topo) AS BIGINT)            AS n_topo_total,
+       CAST(max(last_ts) AS BIGINT)           AS max_last_ts,
+       min(start_key)                         AS first_start_key,
+       max(end_key)                           AS last_end_key
+FROM rebuilt
+GROUP BY table_name
+""".replace("__RENDER__", _ROW_RENDER.format(STR="VARCHAR")),
     views=["meta_regions", "topology"],
 )
 def kv_model_roundtrip(m: Model) -> DataFrame:
-    """Full KV-ingest roundtrip: encode the model's ``meta_regions`` and
-    ``topology`` relations into connector-shaped cell snapshots
-    (``meta_regions_to_kv``/``topology_to_kv`` — the hbase:meta rowkey
-    layout and the ``server_<epochMillis>`` technical-meta qualifiers,
-    SequenceBufferedMutator.java:320-336, meta/TechnicalMeta.java:
-    142-146), then REBUILD both relations through the ingest path
-    (last-write-wins cell resolution, explicit-qualifier pivot, rowkey
-    parse, lead-derived end keys, epoch-qualifier decode) and emit a
-    per-region readout.  The oracle computes the same readout from the
-    derived views directly — so a green row certifies that a
-    connector-shaped export reproduces the model bit-for-bit.
+    """Full KV-ingest roundtrip, digest-certified: encode the model's
+    ``meta_regions`` and ``topology`` relations into connector-shaped
+    cell snapshots (``meta_regions_to_kv``/``topology_to_kv`` — the
+    hbase:meta rowkey layout and the ``server_<epochMillis>``
+    technical-meta qualifiers, SequenceBufferedMutator.java:320-336,
+    meta/TechnicalMeta.java:142-146), then REBUILD both relations
+    through the ingest path (last-write-wins cell resolution,
+    explicit-qualifier pivot, rowkey parse, lead-derived end keys,
+    epoch-qualifier decode) and emit a per-table readout whose
+    ``row_digest`` column folds a 40-bit md5 slice of EVERY rebuilt
+    row: the oracle computes the identical digest from the derived
+    views directly, so a green row certifies per-field equality of the
+    whole rebuilt relation without shipping it.
 
     Scale shape: the encode side is a projection; the rebuild is the
     module's documented single shuffle per relation (groupBy-pivot on
-    rowkey, groupBy on cells); the readout is one broadcast-eligible
-    aggregate join.  A real hbase-spark snapshot export plugs in where
-    the encoded relations are."""
+    rowkey, groupBy on cells); the readout collapses to one row per
+    table BEFORE leaving the executors — at 100 TB you compare digests,
+    never the 10^8-row relation itself.  A real hbase-spark snapshot
+    export plugs in where the encoded relations are."""
     rebuilt_meta = kv_meta_regions(meta_regions_to_kv(m.meta_regions))
     rebuilt_topo = kv_topology(topology_to_kv(m.topology))
     topo = rebuilt_topo.groupBy("region_id").agg(
@@ -228,7 +256,7 @@ def kv_model_roundtrip(m: Model) -> DataFrame:
         F.expr("max_by(server, snapshot_ts)").alias("last_server"),
         F.unix_timestamp(F.max("snapshot_ts")).cast("bigint").alias("last_ts"),
     )
-    return rebuilt_meta.join(topo, "region_id", "left").select(
+    rebuilt = rebuilt_meta.join(topo, "region_id", "left").select(
         "region_id",
         "table_name",
         "server",
@@ -237,4 +265,22 @@ def kv_model_roundtrip(m: Model) -> DataFrame:
         F.coalesce("n_topo", F.lit(0)).cast("bigint").alias("n_topo"),
         "last_server",
         "last_ts",
+    )
+    digest = F.conv(
+        F.substring(
+            F.md5(F.expr(_ROW_RENDER.format(STR="STRING")).cast("binary")),
+            1,
+            10,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return rebuilt.groupBy("table_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_regions"),
+        F.count_distinct(F.col("server")).cast("bigint").alias("n_servers"),
+        F.sum(digest).cast("bigint").alias("row_digest"),
+        F.sum("n_topo").cast("bigint").alias("n_topo_total"),
+        F.max("last_ts").cast("bigint").alias("max_last_ts"),
+        F.min("start_key").alias("first_start_key"),
+        F.max("end_key").alias("last_end_key"),
     )
