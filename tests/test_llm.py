@@ -1159,6 +1159,8 @@ def test_ann_recall_scoreboard_consistent_with_legs(spark):
     approx = {
         "lsh": QUERIES["embedding_lsh_topk"].fn(m),
         "ivf": QUERIES["embedding_ivf_topk"].fn(m),
+        "pq": QUERIES["embedding_pq_topk"].fn(m),
+        "ivfpq": QUERIES["embedding_ivfpq_topk"].fn(m),
     }
     hits = {}
     for meth, df in approx.items():
@@ -1199,7 +1201,7 @@ def test_retrieval_ndcg_matches_python_recompute(spark):
         for r in QUERIES["embedding_topk"].fn(m).collect()
     }
     expect = {}
-    for method in ("lsh", "ivf"):
+    for method in ("lsh", "ivf", "pq", "ivfpq"):
         approx = QUERIES[f"embedding_{method}_topk"].fn(m).collect()
         dcg = {q: Decimal(0) for q in range(5)}
         for r in approx:
