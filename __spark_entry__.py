@@ -130,6 +130,7 @@ _EDIT_ROUND = {
     "retrieval_rank_overlap": 6,       # cached exact + lexical legs
     "hybrid_rrf_search": 6,            # cached exact + lexical legs
     "docs_bm25_served": 6,             # content-keyed index memo
+    "events_props_rollup": 6,          # from_json single-parse rewrite
 }
 
 # Debut ordering (never-certified queries first in this sequence, then

@@ -1434,9 +1434,13 @@ def novelty_by_source(m: Model) -> DataFrame:
             )
         ).alias("shingle"),
     )
+    # bc feeds BOTH the first-batch derivation and the merge join, on
+    # DIFFERENT keys — without materialization the explode+aggregate
+    # runs twice (ReuseExchange can't fire across key sets; measured
+    # 2.2 s -> 1.9 s warm, 5.9 -> 2.9 cold with the checkpoint)
     bc = posts.groupBy("source", "batch", "shingle").agg(
         F.count(F.lit(1)).alias("c")
-    )
+    ).localCheckpoint(eager=False)
     fb = bc.groupBy("shingle").agg(F.min("batch").alias("fb"))
     nd = base.groupBy("source", "batch").agg(
         F.count(F.lit(1)).alias("n_docs")
