@@ -139,7 +139,7 @@ _EDIT_ROUND = {
 # round's new queries.
 _DEBUT_PRIORITY = [
     # round-6 debuts (new surface this round)
-    "kv_model_roundtrip", "docs_table_profile_sketch",
+    "kv_model_roundtrip", "docs_table_profile_sketch", "hybrid_rrf_served",
     # heaviest perf outliers first (verdict task 6)
     "stream_attribution", "events_attribution", "events_session_paths",
     "events_transition_matrix", "events_attribution_first",

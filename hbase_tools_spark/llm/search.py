@@ -928,3 +928,23 @@ query(
     oracle=_Q["docs_bm25_topk"].oracle,
     views=[],
 )(docs_bm25_served)
+
+
+def hybrid_rrf_served(m: Model) -> DataFrame:
+    """Hybrid RRF retrieval served END-TO-END from the persisted search
+    stack (:func:`hybrid_rrf_from_index`): probe terms from the
+    doc-bucket-pruned forward index, the lexical leg from bucket-pruned
+    postings/dictionary reads, the semantic leg over the embeddings
+    relation, RRF fusion — bit-identical to ``hybrid_rrf_search`` (same
+    oracle; parity additionally pinned in tests/test_search.py).  This
+    is the query-many production posture for hybrid retrieval: per-query
+    cost is the probes' postings, the corpus text is never rescanned."""
+    idx = _index_artifact_dir(m)
+    return hybrid_rrf_from_index(m.spark, idx, m.embeddings)
+
+
+query(
+    "hybrid_rrf_served",
+    oracle=_Q["hybrid_rrf_search"].oracle,
+    views=[],
+)(hybrid_rrf_served)
