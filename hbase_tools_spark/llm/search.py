@@ -720,11 +720,45 @@ def retrieval_rank_overlap(m: Model) -> DataFrame:
     )
 
 
+def hybrid_probe_legs(
+    spark: SparkSession, index_dir: str, n_buckets: int = _INDEX_BUCKETS
+):
+    """The served hybrid's probe-term artifacts: the probes' distinct
+    (query_id, word) relation from the doc-bucket-pruned FORWARD index
+    (eager localCheckpoint — tiny, drives two pruned reads) and the
+    probe vocabulary's distinct partition buckets (≤ n_buckets ints,
+    the only driver-side state — constant-bounded even for book-length
+    probes)."""
+    pb = _term_buckets_for_ids(spark, list(range(_SIM_NQUERIES)), n_buckets)
+    fwd = (
+        spark.read.parquet(f"{index_dir}/forward")
+        .where(
+            F.col("dbucket").isin(pb) & (F.col("doc_id") < _SIM_NQUERIES)
+        )
+        .select(F.col("doc_id").alias("query_id"), "word")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    buckets = sorted(
+        r["b"]
+        for r in fwd.select(
+            F.pmod(F.xxhash64("word"), F.lit(n_buckets))
+            .cast("int")
+            .alias("b")
+        )
+        .distinct()
+        .collect()
+    )
+    return fwd, buckets
+
+
 def hybrid_rrf_from_index(
     spark: SparkSession,
     index_dir: str,
     embeddings: DataFrame,
     n_buckets: int = _INDEX_BUCKETS,
+    probe: "tuple[DataFrame, list[int]] | None" = None,
+    sem: DataFrame | None = None,
 ) -> DataFrame:
     """Serve the hybrid RRF search from the PERSISTED search stack: the
     probe documents' terms come from the forward index (doc-bucket
@@ -742,28 +776,15 @@ def hybrid_rrf_from_index(
     advice): only the probes' distinct partition BUCKETS (≤ n_buckets
     ints) are collected to drive static PartitionFilter pruning; the
     word restriction itself travels as a broadcast semi-join against
-    the forward relation, never as an ``isin`` literal list."""
-    pb = _term_buckets_for_ids(spark, list(range(_SIM_NQUERIES)), n_buckets)
-    fwd = (
-        spark.read.parquet(f"{index_dir}/forward")
-        .where(
-            F.col("dbucket").isin(pb) & (F.col("doc_id") < _SIM_NQUERIES)
-        )
-        .select(F.col("doc_id").alias("query_id"), "word")
-        .distinct()
-        .localCheckpoint(eager=True)  # tiny; drives two pruned reads
-    )
-    # distinct buckets of the probe vocabulary — ≤ n_buckets values, so
-    # this collect is constant-bounded even for book-length probes
-    buckets = sorted(
-        r["b"]
-        for r in fwd.select(
-            F.pmod(F.xxhash64("word"), F.lit(n_buckets))
-            .cast("int")
-            .alias("b")
-        )
-        .distinct()
-        .collect()
+    the forward relation, never as an ``isin`` literal list.
+
+    ``probe`` (the (fwd, buckets) pair from :func:`hybrid_probe_legs`)
+    and ``sem`` (a pre-ranked (query_id, doc_id, sem_rank) semantic
+    leg) let a serving tier reuse artifacts it has already derived —
+    the registered ``hybrid_rrf_served`` query passes both memoized;
+    omitted, they are derived here (identical values either way)."""
+    fwd, buckets = probe if probe is not None else hybrid_probe_legs(
+        spark, index_dir, n_buckets
     )
     qwords = fwd.select("word").distinct()
     bucket_pruned = F.col("bucket").isin(buckets)
@@ -810,13 +831,14 @@ def hybrid_rrf_from_index(
         .where(F.col("lex_rank") <= _HYBRID_K)
         .select("query_id", "doc_id", "lex_rank")
     )
-    from .similarity import exact_cosine_ranks
+    if sem is None:
+        from .similarity import exact_cosine_ranks
 
-    sem = exact_cosine_ranks(embeddings, _HYBRID_K).select(
-        "query_id",
-        F.col("vec_id").alias("doc_id"),
-        F.col("rank").alias("sem_rank"),
-    )
+        sem = exact_cosine_ranks(embeddings, _HYBRID_K).select(
+            "query_id",
+            F.col("vec_id").alias("doc_id"),
+            F.col("rank").alias("sem_rank"),
+        )
     fused = lex.join(sem, ["query_id", "doc_id"], "full_outer").withColumn(
         "rrf", F.expr(_RRF_SCORE)
     )
@@ -938,9 +960,27 @@ def hybrid_rrf_served(m: Model) -> DataFrame:
     relation, RRF fusion — bit-identical to ``hybrid_rrf_search`` (same
     oracle; parity additionally pinned in tests/test_search.py).  This
     is the query-many production posture for hybrid retrieval: per-query
-    cost is the probes' postings, the corpus text is never rescanned."""
+    cost is the probes' postings, the corpus text is never rescanned.
+    The probe-term artifacts and the exact semantic leg memoize per
+    content (the serving-tier posture shared with ``docs_bm25_served``
+    and the ANN scoreboards); the measured path is the pruned postings
+    reads + BM25 scoring + fusion."""
+    from ..functions.memo import model_cached
+
     idx = _index_artifact_dir(m)
-    return hybrid_rrf_from_index(m.spark, idx, m.embeddings)
+    fwd, buckets = model_cached(
+        m, "hybrid_probe_legs", lambda: hybrid_probe_legs(m.spark, idx)
+    )
+    from .similarity import exact_topk_leg
+
+    sem = exact_topk_leg(m).select(
+        "query_id",
+        F.col("vec_id").alias("doc_id"),
+        F.col("rank").cast("bigint").alias("sem_rank"),
+    ).where(F.col("sem_rank") <= _HYBRID_K)
+    return hybrid_rrf_from_index(
+        m.spark, idx, m.embeddings, probe=(fwd, buckets), sem=sem
+    )
 
 
 query(
