@@ -51,8 +51,14 @@ def _dep_fingerprint(spark, deps: tuple[str, ...]) -> str:
     Stable across re-reads of the same parquet path; changes whenever a
     view is re-registered over different content (a fresh LogicalRDD /
     LocalRelation canonicalizes to a different hash).  Analysis-only —
-    no job runs."""
-    parts = []
+    no job runs.
+
+    The Spark application id is part of the fingerprint: cached values
+    may be DataFrames holding localCheckpoint blocks, which die with
+    their session — a restarted session in the same process must
+    rebuild rather than be served a dead handle (parquet-backed views
+    would otherwise fingerprint identically across sessions)."""
+    parts = [spark.sparkContext.applicationId]
     for dep in deps:
         df = spark.table(dep)
         parts.append(str(df._jdf.queryExecution().analyzed().semanticHash()))
