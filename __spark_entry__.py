@@ -140,6 +140,7 @@ _EDIT_ROUND = {
 _DEBUT_PRIORITY = [
     # round-6 debuts (new surface this round)
     "kv_model_roundtrip", "docs_table_profile_sketch", "hybrid_rrf_served",
+    "docs_bm25_stream_served",
     # heaviest perf outliers first (verdict task 6)
     "stream_attribution", "events_attribution", "events_session_paths",
     "events_transition_matrix", "events_attribution_first",

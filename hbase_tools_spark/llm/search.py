@@ -988,3 +988,79 @@ query(
     oracle=_Q["hybrid_rrf_search"].oracle,
     views=[],
 )(hybrid_rrf_served)
+
+
+def _stream_index_artifact_dir(m: Model) -> str:
+    """Build the inverted index by draining the documents fixture
+    through the EXACTLY-ONCE streaming ingest (foreachBatch +
+    per-batch_id dynamic partition overwrite), once per
+    (session, documents-content), and memoize the path — the
+    continuous-crawl production shape.  The streamed source reads the
+    fixture parquet from sf_dir directly (streams cannot read temp
+    views), so this serving path assumes the registered ``documents``
+    view mirrors the on-disk fixture — true for every driver/gate
+    context; fixture-swapping tests must not use it."""
+    import tempfile
+
+    from ..functions.memo import model_cached
+    from ..streaming.jobs import documents_stream
+
+    def build() -> str:
+        import atexit
+        import os
+        import shutil
+
+        base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+        out = tempfile.mkdtemp(prefix="bm25_stream_index_", dir=base)
+        atexit.register(shutil.rmtree, out, ignore_errors=True)
+        ckpt = tempfile.mkdtemp(prefix="bm25_stream_ckpt_", dir=base)
+        atexit.register(shutil.rmtree, ckpt, ignore_errors=True)
+        q = index_ingest_stream(
+            documents_stream(m.spark, m.sf_dir).select("doc_id", "text"),
+            out,
+            ckpt,
+        )
+        q.awaitTermination()
+        return out
+
+    return model_cached(m, "bm25_stream_index_dir", build)
+
+
+def docs_bm25_stream_served(m: Model) -> DataFrame:
+    """BM25 top-{20} served from an index built by the EXACTLY-ONCE
+    STREAMING ingest — the complete continuous-crawl production loop
+    certified end-to-end against the batch oracle: documents arrive as
+    a stream, foreachBatch lands each micro-batch idempotently in the
+    partitioned index (additive dictionary/statistics partials), and
+    the serving path prunes to the query terms' buckets.  Output is
+    bit-identical to ``docs_bm25_topk`` (same oracle) — the additive
+    index serves exactly like a full rebuild, which is the whole
+    design claim of the ingest path."""
+    idx = _stream_index_artifact_dir(m)
+
+    def _terms() -> list[str]:
+        occ = (
+            m.spark.read.parquet(f"{idx}/postings")
+            .groupBy("word")
+            .agg(F.sum("tf").alias("n_occ"))
+        )
+        rows = occ.orderBy(F.desc("n_occ"), "word").limit(_QTERM_HI).collect()
+        return [r["word"] for r in rows[_QTERM_LO - 1 : _QTERM_HI]]
+
+    from ..functions.memo import model_cached
+
+    terms = model_cached(m, "bm25_stream_served_terms", _terms)
+    served = bm25_topk_from_index(m.spark, idx, terms)
+    d = m.documents.select("doc_id", "source")
+    return (
+        F.broadcast(served)
+        .join(d, "doc_id")
+        .select("doc_id", "source", "n_terms", "score", "rank")
+    )
+
+
+query(
+    "docs_bm25_stream_served",
+    oracle=_Q["docs_bm25_topk"].oracle,
+    views=[],
+)(docs_bm25_stream_served)
