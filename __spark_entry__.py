@@ -131,6 +131,7 @@ _EDIT_ROUND = {
     "hybrid_rrf_search": 6,            # cached exact + lexical legs
     "docs_bm25_served": 6,             # content-keyed index memo
     "events_props_rollup": 6,          # from_json single-parse rewrite
+    "bpe_merge_steps": 6,              # per-round 1-row checkpoint
 }
 
 # Debut ordering (never-certified queries first in this sequence, then

@@ -776,6 +776,13 @@ def _bpe_chain(m: Model) -> tuple[list[DataFrame], DataFrame]:
                 F.replace(F.col("pair"), F.lit(" "), F.lit("")).alias("merged"),
                 "n",
             )
+            # 1-ROW checkpoint per round, within this invocation (NOT a
+            # cross-run memo — training is still fully measured): each
+            # best feeds BOTH the output union and the next round's
+            # fold, and the union's branches otherwise re-execute every
+            # earlier round's aggregate (the multi-branch-union trap,
+            # NOTES.md); measured 3.9 s -> 2.5 s warm at sf0.1.
+            .localCheckpoint(eager=False)
         )
         merges.append(best)
         cur = (
