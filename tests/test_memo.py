@@ -87,3 +87,43 @@ def test_bm25_served_not_stale_after_fixture_swap(spark):
     finally:
         spark.conf.set("spark.hbase_tools.model_dir", "")
         load_model(spark, SF_DIR)
+
+
+def test_ann_scoreboard_legs_not_stale_after_embeddings_swap(spark):
+    """The memoized exact/served ANN legs must re-derive when the
+    embeddings view is re-registered with different content — same
+    staleness class as the served BM25 index, for the vector side."""
+    from hbase_tools_spark.catalog import Model, load_model
+    from hbase_tools_spark.llm.similarity import exact_topk_leg
+
+    def emb(seed: int):
+        import math
+
+        rows = [
+            (
+                v,
+                [math.sin(0.1 * (v * 7 + seed) * (d + 1)) for d in range(64)],
+                v % 3,
+            )
+            for v in range(12)
+        ]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+
+    m = Model(spark, "/tmp/memo_ann_fixture")
+    try:
+        def snap():
+            # full-row snapshot (scores included): the neighbor SET can
+            # coincide across fixtures, the score values cannot
+            return sorted(map(tuple, exact_topk_leg(m).toPandas().astype(str).values.tolist()))
+
+        emb(1).createOrReplaceTempView("embeddings")
+        first = snap()
+        assert first
+        emb(2).createOrReplaceTempView("embeddings")
+        second = snap()
+        assert first != second
+    finally:
+        spark.conf.set("spark.hbase_tools.model_dir", "")
+        load_model(spark, SF_DIR)
