@@ -53,5 +53,10 @@ def test_cert_ledger_is_mechanical():
         if e._CERT_ROUND.get(n) is None
         or e._CERT_ROUND[n] < e._EDIT_ROUND.get(n, 0)
     }
+    # The first min(len(backlog), 50) queue slots must be backlog
+    # entries even when the backlog exceeds the driver budget — the
+    # regime the ~50-query invariant exists for (round-6 ADVICE).
+    head = min(len(backlog), 50)
+    assert set(order[:head]) <= backlog
     if len(backlog) <= 50:
         assert backlog <= set(order[: len(backlog)])
