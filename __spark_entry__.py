@@ -125,6 +125,9 @@ _CERT_ROUND = {
 
 _EDIT_ROUND = {
     # round-7 edits land here as they happen (cert < edit => re-certify).
+    "events_props_rollup": 7,       # try_cast coercion-parity fix
+    "docs_bm25_stream_served": 7,   # sf_dir-keyed memo + view guard
+    "hybrid_rrf_search": 7,         # de-memoized legs (scan-path twin)
 }
 
 # Debut ordering (never-certified queries first in this sequence, then

@@ -195,14 +195,30 @@ def main() -> None:
 
     spark_secs: dict[str, float] = {}  # best-of — per-query artifact
     spark_med: dict[str, float] = {}  # median — headline aggregates
+    # Memoized-artifact honesty (round-6 verdict task 1): run 1 of each
+    # query pays any pretrained-artifact build (LM relations, indexes,
+    # ground-truth rankings) that later runs serve warm; record it as
+    # cold_secs beside the median, and flag queries that consulted the
+    # artifact memo at all (functions/memo.py).  Ordering caveat stated
+    # in the artifact: a SHARED artifact is built by the first family
+    # member the bench reaches, so only that member's cold_secs carries
+    # the build — the per-family build cost, not per-query.
+    spark_cold: dict[str, float] = {}  # run-1 — includes artifact build
+    memoized: list[str] = []  # queries serving from the artifact memo
+    from hbase_tools_spark.functions import memo as _memo
+
     import gc
 
     for name in names:
         times = []
+        t_before = _memo.touches()
         for _ in range(runs):
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).toPandas()
             times.append(time.perf_counter() - t0)
+        if _memo.touches() > t_before:
+            memoized.append(name)
+        spark_cold[name] = round(times[0], 4)
         spark_secs[name] = round(min(times), 4)
         spark_med[name] = round(statistics.median(times), 4)
         # free py4j refs so ContextCleaner can unpersist this query's
@@ -297,11 +313,17 @@ def main() -> None:
         "n_over_2x": len(over_2x),
         "runs": runs,
         "aggregation": "median",
+        # run-1 total: includes every memoized artifact's build cost
+        # exactly once per family (see spark_cold note above) — the
+        # cold-start bound the warm median cannot show.
+        "cold_total": round(sum(spark_cold.values()), 4),
     }
     out = dict(
         headline,
         queries={n: round(s, 3) for n, s in spark_secs.items()},
         queries_median={n: round(s, 3) for n, s in spark_med.items()},
+        queries_cold={n: round(s, 3) for n, s in spark_cold.items()},
+        memoized_queries=sorted(memoized),
         duckdb=duck_secs,
         duckdb_median=duck_med,
         vs_duckdb_per_query=ratios,

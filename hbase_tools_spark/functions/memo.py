@@ -36,9 +36,21 @@ from typing import Any, Callable
 
 _CACHE: dict[tuple, Any] = {}
 
+#: Monotone counter of memo LOOKUPS (hit or miss).  bench.py diffs it
+#: around each query run to annotate which queries serve from memoized
+#: artifacts (round-6 verdict: the artifact must separate build cost
+#: from warm serving instead of hiding the build in run 1 of 5).
+_TOUCHES = 0
+
+
+def touches() -> int:
+    return _TOUCHES
+
 
 def sf_cached(sf_dir: str, key: str, builder: Callable[[], Any]) -> Any:
     """Return the memoized value for (sf_dir, key), building it once."""
+    global _TOUCHES
+    _TOUCHES += 1
     k = (sf_dir, key)
     if k not in _CACHE:
         _CACHE[k] = builder()
@@ -77,6 +89,8 @@ def model_cached(
     registered views (pretrained artifacts, checkpointed relations);
     use plain ``sf_cached`` only for values derived from the immutable
     fixture files themselves."""
+    global _TOUCHES
+    _TOUCHES += 1
     fp = _dep_fingerprint(m.spark, deps)
     k = (m.sf_dir, key, fp)
     if k not in _CACHE:

@@ -100,27 +100,32 @@ def _bench_shingle_set(m: Model) -> frozenset:
     consumers cannot drift apart.  Shingling and dedup run
     DISTRIBUTED (explode + distinct); only the distinct shingle
     strings — the very payload consumers broadcast — ever reach the
-    driver, never full document texts.  A distributed pre-count
-    fail-fasts if the suite exceeds ``_CONTAM_BENCH_MAX_SHINGLES``
-    (a corpus mis-pointed as the benchmark) instead of OOMing the
-    driver — the corpus-scale screen is the ``split_leakage``
-    shuffle-join shape."""
+    driver, never full document texts.  The guard and the collect share
+    ONE pipeline execution: ``limit(BOUND + 1)`` caps what can reach
+    the driver, and one surplus row proves the suite exceeds
+    ``_CONTAM_BENCH_MAX_SHINGLES`` (a corpus mis-pointed as the
+    benchmark) — fail fast instead of OOMing the driver; the
+    corpus-scale screen is the ``split_leakage`` shuffle-join shape."""
     from ..functions.memo import model_cached
 
     def build() -> frozenset:
         sh = _shingles_exploded(
             m.documents.where(F.col("source") == _CONTAM_BENCH)
         ).select("shingle").distinct()
-        n = sh.count()  # distributed; the collect below is then bounded
-        if n > _CONTAM_BENCH_MAX_SHINGLES:
+        # One job: the limit bounds driver transfer even in the failure
+        # case, and >BOUND rows means the guard fired (round-6 ADVICE:
+        # the previous count()-then-collect() ran the explode+distinct
+        # pipeline twice per cold build).
+        rows = sh.limit(_CONTAM_BENCH_MAX_SHINGLES + 1).collect()
+        if len(rows) > _CONTAM_BENCH_MAX_SHINGLES:
             raise ValueError(
-                f"benchmark source {_CONTAM_BENCH!r} has {n} distinct "
-                f"shingles (> {_CONTAM_BENCH_MAX_SHINGLES}); the broadcast "
-                "decontamination path is for suite-sized benchmarks — use "
-                "the split_leakage shuffle-join shape for corpus-scale "
-                "screens"
+                f"benchmark source {_CONTAM_BENCH!r} exceeds "
+                f"{_CONTAM_BENCH_MAX_SHINGLES} distinct shingles; the "
+                "broadcast decontamination path is for suite-sized "
+                "benchmarks — use the split_leakage shuffle-join shape "
+                "for corpus-scale screens"
             )
-        return frozenset(r["shingle"] for r in sh.collect())
+        return frozenset(r["shingle"] for r in rows)
 
     return model_cached(m, "contam_bench_set", build)
 

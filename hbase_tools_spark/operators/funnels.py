@@ -313,8 +313,13 @@ def events_props_rollup(m: Model) -> DataFrame:
     # an exact-integer double then casts identically everywhere.
     # from_json with an explicit schema parses the document ONCE into
     # a typed struct (get_json_object re-walked the JSON per reference;
-    # measured 1.17 s -> 0.63 s warm at sf0.1).
-    kd = F.from_json("props", "k double").getField("k")
+    # measured 1.17 s -> 0.63 s warm at sf0.1).  Extract as STRING and
+    # try_cast: a "k double" schema NULLs quoted numerics ("k":"12.5")
+    # under PERMISSIVE parsing while the oracle's
+    # TRY_CAST(json_extract_string(...)) coerces them — string->double
+    # via try_cast (NULL on malformed, never ANSI-throws) is the
+    # coercion path both engines share (round-6 ADVICE).
+    kd = F.from_json("props", "k string").getField("k").try_cast("double")
     k = F.floor(kd).cast("bigint")
     return (
         m.events.select(

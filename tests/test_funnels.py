@@ -600,3 +600,64 @@ def test_markov_attribution_matches_decimal_replay(spark):
             Decimal(math.floor(float(run_chain(ch)) * 1e6 + 0.5)) / Decimal(10**6)
         )
         assert got[ch] == (want_full, want_rm), (ch, got[ch], want_full, want_rm)
+
+
+def test_props_rollup_quoted_numeric_parity(spark):
+    """Quoted numerics ("k":"7") must coerce identically in both
+    engines (round-6 ADVICE: a "k double" from_json schema NULLed them
+    on the Spark side while the oracle's TRY_CAST coerced them —
+    certification only held because the fixtures emit bare numbers)."""
+    import duckdb
+
+    from hbase_tools_spark.catalog import load_model
+
+    rows = [
+        (0, "a", 1.0, '{"k": 3}'),        # bare integer
+        (1, "a", 2.0, '{"k": "7"}'),      # QUOTED integer — the trap
+        (2, "a", 4.0, '{"k": "12.5"}'),   # quoted fractional -> gated
+        (3, "b", 8.0, '{"k": 12.5}'),     # bare fractional -> gated
+        (4, "b", 16.0, '{"k": "abc"}'),   # non-numeric -> NULL both
+        (5, "b", 32.0, "{}"),             # absent -> NULL both
+        (6, "b", 64.0, '{"k": "17"}'),    # quoted integer, 2nd group
+    ]
+    spark.createDataFrame(
+        [(i, t, v, p) for i, t, v, p in rows],
+        "event_id long, event_type string, value double, props string",
+    ).createOrReplaceTempView("events")
+    try:
+        from hbase_tools_spark.catalog import Model
+
+        got = sorted(
+            map(
+                tuple,
+                QUERIES["events_props_rollup"]
+                .fn(Model(spark, "/tmp/props_parity_fixture"))
+                .toPandas()
+                .astype(str)
+                .values.tolist(),
+            )
+        )
+        con = duckdb.connect()
+        vals = ", ".join(
+            f"({i}, '{t}', {v}, '{p}')" for i, t, v, p in rows
+        )
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM (VALUES "
+            + vals
+            + ") t(event_id, event_type, value, props)"
+        )
+        want = sorted(
+            map(
+                tuple,
+                con.sql(QUERIES["events_props_rollup"].oracle)
+                .fetchdf()
+                .astype(str)
+                .values.tolist(),
+            )
+        )
+        assert got == want
+        # the quoted-integer rows must have been COUNTED, not NULLed
+        assert any("7" == r[-3] or "7" in r for r in got)
+    finally:
+        spark.conf.set("spark.hbase_tools.model_dir", "")
+        load_model(spark, SF_DIR)

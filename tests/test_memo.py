@@ -127,3 +127,29 @@ def test_ann_scoreboard_legs_not_stale_after_embeddings_swap(spark):
     finally:
         spark.conf.set("spark.hbase_tools.model_dir", "")
         load_model(spark, SF_DIR)
+
+
+def test_stream_served_guards_against_view_swap(spark):
+    """The streaming-ingested index is built from the ON-DISK fixture
+    (streams cannot read temp views), so its serving path must REFUSE a
+    swapped documents view instead of silently diverging (round-6
+    advice: the old content-keyed memo rebuilt from the old files)."""
+    import pytest
+
+    from hbase_tools_spark.catalog import Model, load_model
+    from hbase_tools_spark.llm.search import (
+        _assert_documents_is_fixture_backed,
+    )
+
+    m = Model(spark, SF_DIR)
+    try:
+        load_model(spark, SF_DIR)
+        _assert_documents_is_fixture_backed(m)  # fixture-backed: fine
+        _docs(spark, [(0, "alpha beta", "en", "s0", 10)]).createOrReplaceTempView(
+            "documents"
+        )
+        with pytest.raises(ValueError, match="does not match the on-disk"):
+            _assert_documents_is_fixture_backed(m)
+    finally:
+        spark.conf.set("spark.hbase_tools.model_dir", "")
+        load_model(spark, SF_DIR)
