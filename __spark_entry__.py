@@ -128,6 +128,7 @@ _EDIT_ROUND = {
     "events_props_rollup": 7,       # try_cast coercion-parity fix
     "docs_bm25_stream_served": 7,   # sf_dir-keyed memo + view guard
     "hybrid_rrf_search": 7,         # de-memoized legs (scan-path twin)
+    "events_markov_attribution": 7,  # broadcast step joins (SMJ -> BHJ)
 }
 
 # Debut ordering (never-certified queries first in this sequence, then
