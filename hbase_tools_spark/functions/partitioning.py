@@ -103,17 +103,38 @@ def two_phase_agg(
 
 def spread_if_undersplit(df: DataFrame, key_col: str) -> DataFrame:
     """Repartition a SCAN relation by ``key_col`` when it has fewer
-    input splits than the cluster has slots.
+    input splits than the work needs — sized by BOTH the cluster's
+    slots and the relation's bytes, so per-partition data stays within
+    executor memory at any scale (the round-6 sf10 probes measured a
+    pinned-4-partition downstream spill inflating a 13 s query to a
+    34 s median; the 64-partition re-measure removed it — this encodes
+    that sizing rule in the plan instead of in docs).
 
-    At real scale a table's split count dwarfs the parallelism and this
-    is a no-op (the probe is ``inputFiles()`` — pure metadata, no RDD
-    materialization); on single-file local fixtures it spreads the
-    map-side work (Arrow passes, collect_list partials, explodes)
-    across cores instead of one task.  Only meaningful directly above a
-    scan — downstream relations inherit shuffle partitioning anyway.
+    Target partitions = max(defaultParallelism,
+    ceil(stats.sizeInBytes / spark.sql.files.maxPartitionBytes)) — the
+    same per-split byte budget the scan planner itself uses.  The probe
+    is pure metadata (``inputFiles()`` + optimizer stats from parquet
+    footers; no RDD materialization).  At real scale a table's split
+    count dwarfs the target and this is a no-op; on single-file local
+    fixtures it spreads the map-side work (Arrow passes, collect_list
+    partials, explodes) across cores instead of one task.  Only
+    meaningful directly above a scan — downstream relations inherit
+    shuffle partitioning anyway.
     """
     spark = df.sparkSession
-    n_parts = spark.sparkContext.defaultParallelism
-    if len(df.inputFiles()) < n_parts:
-        return df.repartition(n_parts, key_col)
+    n_slots = spark.sparkContext.defaultParallelism
+    try:
+        size = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        # JVM-side parse handles "128m"-style conf values
+        max_pb = int(
+            spark._jsparkSession.sessionState().conf().filesMaxPartitionBytes()
+        )
+        by_bytes = -(-size // max(max_pb, 1))  # ceil
+    except Exception:  # stats unavailable (e.g. RDD-backed) — slots only
+        by_bytes = 0
+    n_target = max(n_slots, min(by_bytes, 4096))
+    if len(df.inputFiles()) < n_target:
+        return df.repartition(n_target, key_col)
     return df
