@@ -134,7 +134,9 @@ _EDIT_ROUND = {
 # Debut ordering (never-certified queries first in this sequence, then
 # any remaining debuts in registration order).  All 177 pre-round-7
 # queries are certified (r1–r6 union); round-7 debuts go here.
-_DEBUT_PRIORITY: list[str] = []
+_DEBUT_PRIORITY: list[str] = [
+    "topology_store_roundtrip",  # r7: the last uncertified sink family
+]
 
 
 def _ordered_names() -> list[str]:

@@ -138,3 +138,133 @@ def write_bucketed_table(
         .sortBy(key)
         .saveAsTable(name)
     )
+
+
+# ---------------------------------------------------------------------------
+# Digest certificate for the topology partition store — the SC5/S8/J7
+# sink family faced the oracle only through pytest until round 7 (the
+# round-6 verdict's last uncertified sink).  Same trick as
+# kv_model_roundtrip (sources/kv.py): the store's full content folds to
+# a per-server 40-bit-md5 digest readout the oracle replays from the
+# `topology` view, so a green row certifies the written+retained store
+# byte-for-byte without shipping it.
+# ---------------------------------------------------------------------------
+
+from ..registry import query  # noqa: E402
+
+_STORE_WINDOW_SEC = 48 * 3600  # epochs written to the store
+_STORE_TTL_SEC = 24 * 3600     # retention: expire_topology drops older
+_STORE_ASOF_LAG = 3600         # as-of probe: floor at latest - 1h
+
+_TOPO_RENDER = (
+    "concat_ws('|', CAST(e AS {STR}), CAST(region_id AS {STR}), server)"
+)
+
+
+@query(
+    "topology_store_roundtrip",
+    oracle=f"""
+, t AS (
+  SELECT CAST(epoch(snapshot_ts) AS BIGINT) AS e, region_id, server
+  FROM topology
+),
+mx AS (SELECT max(e) AS me FROM t),
+kept AS (
+  SELECT t.e, t.region_id, t.server
+  FROM t, mx
+  WHERE t.e > mx.me - {_STORE_WINDOW_SEC} AND mx.me - t.e <= {_STORE_TTL_SEC}
+),
+af AS (
+  SELECT max(kept.e) AS ae FROM kept, mx WHERE kept.e <= mx.me - {_STORE_ASOF_LAG}
+)
+SELECT server,
+       CAST(count(*) AS BIGINT)                  AS n_rows,
+       CAST(count(DISTINCT region_id) AS BIGINT) AS n_regions,
+       CAST(sum(CAST(('0x' || substr(md5({_TOPO_RENDER.format(STR='VARCHAR')}), 1, 10))
+            AS BIGINT)) AS BIGINT)               AS row_digest,
+       CAST(min(e) AS BIGINT)                    AS min_epoch,
+       CAST(max(e) AS BIGINT)                    AS max_epoch,
+       CAST((SELECT ae FROM af) AS BIGINT)       AS asof_epoch,
+       CAST(sum(CASE WHEN e = (SELECT ae FROM af) THEN 1 ELSE 0 END)
+            AS BIGINT)                           AS n_asof_rows
+FROM kept
+GROUP BY server
+""",
+    views=["topology"],
+)
+def topology_store_roundtrip(m) -> DataFrame:
+    """Topology-store roundtrip, digest-certified: write the last {48}h
+    of topology snapshots into the partition store (bulk partitioned
+    append + the NEWEST epoch through the real ``snapshot_topology``
+    SC5 sink), expire partitions past the {24}h TTL through
+    ``expire_topology`` (S8 — the reference's technical-meta row TTL,
+    meta/TechnicalMeta.java:160-186), resolve the as-of floor epoch at
+    latest-1h through the partition-pruned ``read_topology_asof`` (J7,
+    meta/TechnicalMeta.java:156), then read the RETAINED store back and
+    emit a per-server readout whose ``row_digest`` folds a 40-bit md5
+    slice of every stored row — the oracle computes the identical
+    digest from the ``topology`` view, so a green row certifies the
+    written+expired store content per-field.
+
+    Scale shape: the store write is one partitioned append (partition
+    per snapshot epoch — as-of reads prune to one partition, retention
+    is a partition drop, never a scan); the readout collapses per
+    server BEFORE leaving the executors.  The only driver values are
+    the 1-row max-epoch probe and the bounded dropped-partition list."""
+    import atexit
+    import tempfile
+
+    spark = m.spark
+    topo = m.topology.select(
+        F.unix_timestamp("snapshot_ts").cast("bigint").alias("e"),
+        "region_id",
+        "server",
+    )
+    me = topo.agg(F.max("e")).collect()[0][0]  # 1-row bounded probe
+    recent = topo.where(F.col("e") > me - _STORE_WINDOW_SEC)
+    store = tempfile.mkdtemp(prefix="topology_store_")
+    atexit.register(shutil.rmtree, store, ignore_errors=True)
+    # bulk history: one partitioned append (the layout SC5 creates)
+    (
+        recent.where(F.col("e") < me)
+        .withColumnRenamed("e", "snapshot_epoch")
+        .write.mode("append")
+        .partitionBy("snapshot_epoch")
+        .parquet(store)
+    )
+    # the newest snapshot goes through the SC5 sink itself
+    snapshot_topology(recent.where(F.col("e") == me).drop("e"), store, me)
+    expire_topology(spark, store, now_ts=me, ttl_sec=_STORE_TTL_SEC)
+    kept = spark.read.parquet(store).select(
+        F.col("snapshot_epoch").cast("bigint").alias("e"),
+        "region_id",
+        "server",
+    )
+    ae = (
+        read_topology_asof(spark, store, me - _STORE_ASOF_LAG)
+        .agg(F.max(F.col("snapshot_epoch").cast("bigint")).alias("ae"))
+    )
+    digest = F.conv(
+        F.substring(
+            F.md5(F.expr(_TOPO_RENDER.format(STR="STRING")).cast("binary")),
+            1,
+            10,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        kept.crossJoin(F.broadcast(ae))
+        .groupBy("server")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.count_distinct(F.col("region_id")).cast("bigint").alias("n_regions"),
+            F.sum(digest).cast("bigint").alias("row_digest"),
+            F.min("e").cast("bigint").alias("min_epoch"),
+            F.max("e").cast("bigint").alias("max_epoch"),
+            F.max("ae").cast("bigint").alias("asof_epoch"),
+            F.sum(F.when(F.col("e") == F.col("ae"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_asof_rows"),
+        )
+    )
