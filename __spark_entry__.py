@@ -136,6 +136,7 @@ _EDIT_ROUND = {
 # queries are certified (r1–r6 union); round-7 debuts go here.
 _DEBUT_PRIORITY: list[str] = [
     "topology_store_roundtrip",  # r7: the last uncertified sink family
+    "kv_admin_roundtrip",        # r7: lock-table + health-probe KV decode
 ]
 
 

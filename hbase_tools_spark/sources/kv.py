@@ -284,3 +284,248 @@ def kv_model_roundtrip(m: Model) -> DataFrame:
         F.min("start_key").alias("first_start_key"),
         F.max("end_key").alias("last_end_key"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 KV breadth (round-6 verdict task 7): the remaining reference
+# table families as connector-shaped data — the lock table
+# (meta/TableLock.java:40-108: rowkey = process, cf 'cf', qualifiers
+# LOCKED_BY = pid / LOCK = resource, TTL'd puts) and the health-probe
+# table (analyze/HBaseHealthAnalyzeService.java:137-175: rowkey =
+# region start key + 4-byte salt, qualifier REGION_CHECK_TIME).
+# ---------------------------------------------------------------------------
+
+LOCK_CF = "cf"                      # TableLock.java:21
+Q_LOCKED_BY = "LOCKED_BY"           # TableLock.java:22
+Q_LOCK = "LOCK"                     # TableLock.java:23
+Q_PROBE = "REGION_CHECK_TIME"       # HBaseHealthAnalyzeService.java:153
+
+#: Logical lock TTL in sequence units (the reference TTLs lock puts in
+#: wall-millis, TableLock.java:72; with the fixture's logical event
+#: clock the same liveness rule is 'within the last N sequence ticks').
+LOCK_TTL_SEQ = 50
+
+
+def kv_locks(kv: DataFrame) -> DataFrame:
+    """Decode the lock table: current holder per process — last-write-
+    wins over the LOCKED_BY/LOCK qualifiers exactly like
+    ``TableLock.getCurrentTableLock`` (TableLock.java:85-108) reads the
+    newest cell per qualifier.  One shuffle (the shared
+    ``latest_cells`` LWW); output is (process, pid, resource,
+    lock_seq) where lock_seq is the winning LOCKED_BY cell's ts."""
+    cells = latest_cells(kv.filter(F.col("cf") == LOCK_CF))
+    by = cells.filter(F.col("qualifier") == Q_LOCKED_BY).select(
+        F.col("rowkey").alias("process"),
+        F.col("value").alias("pid"),
+        F.col("ts").alias("lock_seq"),
+    )
+    lk = cells.filter(F.col("qualifier") == Q_LOCK).select(
+        F.col("rowkey").alias("process"), F.col("value").alias("resource")
+    )
+    return by.join(lk, "process", "left")
+
+
+def kv_health_probes(kv: DataFrame) -> DataFrame:
+    """Decode health-probe rows: rowkey = ``<start_key>#<salt8hex>``
+    (the reference appends 4 random salt BYTES to the region start key,
+    HBaseHealthAnalyzeService.java:168-175; the printable '#'+hex form
+    is this repo's X2 binary-to-printable convention), qualifier
+    REGION_CHECK_TIME, value = the check-time rendering.  LWW per
+    probe row, then the salt parse — (start_key, salt, check_time,
+    probe_seq)."""
+    cells = latest_cells(kv.filter(F.col("cf") == TECH_CF)).filter(
+        F.col("qualifier") == Q_PROBE
+    )
+    return cells.select(
+        F.substring_index("rowkey", "#", 1).alias("start_key"),
+        F.substring_index("rowkey", "#", -1).alias("salt"),
+        F.col("value").alias("check_time"),
+        F.col("ts").alias("probe_seq"),
+    )
+
+
+def locks_to_kv(attempts: DataFrame) -> DataFrame:
+    """Encode lock-acquire attempts as TableLock-shaped cells: each
+    attempt puts LOCKED_BY = pid and LOCK = resource under the process
+    rowkey (TableLock.java:70-82).  ``attempts`` columns: process,
+    seq, pid, resource."""
+    base = attempts.select(
+        F.col("process").alias("rowkey"),
+        F.lit(LOCK_CF).alias("cf"),
+        F.col("seq").cast("bigint").alias("ts"),
+        "pid",
+        "resource",
+    )
+    return base.select(
+        "rowkey", "cf", F.lit(Q_LOCKED_BY).alias("qualifier"), "ts",
+        F.col("pid").alias("value"),
+    ).unionAll(
+        base.select(
+            "rowkey", "cf", F.lit(Q_LOCK).alias("qualifier"), "ts",
+            F.col("resource").alias("value"),
+        )
+    )
+
+
+def probes_to_kv(meta_regions: DataFrame) -> DataFrame:
+    """Encode one health-probe row per region: salted start-key rowkey
+    + REGION_CHECK_TIME cell (HBaseHealthAnalyzeService.java:137-160;
+    the salt is the md5-derived deterministic stand-in for the
+    reference's 4 random bytes so the oracle can replay it)."""
+    rid = F.col("region_id").cast("string")
+    return meta_regions.select(
+        F.concat(
+            F.col("start_key"), F.lit("#"),
+            F.substring(F.md5(rid.cast("binary")), 1, 8),
+        ).alias("rowkey"),
+        F.lit(TECH_CF).alias("cf"),
+        F.lit(Q_PROBE).alias("qualifier"),
+        F.col("region_id").cast("bigint").alias("ts"),
+        (F.col("region_id") % 86400).cast("string").alias("value"),
+    )
+
+
+_LOCK_RENDER = (
+    "concat_ws('|', process, pid, resource,"
+    " CASE WHEN now_seq - lock_seq <= {ttl} THEN 'held' ELSE 'expired' END)"
+)
+_PROBE_RENDER = (
+    "concat_ws('|', start_key, salt, check_time, CAST(probe_seq AS {STR}))"
+)
+
+
+@query(
+    "kv_admin_roundtrip",
+    oracle=f"""
+, att AS (
+  SELECT concat('proc_', event_type)              AS process,
+         event_id                                 AS seq,
+         CAST(user_id AS VARCHAR)                 AS pid,
+         concat('res_', CAST(user_id % 4 AS VARCHAR)) AS resource
+  FROM events
+),
+mxs AS (SELECT max(seq) AS now_seq FROM att),
+cur AS (
+  SELECT process,
+         arg_max(pid, seq)        AS pid,
+         arg_max(resource, seq)   AS resource,
+         max(seq)                 AS lock_seq,
+         CAST(count(*) AS BIGINT) AS n_rows
+  FROM att GROUP BY process
+),
+lockrows AS (
+  SELECT 'lock' AS kind, process AS key, n_rows,
+         CAST(('0x' || substr(md5(
+              {_LOCK_RENDER.format(ttl=LOCK_TTL_SEQ)}), 1, 10)) AS BIGINT)
+           AS row_digest,
+         CAST(lock_seq AS BIGINT) AS max_seq,
+         pid AS holder, resource
+  FROM cur, mxs
+),
+pr AS (
+  SELECT start_key, table_name,
+         substr(md5(CAST(region_id AS VARCHAR)), 1, 8) AS salt,
+         CAST(region_id % 86400 AS VARCHAR)            AS check_time,
+         region_id                                     AS probe_seq
+  FROM meta_regions
+),
+proberows AS (
+  SELECT 'probe' AS kind, table_name AS key,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(CAST(('0x' || substr(md5(
+              {_PROBE_RENDER.format(STR='VARCHAR')}), 1, 10)) AS BIGINT))
+              AS BIGINT)          AS row_digest,
+         CAST(max(probe_seq) AS BIGINT) AS max_seq,
+         min(salt) AS holder, max(salt) AS resource
+  FROM pr GROUP BY table_name
+)
+SELECT * FROM lockrows UNION ALL SELECT * FROM proberows
+""",
+    views=["meta_regions"],
+)
+def kv_admin_roundtrip(m: Model) -> DataFrame:
+    """Lock-table + health-probe KV roundtrip, digest-certified — the
+    two reference table families kv_model_roundtrip does not cover
+    (round-6 verdict task 7).  A lock-attempt history derived from
+    events encodes as TableLock-shaped cells and decodes back through
+    ``kv_locks`` (LWW holder per process + TTL liveness folded into
+    the digest); one probe row per region encodes as the salted
+    health-table cells and decodes through ``kv_health_probes``, then
+    re-associates to its table via the start key.  The readout is one
+    row per process/table with a 40-bit-md5 digest over every decoded
+    row, so a green row certifies both decode paths per-field.
+
+    Scale shape: both decodes are the module's single-shuffle LWW; the
+    probe/table re-association is an equi-join on the globally-unique
+    start key; readouts collapse per key before leaving the executors.
+    No driver values at all."""
+    ev = m.events.select(
+        F.concat(F.lit("proc_"), F.col("event_type")).alias("process"),
+        F.col("event_id").cast("bigint").alias("seq"),
+        F.col("user_id").cast("string").alias("pid"),
+        F.concat(
+            F.lit("res_"), (F.col("user_id") % 4).cast("string")
+        ).alias("resource"),
+    )
+    locks = kv_locks(locks_to_kv(ev))
+    now = ev.agg(F.max("seq").alias("now_seq"))
+    n_att = ev.groupBy("process").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    )
+    lock_digest = F.conv(
+        F.substring(
+            F.md5(
+                F.expr(_LOCK_RENDER.format(ttl=LOCK_TTL_SEQ)).cast("binary")
+            ),
+            1,
+            10,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    lockrows = (
+        locks.join(n_att, "process")
+        .crossJoin(F.broadcast(now))
+        .select(
+            F.lit("lock").alias("kind"),
+            F.col("process").alias("key"),
+            "n_rows",
+            lock_digest.alias("row_digest"),
+            F.col("lock_seq").cast("bigint").alias("max_seq"),
+            F.col("pid").alias("holder"),
+            "resource",
+        )
+    )
+    probes = kv_health_probes(probes_to_kv(m.meta_regions))
+    probe_digest = F.conv(
+        F.substring(
+            F.md5(F.expr(_PROBE_RENDER.format(STR="STRING")).cast("binary")),
+            1,
+            10,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    proberows = (
+        probes.join(
+            m.meta_regions.select("start_key", "table_name"), "start_key"
+        )
+        .groupBy("table_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(probe_digest).cast("bigint").alias("row_digest"),
+            F.max("probe_seq").cast("bigint").alias("max_seq"),
+            F.min("salt").alias("holder"),
+            F.max("salt").alias("resource"),
+        )
+        .select(
+            F.lit("probe").alias("kind"),
+            F.col("table_name").alias("key"),
+            "n_rows",
+            "row_digest",
+            "max_seq",
+            "holder",
+            "resource",
+        )
+    )
+    return lockrows.unionAll(proberows)

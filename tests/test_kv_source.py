@@ -82,3 +82,45 @@ def test_queries_green_on_kv_model(spark, ducksql, tmp_path, name):
     ddf = ducksql(q.oracle)
     assert sorted(sdf.columns) == sorted(ddf.columns)
     assert normalize(sdf) == normalize(ddf)
+
+
+def test_kv_locks_last_write_wins_and_tombstone(spark):
+    """TableLock semantics as data: the newest LOCKED_BY/LOCK cells win
+    per process, and a tombstoned LOCKED_BY removes the lock row."""
+    kv = spark.createDataFrame(
+        [
+            ("proc_a", "cf", "LOCKED_BY", 1, "11"),
+            ("proc_a", "cf", "LOCK", 1, "res_1"),
+            ("proc_a", "cf", "LOCKED_BY", 5, "22"),   # newer attempt wins
+            ("proc_a", "cf", "LOCK", 5, "res_2"),
+            ("proc_b", "cf", "LOCKED_BY", 3, "33"),
+            ("proc_b", "cf", "LOCK", 3, "res_3"),
+            ("proc_b", "cf", "LOCKED_BY", 9, None),   # tombstone: released
+        ],
+        "rowkey string, cf string, qualifier string, ts long, value string",
+    )
+    rows = {r["process"]: r for r in kvmod.kv_locks(kv).collect()}
+    assert rows["proc_a"]["pid"] == "22"
+    assert rows["proc_a"]["resource"] == "res_2"
+    assert rows["proc_a"]["lock_seq"] == 5
+    assert "proc_b" not in rows  # tombstoned LOCKED_BY drops the lock
+
+
+def test_kv_health_probes_salt_parse(spark):
+    """The salted rowkey parses back to (start_key, salt); LWW keeps
+    the newest check per probe row."""
+    kv = spark.createDataFrame(
+        [
+            ("000000000001#0a1b2c3d", "cf", "REGION_CHECK_TIME", 7, "100"),
+            ("000000000001#0a1b2c3d", "cf", "REGION_CHECK_TIME", 9, "200"),
+            ("000000000002#ffee0011", "cf", "REGION_CHECK_TIME", 4, "300"),
+        ],
+        "rowkey string, cf string, qualifier string, ts long, value string",
+    )
+    rows = sorted(
+        kvmod.kv_health_probes(kv).collect(), key=lambda r: r["start_key"]
+    )
+    assert [r["start_key"] for r in rows] == ["000000000001", "000000000002"]
+    assert rows[0]["salt"] == "0a1b2c3d"
+    assert rows[0]["check_time"] == "200" and rows[0]["probe_seq"] == 9
+    assert rows[1]["check_time"] == "300"
