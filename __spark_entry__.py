@@ -137,6 +137,7 @@ _EDIT_ROUND = {
 _DEBUT_PRIORITY: list[str] = [
     "topology_store_roundtrip",  # r7: the last uncertified sink family
     "kv_admin_roundtrip",        # r7: lock-table + health-probe KV decode
+    "embedding_ivf_stream_served",  # r7: streamed ANN index, served
 ]
 
 

@@ -87,3 +87,24 @@ def load_model(spark: SparkSession, sf_dir: str) -> Model:
         )
     spark.conf.set("spark.hbase_tools.model_dir", sf_dir)
     return Model(spark, sf_dir)
+
+
+def assert_view_matches_fixture(m: Model, view: str) -> None:
+    """Guard for serving paths whose persisted artifact is built from
+    the ON-DISK fixture (streaming ingests cannot read temp views): the
+    registered view must BE that fixture, or the artifact silently
+    diverges from what queries see.  Compares analyzed-plan semantic
+    hashes — analysis-only, no job — and raises on mismatch (the
+    round-6 ADVICE staleness class, generalized in round 7 for the
+    vector-side ingest).  Only valid for views load_model registers as
+    plain parquet reads (no timestamp normalization), e.g. documents
+    and embeddings."""
+    disk = m.spark.read.parquet(os.path.join(m.sf_dir, f"{view}.parquet"))
+    h = lambda df: df._jdf.queryExecution().analyzed().semanticHash()  # noqa: E731
+    if h(m.spark.table(view)) != h(disk):
+        raise ValueError(
+            f"the registered '{view}' view does not match the on-disk "
+            f"fixture at {m.sf_dir}/{view}.parquet; the stream-ingested "
+            "artifact would diverge from the view — re-register the "
+            "fixture view (load_model) or use the batch path"
+        )

@@ -1005,18 +1005,9 @@ def _assert_documents_is_fixture_backed(m: Model) -> None:
     (round-6 ADVICE): compare the view's analyzed-plan semanticHash
     against a fresh read of the fixture path — analysis-only, no job.
     A swapped view raises instead of silently serving stale data."""
-    import os
+    from ..catalog import assert_view_matches_fixture
 
-    view = m.spark.table("documents")
-    disk = m.spark.read.parquet(os.path.join(m.sf_dir, "documents.parquet"))
-    h = lambda df: df._jdf.queryExecution().analyzed().semanticHash()  # noqa: E731
-    if h(view) != h(disk):
-        raise ValueError(
-            "the registered 'documents' view does not match the on-disk "
-            f"fixture at {m.sf_dir}/documents.parquet; the streaming-"
-            "ingested index would diverge from the view — re-register "
-            "the fixture view (load_model) or use the batch index path"
-        )
+    assert_view_matches_fixture(m, "documents")
 
 
 def _stream_index_artifact_dir(m: Model) -> str:

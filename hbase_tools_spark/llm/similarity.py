@@ -592,10 +592,26 @@ def materialize_ivf_index(emb: DataFrame, out_dir: str) -> None:
     The assignment scan reuses the same strict index-order quantizer as
     the per-query path, so index reads reproduce the direct search
     bit-for-bit (equality pinned in tests)."""
-    import pandas as pd
-
     cent = _label_centroids(emb)
     cent_rows = [(int(r["label"]), list(r["c"])) for r in cent.collect()]
+    cent.select(F.col("label").alias("cell"), "c").write.mode("overwrite").parquet(
+        out_dir + "/centroids"
+    )
+    (
+        _assigned(emb, cent_rows)
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(out_dir + "/assignments")
+    )
+
+
+def _assigned(emb: DataFrame, cent_rows: list) -> DataFrame:
+    """(vec_id, cell, embedding) under the FIXED quantizer ``cent_rows``
+    — the shared assignment scan of the batch materialize and the
+    streaming ingest (one Arrow pass, no shuffle; the quantizer is a
+    tiny closure constant, the 100 TB broadcast)."""
+    import pandas as pd
+
     cell_ids, cmat, cnorm = _quantizer(cent_rows)
 
     def assign_scan(batches):
@@ -614,15 +630,54 @@ def materialize_ivf_index(emb: DataFrame, out_dir: str) -> None:
                 }
             )
 
-    cent.select(F.col("label").alias("cell"), "c").write.mode("overwrite").parquet(
-        out_dir + "/centroids"
+    return emb.select("vec_id", "embedding").mapInPandas(
+        assign_scan, "vec_id long, cell int, embedding array<float>"
     )
+
+
+def ivf_ingest_batch(
+    batch_emb: DataFrame, index_dir: str, batch_id: int, cent_rows: list
+) -> None:
+    """One replay-idempotent ANN-index ingest cycle — the vector-side
+    twin of ``search.index_ingest_batch``: the batch's vectors are
+    assigned under the PRETRAINED quantizer (in production the
+    quantizer trains on a corpus snapshot and arriving vectors stream
+    into its cells; retraining per batch would shift every existing
+    assignment) and overwrite ONLY their own ``batch_id=N`` partitions
+    via dynamic partition overwrite.  At-least-once reprocessing +
+    idempotent per-partition output = exactly-once index state.
+    Serving (:func:`ivf_topk_from_index`) is additive across batches —
+    inverted lists are row-unions — and its cell pruning composes with
+    the batch_id level (same replay contract and recovery note as the
+    inverted-index ingest)."""
     (
-        emb.select("vec_id", "embedding")
-        .mapInPandas(assign_scan, "vec_id long, cell int, embedding array<float>")
+        _assigned(batch_emb, cent_rows)
+        .withColumn("batch_id", F.lit(batch_id))
         .write.mode("overwrite")
-        .partitionBy("cell")
-        .parquet(out_dir + "/assignments")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id", "cell")
+        .parquet(index_dir + "/assignments")
+    )
+
+
+def ivf_ingest_stream(
+    emb_stream: DataFrame, index_dir: str, checkpoint_dir: str, cent_rows: list
+):
+    """Continuous ANN-index ingest: every arriving micro-batch of
+    vectors lands in the persisted IVF index through the idempotent
+    batch cycle (AvailableNow drains a backlog deterministically;
+    ProcessingTime is the continuous production loop)."""
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        ivf_ingest_batch(batch_df, index_dir, batch_id, cent_rows)
+
+    return (
+        emb_stream.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
     )
 
 
@@ -2197,3 +2252,75 @@ def retrieval_ndcg(m: Model) -> DataFrame:
         F.round(dcg0, 6).cast("double").alias("dcg"),
         fround(dcg0.cast("double") / F.lit(float(_ideal_dcg())), 6).alias("ndcg"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming-ingested ANN serving (round 7): the vector-side twin of
+# docs_bm25_stream_served — vectors arrive as a stream, land in the
+# persisted IVF index exactly-once, and serving from that index is
+# bit-identical to the direct search.
+# ---------------------------------------------------------------------------
+
+
+def _stream_ivf_index_dir(m: Model) -> str:
+    """Build the IVF index by draining the embeddings fixture through
+    the EXACTLY-ONCE streaming ingest, once per fixture dir, and
+    memoize the path.  The quantizer (per-label centroid relation)
+    trains ONCE from the corpus snapshot and is persisted beside the
+    inverted lists — the pretrained-quantizer production posture; the
+    stream only ever assigns.  Keyed on sf_dir because the build reads
+    the on-disk fixture; every consumer first asserts the registered
+    view mirrors it (catalog.assert_view_matches_fixture)."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from ..functions.memo import sf_cached
+    from ..streaming.jobs import embeddings_stream
+
+    def build() -> str:
+        base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+        out = tempfile.mkdtemp(prefix="ivf_stream_index_", dir=base)
+        atexit.register(shutil.rmtree, out, ignore_errors=True)
+        ckpt = tempfile.mkdtemp(prefix="ivf_stream_ckpt_", dir=base)
+        atexit.register(shutil.rmtree, ckpt, ignore_errors=True)
+        emb = m.spark.read.parquet(os.path.join(m.sf_dir, "embeddings.parquet"))
+        cent = _label_centroids(emb)
+        cent_rows = [(int(r["label"]), list(r["c"])) for r in cent.collect()]
+        cent.select(F.col("label").alias("cell"), "c").write.mode(
+            "overwrite"
+        ).parquet(out + "/centroids")
+        q = ivf_ingest_stream(
+            embeddings_stream(m.spark, m.sf_dir), out, ckpt, cent_rows
+        )
+        q.awaitTermination()
+        return out
+
+    return sf_cached(m.sf_dir, "ivf_stream_index_dir", build)
+
+
+from ..registry import QUERIES as _Q  # noqa: E402 — reuse the direct oracle
+
+
+def embedding_ivf_stream_served(m: Model) -> DataFrame:
+    """IVF ANN search served from an index built by the EXACTLY-ONCE
+    STREAMING ingest — the complete continuous-embedding production
+    loop certified end-to-end against the direct-search oracle: vectors
+    arrive as a stream, foreachBatch lands each micro-batch
+    idempotently under the pretrained quantizer (dynamic partition
+    overwrite per batch_id), and serving prunes to the probes' cells.
+    Output is bit-identical to ``embedding_ivf_topk`` (same oracle) —
+    the additive inverted lists serve exactly like a full rebuild,
+    which is the design claim of the ingest path."""
+    from ..catalog import assert_view_matches_fixture
+
+    assert_view_matches_fixture(m, "embeddings")
+    return ivf_topk_from_index(m.spark, _stream_ivf_index_dir(m))
+
+
+query(
+    "embedding_ivf_stream_served",
+    oracle=_Q["embedding_ivf_topk"].oracle,  # already view-composed
+    views=[],
+)(embedding_ivf_stream_served)

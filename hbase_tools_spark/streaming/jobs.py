@@ -141,6 +141,23 @@ def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.readStream.schema(schema).parquet(stage)
 
 
+def embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``readStream`` over the embeddings fixture — the arriving-vector
+    feed for the streaming ANN-index ingest (round 7; same staging as
+    ``documents_stream``)."""
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    stage = os.path.join(
+        "/tmp",
+        "hbase_tools_stream",
+        sf_dir.strip("/").replace("/", "_") + "_embeddings",
+    )
+    _stage_links(path, stage, "embeddings")
+    schema = _SCHEMA_CACHE.get(path)
+    if schema is None:
+        schema = _SCHEMA_CACHE[path] = spark.read.parquet(path).schema
+    return spark.readStream.schema(schema).parquet(stage)
+
+
 def run_to_table(
     stream_df: DataFrame,
     name: str,

@@ -1238,3 +1238,63 @@ def test_exact_cosine_ranks_helper_pins_to_embedding_topk(spark):
         for r in QUERIES["embedding_topk"].fn(m).collect()
     }
     assert helper == query and helper
+
+
+def test_ivf_stream_ingest_additive_and_replay_idempotent(spark, tmp_path):
+    """The streaming ANN ingest contract: (a) an index built in two
+    batch cycles serves exactly like the single-shot materialize, and
+    (b) replaying a batch_id (the foreachBatch at-least-once case)
+    leaves the served result unchanged."""
+    from hbase_tools_spark.catalog import load_model
+    from hbase_tools_spark.llm.similarity import (
+        _label_centroids,
+        ivf_ingest_batch,
+        ivf_topk_from_index,
+        materialize_ivf_index,
+    )
+    from pyspark.sql import functions as F
+
+    m = load_model(spark, SF_DIR)
+    full = str(tmp_path / "ivf_full")
+    materialize_ivf_index(m.embeddings, full)
+
+    inc = str(tmp_path / "ivf_inc")
+    cent = _label_centroids(m.embeddings)
+    cent_rows = [(int(r["label"]), list(r["c"])) for r in cent.collect()]
+    cent.select(F.col("label").alias("cell"), "c").write.mode(
+        "overwrite"
+    ).parquet(inc + "/centroids")
+    lo = m.embeddings.where(F.col("vec_id") % 2 == 0)
+    hi = m.embeddings.where(F.col("vec_id") % 2 == 1)
+    ivf_ingest_batch(lo, inc, 0, cent_rows)
+    ivf_ingest_batch(hi, inc, 1, cent_rows)
+
+    key = lambda r: (r["query_id"], r["rank"])
+    want = sorted(map(tuple, ivf_topk_from_index(spark, full).collect()))
+    got = sorted(map(tuple, ivf_topk_from_index(spark, inc).collect()))
+    assert got == want
+    # replay batch 1 with the same composition: exactly-once state
+    ivf_ingest_batch(hi, inc, 1, cent_rows)
+    again = sorted(map(tuple, ivf_topk_from_index(spark, inc).collect()))
+    assert again == want
+
+
+def test_ivf_stream_served_guards_view_swap(spark):
+    """The streamed ANN index is built from the ON-DISK fixture, so its
+    serving path must refuse a swapped embeddings view."""
+    import pytest
+
+    from hbase_tools_spark.catalog import load_model
+    from hbase_tools_spark.llm.similarity import embedding_ivf_stream_served
+
+    m = load_model(spark, SF_DIR)
+    try:
+        spark.createDataFrame(
+            [(0, [0.1] * 8, 1)],
+            "vec_id long, embedding array<float>, label int",
+        ).createOrReplaceTempView("embeddings")
+        with pytest.raises(ValueError, match="does not match the on-disk"):
+            embedding_ivf_stream_served(m)
+    finally:
+        spark.conf.set("spark.hbase_tools.model_dir", "")
+        load_model(spark, SF_DIR)
