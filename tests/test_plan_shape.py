@@ -141,6 +141,8 @@ def test_no_unjustified_cartesian_or_nested_loop_join(spark):
         "docs_bm25_topk",  # (n_docs, avgdl) statistics: broadcast 1-row agg
         "docs_bm25_served",  # same 1-row stats broadcast, from the index
         "docs_bm25_stream_served",  # same serving plan over the streamed index
+        "kv_admin_roundtrip",  # lock now_seq: broadcast 1-row max agg
+        "topology_store_roundtrip",  # as-of floor epoch: broadcast 1-row agg
         "hybrid_rrf_search",  # same 1-row corpus-stats broadcast in the lexical leg
         "hybrid_rrf_served",  # same lexical-leg stats broadcast, served legs
         "retrieval_rank_overlap",  # same lexical leg; plus the 10-row weight lookup
