@@ -138,6 +138,7 @@ _DEBUT_PRIORITY: list[str] = [
     "topology_store_roundtrip",  # r7: the last uncertified sink family
     "kv_admin_roundtrip",        # r7: lock-table + health-probe KV decode
     "embedding_ivf_stream_served",  # r7: streamed ANN index, served
+    "minhash_stream_served",        # r7: streamed signature store, paired
 ]
 
 

@@ -1298,3 +1298,40 @@ def test_ivf_stream_served_guards_view_swap(spark):
     finally:
         spark.conf.set("spark.hbase_tools.model_dir", "")
         load_model(spark, SF_DIR)
+
+
+def test_signature_stream_store_additive_and_replay_idempotent(spark, tmp_path):
+    """The streaming signature ingest contract: a store built in two
+    batch cycles pairs exactly like the single-shot materialize, and a
+    replayed batch_id leaves the pair relation unchanged."""
+    from hbase_tools_spark.catalog import load_model
+    from hbase_tools_spark.llm.dedup import (
+        materialize_signatures,
+        pairs_from_signatures,
+        signature_ingest_batch,
+    )
+    from pyspark.sql import functions as F
+
+    m = load_model(spark, SF_DIR)
+    full = str(tmp_path / "sig_full")
+    materialize_signatures(m.documents, full)
+    want = sorted(
+        map(tuple, pairs_from_signatures(spark.read.parquet(full)).collect())
+    )
+
+    inc = str(tmp_path / "sig_inc")
+    lo = m.documents.where(F.col("doc_id") % 2 == 0)
+    hi = m.documents.where(F.col("doc_id") % 2 == 1)
+    signature_ingest_batch(lo, inc, 0)
+    signature_ingest_batch(hi, inc, 1)
+    read = lambda: sorted(
+        map(
+            tuple,
+            pairs_from_signatures(
+                spark.read.parquet(inc).select("doc_id", "sig")
+            ).collect(),
+        )
+    )
+    assert read() == want
+    signature_ingest_batch(hi, inc, 1)  # replay: exactly-once state
+    assert read() == want
