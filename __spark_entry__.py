@@ -139,6 +139,7 @@ _DEBUT_PRIORITY: list[str] = [
     "kv_admin_roundtrip",        # r7: lock-table + health-probe KV decode
     "embedding_ivf_stream_served",  # r7: streamed ANN index, served
     "minhash_stream_served",        # r7: streamed signature store, paired
+    "table_lifecycle_roundtrip",    # r7: SC7/SC8/SC9 digest certificate
 ]
 
 

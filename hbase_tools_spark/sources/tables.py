@@ -268,3 +268,102 @@ def topology_store_roundtrip(m) -> DataFrame:
             .alias("n_asof_rows"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Digest certificate for the table-lifecycle actions (round 7): SC7
+# copy / SC8 replace-with-backup / SC9 drop faced only pytest until
+# now.  Same digest trick as the topology store: the copied, replaced,
+# and backed-up tables' full content folds to per-stage readouts the
+# oracle replays from the meta_regions view.
+# ---------------------------------------------------------------------------
+
+_LC_RENDER = (
+    "concat_ws('|', CAST(region_id AS {STR}), table_name, server,"
+    " start_key, end_key)"
+)
+
+
+def _lifecycle_readout(spark: SparkSession, path: str, stage: str) -> DataFrame:
+    """One eager per-stage digest row over a table directory.  Eager
+    (localCheckpoint) because later lifecycle actions RENAME these
+    directories — the readout must capture the state at its point in
+    the sequence, not at collect time."""
+    df = spark.read.parquet(path)
+    digest = F.conv(
+        F.substring(
+            F.md5(F.expr(_LC_RENDER.format(STR="STRING")).cast("binary")), 1, 10
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(digest).cast("bigint").alias("row_digest"),
+            F.count_distinct(F.col("table_name")).cast("bigint").alias("n_tables"),
+        )
+        .select(F.lit(stage).alias("stage"), "n_rows", "row_digest", "n_tables")
+        .localCheckpoint(eager=True)
+    )
+
+
+_LC_ORACLE_AGG = """
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(CAST(('0x' || substr(md5({render}), 1, 10)) AS BIGINT))
+              AS BIGINT)          AS row_digest,
+         CAST(count(DISTINCT table_name) AS BIGINT) AS n_tables
+  FROM meta_regions{where}
+"""
+
+
+@query(
+    "table_lifecycle_roundtrip",
+    oracle=f"""
+, full_s AS ({_LC_ORACLE_AGG.format(render=_LC_RENDER.format(STR='VARCHAR'), where='')}),
+half_s AS ({_LC_ORACLE_AGG.format(render=_LC_RENDER.format(STR='VARCHAR'), where=' WHERE region_id % 2 = 0')})
+SELECT 'copied' AS stage, n_rows, row_digest, n_tables FROM full_s
+UNION ALL
+SELECT 'replaced' AS stage, n_rows, row_digest, n_tables FROM half_s
+UNION ALL
+SELECT 'backup' AS stage, n_rows, row_digest, n_tables FROM full_s
+UNION ALL
+SELECT 'dropped_src' AS stage, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+       CAST(0 AS BIGINT)
+""",
+    views=["meta_regions"],
+)
+def table_lifecycle_roundtrip(m) -> DataFrame:
+    """Table-lifecycle roundtrip, digest-certified: materialize
+    meta_regions as a source table, COPY it (SC7 — the reference's
+    snapshot→clone→drop-snapshot, common/HBaseStaticHelper.java:18-39),
+    REPLACE the copy with a new version keeping the ``origin_*`` backup
+    (SC8 — copy-backup-swap, :41-86), DROP the source (SC9 —
+    HBaseToolsHelper.java:19-42), and emit one digest row per stage:
+    the copy must equal the source relation, the replaced table the new
+    version, the backup the ORIGINAL — all certified per-field against
+    the oracle's view-side digests without shipping any table.
+
+    Stage readouts are EAGER (checkpointed 1-row aggregates) because
+    the later actions rename the directories the earlier reads point
+    at; the only driver values are those 1-row digests."""
+    import atexit
+    import tempfile
+
+    spark = m.spark
+    work = tempfile.mkdtemp(prefix="tbl_lifecycle_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    src, dst, newver = f"{work}/src", f"{work}/dst", f"{work}/newver"
+    m.meta_regions.write.parquet(src)
+    copy_table(spark, src, dst)  # SC7
+    copied = _lifecycle_readout(spark, dst, "copied")
+    m.meta_regions.where(F.col("region_id") % 2 == 0).write.parquet(newver)
+    backup = replace_table(spark, newver, dst)  # SC8
+    replaced = _lifecycle_readout(spark, dst, "replaced")
+    backup_r = _lifecycle_readout(spark, backup, "backup")
+    drop_table(spark, src)  # SC9
+    gone = spark.createDataFrame(
+        [("dropped_src", 0 if not _exists(src) else -1, 0, 0)],
+        "stage string, n_rows long, row_digest long, n_tables long",
+    )
+    return copied.unionAll(replaced).unionAll(backup_r).unionAll(gone)
