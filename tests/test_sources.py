@@ -78,3 +78,42 @@ def test_topology_snapshots_retention_and_asof(spark, tmp_path):
     # as-of after expiry still answers from what remains
     asof2 = T.read_topology_asof(spark, store, 99999)
     assert asof2.select("snapshot_epoch").distinct().collect()[0][0] == 3000
+
+
+def test_roundtrip_stores_rebuild_on_view_swap(spark):
+    """The memoized store/stage records must re-derive when their
+    source view is re-registered with different content — the same
+    staleness class as the served BM25 index (the memo reads the VIEW,
+    so content keying is sufficient; round-7 memoization)."""
+    from conftest import SF_DIR
+
+    from hbase_tools_spark.catalog import Model, load_model
+    from hbase_tools_spark.registry import QUERIES
+
+    m = Model(spark, SF_DIR)
+    try:
+        load_model(spark, SF_DIR)
+
+        def digests(name):
+            return sorted(
+                map(
+                    tuple,
+                    QUERIES[name].fn(m).toPandas().astype(str).values.tolist(),
+                )
+            )
+
+        topo_first = digests("topology_store_roundtrip")
+        lc_first = digests("table_lifecycle_roundtrip")
+        # swap topology: drop one server's rows — digest must change
+        spark.table("topology").where("server <> 's1'").createOrReplaceTempView(
+            "topology"
+        )
+        assert digests("topology_store_roundtrip") != topo_first
+        # swap meta_regions: halve it — stage digests must change
+        spark.table("meta_regions").where(
+            "region_id % 3 = 0"
+        ).createOrReplaceTempView("meta_regions")
+        assert digests("table_lifecycle_roundtrip") != lc_first
+    finally:
+        spark.conf.set("spark.hbase_tools.model_dir", "")
+        load_model(spark, SF_DIR)
