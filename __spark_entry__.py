@@ -41,106 +41,93 @@ SF0001 = "/root/testdata/sf0.001"
 _CERT_ROUND = {
     "analyzer_distribution_hist": 6, "analyzer_filecount_hist": 6,
     "analyzer_locality_hist": 6, "analyzer_size_hist": 6,
-    "analyzer_table_size": 3, "analyzer_weight_stats": 3,
-    "ann_recall_at_k": 6, "bigram_pmi_top": 6, "bloom_contamination": 6,
-    "bpe_encode_tokens": 6, "bpe_merge_steps": 6, "busiest_emptiest": 3,
-    "compaction_plan": 3, "corpus_dataset_card": 6,
-    "corpus_mixture_weights": 4, "corpus_novelty_curve": 6,
-    "corpus_rollup_stats": 5, "corpus_stats_by_lang": 5,
-    "corpus_temperature_mixture": 6, "corpus_version_diff": 5,
-    "distribution_candidates": 3, "distribution_weight": 3,
-    "doc_fingerprints": 4, "doc_winnow_fingerprints": 4,
-    "docs_bm25_served": 6, "docs_bm25_stream_served": 6,
-    "docs_bm25_topk": 5, "docs_budget_selection": 6,
-    "docs_ccnet_perplexity": 6, "docs_ccnet_perplexity_served": 6,
-    "docs_char_entropy": 4, "docs_chunk_spans": 4,
-    "docs_curriculum_order": 5, "docs_dedup_canonical": 4,
-    "docs_dsir_weights": 6, "docs_dup_spans": 6, "docs_epoch_shuffle": 5,
-    "docs_exact_dedup": 4, "docs_gopher_rules": 6,
+    "analyzer_table_size": 7, "analyzer_weight_stats": 7, "ann_recall_at_k": 6,
+    "bigram_pmi_top": 6, "bloom_contamination": 6, "bpe_encode_tokens": 6,
+    "bpe_merge_steps": 6, "busiest_emptiest": 7, "compaction_plan": 7,
+    "corpus_dataset_card": 6, "corpus_mixture_weights": 4,
+    "corpus_novelty_curve": 6, "corpus_rollup_stats": 5,
+    "corpus_stats_by_lang": 5, "corpus_temperature_mixture": 6,
+    "corpus_version_diff": 5, "distribution_candidates": 7,
+    "distribution_weight": 7, "doc_fingerprints": 4,
+    "doc_winnow_fingerprints": 4, "docs_bm25_served": 6,
+    "docs_bm25_stream_served": 7, "docs_bm25_topk": 5,
+    "docs_budget_selection": 6, "docs_ccnet_perplexity": 6,
+    "docs_ccnet_perplexity_served": 6, "docs_char_entropy": 4,
+    "docs_chunk_spans": 4, "docs_curriculum_order": 5,
+    "docs_dedup_canonical": 4, "docs_dsir_weights": 6, "docs_dup_spans": 6,
+    "docs_epoch_shuffle": 5, "docs_exact_dedup": 4, "docs_gopher_rules": 6,
     "docs_kneser_ney_perplexity": 6, "docs_length_percentile_filter": 6,
     "docs_length_quantile_sketch": 5, "docs_lr_quality_train": 5,
-    "docs_neardup_survivors": 4, "docs_pack_bins": 4,
-    "docs_prefix_dedup": 4, "docs_quality_filter": 5,
-    "docs_repetition_ratio": 4, "docs_span_removed": 6,
-    "docs_split_assign": 4, "docs_stratified_sample": 4,
-    "docs_table_profile": 5, "docs_table_profile_sketch": 6,
-    "docs_weighted_sample": 6, "docs_window_dedup": 4,
-    "embedding_int8_topk": 4, "embedding_ivf_kmeans_topk": 6,
+    "docs_neardup_survivors": 4, "docs_pack_bins": 4, "docs_prefix_dedup": 4,
+    "docs_quality_filter": 5, "docs_repetition_ratio": 4,
+    "docs_span_removed": 6, "docs_split_assign": 4,
+    "docs_stratified_sample": 4, "docs_table_profile": 5,
+    "docs_table_profile_sketch": 6, "docs_weighted_sample": 6,
+    "docs_window_dedup": 4, "embedding_int8_topk": 4,
+    "embedding_ivf_kmeans_topk": 6, "embedding_ivf_stream_served": 7,
     "embedding_ivf_topk": 4, "embedding_ivfpq_topk": 6,
     "embedding_label_outliers": 6, "embedding_lsh_topk": 4,
-    "embedding_neardup_pairs": 4, "embedding_pq_topk": 6,
-    "embedding_topk": 4, "events_anomaly_zscore": 4,
-    "events_asof_assignment": 5, "events_attribution": 6,
-    "events_attribution_first": 6, "events_attribution_position": 6,
-    "events_cms_heavy_hitters": 5, "events_funnel": 4,
-    "events_heavy_hitters": 4, "events_hll_cardinality": 5,
-    "events_kmv_overlap": 5, "events_markov_attribution": 5,
-    "events_props_rollup": 6, "events_retention_cohorts": 4,
-    "events_salted_rollup": 3, "events_session_paths": 6,
+    "embedding_neardup_pairs": 4, "embedding_pq_topk": 6, "embedding_topk": 4,
+    "events_anomaly_zscore": 4, "events_asof_assignment": 5,
+    "events_attribution": 6, "events_attribution_first": 6,
+    "events_attribution_position": 6, "events_cms_heavy_hitters": 5,
+    "events_funnel": 4, "events_heavy_hitters": 4, "events_hll_cardinality": 5,
+    "events_kmv_overlap": 5, "events_markov_attribution": 7,
+    "events_props_rollup": 7, "events_retention_cohorts": 4,
+    "events_salted_rollup": 7, "events_session_paths": 6,
     "events_sessionize": 4, "events_transition_matrix": 6,
-    "events_user_cardinality": 3, "flush_plan": 3,
-    "health_check_eligible": 3, "health_probe_plan": 3,
-    "hybrid_rrf_search": 6, "hybrid_rrf_served": 6,
-    "kv_model_roundtrip": 6, "lang_id_heuristic": 4, "lsh_band_sweep": 4,
-    "lsh_bucket_stats": 3, "merge_plan": 3, "merge_plan_multipass": 5,
-    "mergeable_region_count": 3, "merged_span_recovery": 3,
-    "metrics_semi_join": 3, "minhash_band_pairs": 4,
-    "minhash_similarity_estimates": 4, "moved_regions_audit": 3,
-    "multimodal_decode_headers": 3, "multimodal_features": 3,
-    "multimodal_frame_sample": 3, "multimodal_gif_stats": 5,
-    "multimodal_jpeg_roundtrip": 5, "multimodal_mjpeg_video": 5,
-    "multimodal_mp4_boxes": 5, "multimodal_png_stats": 5,
-    "multimodal_resize": 3, "multimodal_wav_pcm_stats": 5,
-    "multimodal_wav_tone_detect": 5, "mutation_replay_counts": 5,
-    "neardup_clusters": 4, "neardup_clusters_converged": 4,
-    "neardup_edit_distance": 6, "neardup_pagerank": 6,
-    "neardup_source_matrix": 6, "neardup_triangles": 6,
-    "ngram_contamination": 6, "ngram_jaccard_pairs": 4,
-    "novelty_by_source": 6, "oov_rate_by_source": 4, "pricing_summary": 5,
-    "range_lookup": 3, "region_bounds": 3, "region_edge_rows": 3,
-    "region_health_join": 3, "regions_by_server": 3,
-    "report_biggest_regions": 3, "report_biggest_rollup": 3,
-    "report_compaction_queues": 3, "report_complex_rollup": 3,
-    "report_heap_pressure": 3, "report_locality": 3,
-    "report_partial_top15": 3, "report_rit_stuck": 3,
-    "report_rs_distribution": 3, "report_snapshots_stale": 3,
-    "report_snapshots_toomany": 3, "retrieval_ndcg": 6,
-    "retrieval_rank_overlap": 6, "salted_keys": 3,
-    "semantic_only_dup_pairs": 4, "server_prefix_resolve": 3,
-    "simhash_fingerprints": 4, "snapshot_merge_guard": 3,
-    "source_unigram_divergence": 4, "split_leakage": 5, "split_plan": 3,
+    "events_user_cardinality": 7, "flush_plan": 7, "health_check_eligible": 7,
+    "health_probe_plan": 7, "hybrid_rrf_search": 7, "hybrid_rrf_served": 6,
+    "kv_admin_roundtrip": 7, "kv_model_roundtrip": 6, "lang_id_heuristic": 4,
+    "lsh_band_sweep": 4, "lsh_bucket_stats": 7, "merge_plan": 7,
+    "merge_plan_multipass": 5, "mergeable_region_count": 7,
+    "merged_span_recovery": 7, "metrics_semi_join": 7, "minhash_band_pairs": 4,
+    "minhash_similarity_estimates": 4, "minhash_stream_served": 7,
+    "moved_regions_audit": 7, "multimodal_decode_headers": 7,
+    "multimodal_features": 7, "multimodal_frame_sample": 7,
+    "multimodal_gif_stats": 5, "multimodal_jpeg_roundtrip": 5,
+    "multimodal_mjpeg_video": 5, "multimodal_mp4_boxes": 5,
+    "multimodal_png_stats": 5, "multimodal_resize": 7,
+    "multimodal_wav_pcm_stats": 5, "multimodal_wav_tone_detect": 5,
+    "mutation_replay_counts": 5, "neardup_clusters": 4,
+    "neardup_clusters_converged": 4, "neardup_edit_distance": 6,
+    "neardup_pagerank": 6, "neardup_source_matrix": 6, "neardup_triangles": 6,
+    "ngram_contamination": 6, "ngram_jaccard_pairs": 4, "novelty_by_source": 6,
+    "oov_rate_by_source": 4, "pricing_summary": 5, "range_lookup": 7,
+    "region_bounds": 7, "region_edge_rows": 7, "region_health_join": 7,
+    "regions_by_server": 7, "report_biggest_regions": 7,
+    "report_biggest_rollup": 7, "report_compaction_queues": 7,
+    "report_complex_rollup": 7, "report_heap_pressure": 7,
+    "report_locality": 7, "report_partial_top15": 7, "report_rit_stuck": 7,
+    "report_rs_distribution": 7, "report_snapshots_stale": 7,
+    "report_snapshots_toomany": 7, "retrieval_ndcg": 6,
+    "retrieval_rank_overlap": 6, "salted_keys": 7,
+    "semantic_only_dup_pairs": 4, "server_prefix_resolve": 7,
+    "simhash_fingerprints": 4, "snapshot_merge_guard": 7,
+    "source_unigram_divergence": 4, "split_leakage": 5, "split_plan": 7,
     "split_plan_multipass": 5, "split_points": 3, "stream_attribution": 6,
     "stream_cms_heavy_hitters": 5, "stream_dedup_keys": 5,
     "stream_dedup_keys_rocksdb": 4, "stream_enriched_server_load": 5,
     "stream_funnel_stage": 6, "stream_hll_cardinality": 5,
     "stream_length_quantile_sketch": 5, "stream_membership_in": 5,
     "stream_session_stats": 5, "stream_sliding_counts": 5,
-    "stream_tumbling_counts": 5, "table_mask_selection": 3,
-    "text_stats": 4, "tfidf_top_terms": 4, "token_count_hist": 5,
-    "token_zipf_fit": 4, "tokenizer_fertility": 6, "topology_asof": 5,
-    "topology_diff": 3, "topology_parse": 5, "topology_retention": 5,
-    "training_set_assembly": 3, "training_set_funnel": 6,
-    "upsert_dedup": 5, "vocab_top_terms": 4, "word_embedding_neighbors": 5,
+    "stream_tumbling_counts": 5, "table_lifecycle_roundtrip": 7,
+    "table_mask_selection": 3, "text_stats": 4, "tfidf_top_terms": 4,
+    "token_count_hist": 5, "token_zipf_fit": 4, "tokenizer_fertility": 6,
+    "topology_asof": 5, "topology_diff": 3, "topology_parse": 5,
+    "topology_retention": 5, "topology_store_roundtrip": 7,
+    "training_set_assembly": 3, "training_set_funnel": 6, "upsert_dedup": 5,
+    "vocab_top_terms": 4, "word_embedding_neighbors": 5,
 }
 
-_EDIT_ROUND = {
-    # round-7 edits land here as they happen (cert < edit => re-certify).
-    "events_props_rollup": 7,       # try_cast coercion-parity fix
-    "docs_bm25_stream_served": 7,   # sf_dir-keyed memo + view guard
-    "hybrid_rrf_search": 7,         # de-memoized legs (scan-path twin)
-    "events_markov_attribution": 7,  # broadcast step joins (SMJ -> BHJ)
+_EDIT_ROUND: dict[str, int] = {
+    # round-8 edits land here as they happen (cert < edit => re-certify).
 }
 
 # Debut ordering (never-certified queries first in this sequence, then
-# any remaining debuts in registration order).  All 177 pre-round-7
-# queries are certified (r1–r6 union); round-7 debuts go here.
-_DEBUT_PRIORITY: list[str] = [
-    "topology_store_roundtrip",  # r7: the last uncertified sink family
-    "kv_admin_roundtrip",        # r7: lock-table + health-probe KV decode
-    "embedding_ivf_stream_served",  # r7: streamed ANN index, served
-    "minhash_stream_served",        # r7: streamed signature store, paired
-    "table_lifecycle_roundtrip",    # r7: SC7/SC8/SC9 digest certificate
-]
+# any remaining debuts in registration order).  All 182 pre-round-8
+# queries are certified (r1–r7 union); round-8 debuts go here.
+_DEBUT_PRIORITY: list[str] = []
 
 
 def _ordered_names() -> list[str]:
