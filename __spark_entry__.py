@@ -122,6 +122,7 @@ _CERT_ROUND = {
 
 _EDIT_ROUND: dict[str, int] = {
     # round-8 edits land here as they happen (cert < edit => re-certify).
+    "docs_bm25_stream_served": 8,  # ingest persist/unpersist hygiene
 }
 
 # Debut ordering (never-certified queries first in this sequence, then

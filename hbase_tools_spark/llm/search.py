@@ -228,8 +228,8 @@ def materialize_inverted_index(
 
 
 def _index_relations(
-    docs: DataFrame, n_buckets: int = _INDEX_BUCKETS
-) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    docs: DataFrame, n_buckets: int = _INDEX_BUCKETS, for_ingest: bool = False
+):
     """The four additive index relations for one document batch:
     postings (word, doc_id, tf, dl, bucket), dictionary partials
     (word, df, bucket), statistics (n_docs, sum_dl), and the FORWARD
@@ -237,7 +237,12 @@ def _index_relations(
     layer reads to recover a probe document's terms without scanning
     text (real search stacks keep forward + inverted side by side).
     Shared by the batch materializer and the streaming ingest so the
-    index layout has exactly one definition."""
+    index layout has exactly one definition.
+
+    ``for_ingest=True`` persists the shared tokenize pass (``wc``/``d``
+    feed three of the four outputs; without it each write re-tokenizes
+    the batch) and returns it as a fifth element for the caller to
+    unpersist once the batch commits."""
     bucket = F.pmod(F.xxhash64("word"), F.lit(n_buckets)).cast("int")
     d = docs.select(
         "doc_id", F.size(F.split(F.col("text"), " ")).cast("bigint").alias("dl")
@@ -249,6 +254,9 @@ def _index_relations(
         .groupBy("doc_id", "word")
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
     )
+    if for_ingest:
+        wc = wc.persist()
+        d = d.persist()
     postings = wc.join(d, "doc_id").withColumn("bucket", bucket)
     dictionary = (
         wc.groupBy("word")
@@ -264,6 +272,8 @@ def _index_relations(
         "word",
         F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int").alias("dbucket"),
     )
+    if for_ingest:
+        return postings, dictionary, st, forward, (wc, d)
     return postings, dictionary, st, forward
 
 
@@ -293,22 +303,29 @@ def index_ingest_batch(
     partitions for buckets the new composition no longer touches;
     recover from that by deleting the ``batch_id=N`` subtree before
     re-ingesting."""
-    postings, dictionary, st, forward = _index_relations(
-        batch_docs.select("doc_id", "text"), n_buckets
+    postings, dictionary, st, forward, shared = _index_relations(
+        batch_docs.select("doc_id", "text"), n_buckets, for_ingest=True
     )
-    for df, sub, parts in (
-        (postings, "postings", ["batch_id", "bucket"]),
-        (dictionary, "dictionary", ["batch_id", "bucket"]),
-        (st, "stats", ["batch_id"]),
-        (forward, "forward", ["batch_id", "dbucket"]),
-    ):
-        (
-            df.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(*parts)
-            .parquet(f"{index_dir}/{sub}")
-        )
+    try:
+        for df, sub, parts in (
+            (postings, "postings", ["batch_id", "bucket"]),
+            (dictionary, "dictionary", ["batch_id", "bucket"]),
+            (st, "stats", ["batch_id"]),
+            (forward, "forward", ["batch_id", "dbucket"]),
+        ):
+            (
+                df.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(*parts)
+                .parquet(f"{index_dir}/{sub}")
+            )
+    finally:
+        # release the shared tokenize pass the moment the batch
+        # commits — a continuous ingest runs thousands of batches and
+        # un-released per-batch blocks accumulate in the block manager
+        for df in shared:
+            df.unpersist()
 
 
 def index_ingest_stream(

@@ -63,35 +63,43 @@ def dedup_ingest_batch(
     pre-batch index (plus each other), overwrite this batch's partition
     of the pairs log, overwrite this batch's partition of the index.
 
-    The batch signatures are computed ONCE (``localCheckpoint``) and
-    feed both the pairing and the index append — the per-shingle md5 ×
+    The batch signatures are computed ONCE (``persist``) and feed both
+    the pairing and the index append — the per-shingle md5 ×
     16-permutation signer is the expensive pass and used to run twice.
+    ``unpersist`` in the ``finally`` releases the blocks the moment the
+    batch commits: a continuous ingest runs thousands of batches per
+    executor lifetime, and un-released per-batch blocks accumulate in
+    the block manager until a driver GC — measured inflating unrelated
+    queries sharing the executors (round-7 bench anomaly, NOTES.md).
     """
     batch_docs = batch_docs.select("doc_id", "text")
-    new_sig = _signatures_for(batch_docs).localCheckpoint(eager=True)
-    if _fs_exists(spark, index_dir):
-        # batch_id < current: partition-pruned, and — critically for
-        # replay idempotence — blind to this batch's own partition if a
-        # prior attempt already wrote it.
-        sig_index = (
-            spark.read.parquet(index_dir)
-            .filter(F.col("batch_id") < batch_id)
-            .select("doc_id", "sig")
-        )
-    else:  # first batch: empty index, pairs = new×new only
-        sig_index = spark.createDataFrame([], _SIG_SCHEMA)
-    pairs = incremental_pairs(sig_index, None, cap, new_sig=new_sig)
-    for df, out in (
-        (pairs, pairs_dir),
-        (new_sig, index_dir),
-    ):
-        (
-            df.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(out)
-        )
+    new_sig = _signatures_for(batch_docs).persist()
+    try:
+        if _fs_exists(spark, index_dir):
+            # batch_id < current: partition-pruned, and — critically for
+            # replay idempotence — blind to this batch's own partition
+            # if a prior attempt already wrote it.
+            sig_index = (
+                spark.read.parquet(index_dir)
+                .filter(F.col("batch_id") < batch_id)
+                .select("doc_id", "sig")
+            )
+        else:  # first batch: empty index, pairs = new×new only
+            sig_index = spark.createDataFrame([], _SIG_SCHEMA)
+        pairs = incremental_pairs(sig_index, None, cap, new_sig=new_sig)
+        for df, out in (
+            (pairs, pairs_dir),
+            (new_sig, index_dir),
+        ):
+            (
+                df.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(out)
+            )
+    finally:
+        new_sig.unpersist()
 
 
 def dedup_ingest_stream(
