@@ -216,14 +216,19 @@ def main() -> None:
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).toPandas()
             times.append(time.perf_counter() - t0)
+            # free py4j refs BETWEEN runs, not just between queries:
+            # each run builds fresh localCheckpoint blocks, and at 10x+
+            # scale a query whose working relation is GBs would
+            # otherwise race runs 2..N against 1..N-1's un-evictable
+            # pinned copies (measured: dsir sf10 warm median ABOVE its
+            # own cold run until the stale copies are released).
+            # Outside the timed region on both engines.
+            gc.collect()
         if _memo.touches() > t_before:
             memoized.append(name)
         spark_cold[name] = round(times[0], 4)
         spark_secs[name] = round(min(times), 4)
         spark_med[name] = round(statistics.median(times), 4)
-        # free py4j refs so ContextCleaner can unpersist this query's
-        # checkpoint blocks before the next one runs (see conf above)
-        gc.collect()
 
     # DuckDB side: identical SQL, identical parquet, all cores.
     duck_secs: dict[str, float] = {}

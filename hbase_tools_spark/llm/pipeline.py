@@ -948,11 +948,11 @@ def docs_dsir_weights(m: Model) -> DataFrame:
     reproduced — the weight relation is the deterministic, certifiable
     part; a noisy sampling policy is the caller's).
 
-    Plan: ONE Arrow pass builds per-doc hashed feature counts (md5 per
-    DISTINCT feature string via an in-worker cache — the fixture's
-    vocab is tiny and a real corpus is Zipfian, so the cache hit rate
-    is high either way), materialized once (localCheckpoint) for its
-    two consumers.  The bucket-distribution relation is AT MOST {1024}
+    Plan: ONE whole-stage-codegen pass builds per-doc hashed feature
+    counts (array-build + explode + md5 bucket, all JVM-side — the
+    round-4 Arrow featurize was retired), materialized once
+    (localCheckpoint) for its four consumers.  The
+    bucket-distribution relation is AT MOST {1024}
     rows by construction — it broadcasts at any corpus size, so the
     per-doc side never shuffles for the join; corpus totals ride as a
     broadcast 1-row aggregate.  Float discipline as everywhere: libm
