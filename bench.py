@@ -334,13 +334,16 @@ def main() -> None:
         vs_duckdb_per_query=ratios,
         over_2x=over_2x,
     )
+    # Scoped runs (SPARK_GRAFT_BENCH_QUERIES) write a side artifact so
+    # iteration never clobbers the committed full-sweep BENCH_FULL.json.
+    artifact = "BENCH_FULL.json" if not only else "BENCH_SUBSET.json"
     try:
         full = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "BENCH_FULL.json")
+                            artifact)
         with open(full, "w") as f:
             json.dump(out, f, indent=1)
     except OSError as exc:
-        print(f"BENCH_FULL.json not written: {exc}", file=sys.stderr)
+        print(f"{artifact} not written: {exc}", file=sys.stderr)
     print(json.dumps(headline))
 
 
