@@ -1523,48 +1523,39 @@ def docs_span_removed(m: Model) -> DataFrame:
 
     Plan: the duplicated-position backbone is shared with
     docs_dup_spans (one corpus aggregate + one co-keyed semi join);
-    coverage expands each duplicated position into its {8} token
-    indices (a bounded explode, then per-doc distinct), tokens
-    anti-join coverage on (doc, index) — co-partitioned, map-side
-    combinable — and the cleaned text reassembles via the
-    sort-inside-aggregate trick (array_sort over collect_list structs,
-    per-doc bounded) rather than a per-doc ORDER BY.  Emitting
-    rewritten text keeps this a pure relational rewrite — at 100 TB
-    the output IS the next pipeline stage's input table."""
+    duplicated START positions aggregate into one per-doc array (the
+    only shuffle this consumer adds — rows are (doc, small int set),
+    never exploded tokens), and the cut itself is a single
+    whole-stage-codegen higher-order filter: token index i survives
+    iff no duplicated start p covers it (p <= i+1 <= p+{8}-1).  Per
+    token that's an O(|starts|) scan of a doc-bounded array — no
+    corpus-token explode, no (doc, index) anti-join, no
+    collect_list reassembly.  Emitting rewritten text keeps this a
+    pure relational rewrite — at 100 TB the output IS the next
+    pipeline stage's input table, and the per-doc cut is scan-stage
+    work that scales with the mapper count."""
     W = _DUP_WINDOW
     _, d = _dup_window_positions(m)  # all_docs below must cover short docs too
-    cov = d.select(
-        "doc_id",
-        F.explode(
-            F.sequence(F.col("pos"), F.col("pos") + F.lit(W - 1))
-        ).alias("t"),
-    ).distinct()
+    dpos = d.groupBy("doc_id").agg(F.collect_set("pos").alias("dpos"))
     all_docs = m.documents.select(
         "doc_id", F.split(F.col("text"), " ").alias("toks")
     )
-    tok = all_docs.select(
-        "doc_id", F.posexplode("toks").alias("t0", "w")
-    ).select("doc_id", (F.col("t0") + 1).cast("bigint").alias("t"), "w")
-    kept = tok.join(cov.hint("shuffle_hash"), ["doc_id", "t"], "left_anti")
-    agg = kept.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("t", "w"))),
-                lambda x: x["w"],
-            ),
-        ).alias("cleaned_text"),
+    dp = F.coalesce(F.col("dpos"), F.expr("array()"))
+    kept = F.filter(
+        "toks",
+        lambda w, i: ~F.exists(
+            dp, lambda p: (p <= i + 1) & (i + 1 <= p + F.lit(W - 1))
+        ),
     )
     n_tokens = F.size("toks").cast("bigint")
-    n_removed = n_tokens - F.coalesce(F.col("n_kept"), F.lit(0))
+    n_removed = (F.size("toks") - F.size(kept)).cast("bigint")
     return (
-        all_docs.join(agg, "doc_id", "left")
+        all_docs.join(dpos.hint("shuffle_hash"), "doc_id", "left")
         .select(
             "doc_id",
             n_tokens.alias("n_tokens"),
-            n_removed.cast("bigint").alias("n_removed"),
-            F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
+            n_removed.alias("n_removed"),
+            F.concat_ws(" ", kept).alias("cleaned_text"),
             fround(n_removed * 1.0 / n_tokens, 6).alias("removed_fraction"),
         )
     )
