@@ -123,6 +123,8 @@ _CERT_ROUND = {
 _EDIT_ROUND: dict[str, int] = {
     # round-8 edits land here as they happen (cert < edit => re-certify).
     "docs_bm25_stream_served": 8,  # ingest persist/unpersist hygiene
+    "docs_span_removed": 8,  # higher-order-filter cut rewrite
+    "word_embedding_neighbors": 8,  # CTE-free SQL-text stage views
 }
 
 # Debut ordering (never-certified queries first in this sequence, then

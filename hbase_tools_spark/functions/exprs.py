@@ -116,6 +116,23 @@ def _libm(name: str):
     return _LIBM_UDFS[name]
 
 
+_LIBM_SQL_SESSIONS: set[int] = set()
+
+
+def register_libm_sql(spark) -> None:
+    """Expose the libm UDFs to ``spark.sql`` texts as ``libm_ln`` /
+    ``libm_exp`` (idempotent per session).  SQL-text plans need them
+    for cross-engine-identical ln/exp — the JVM's Math.log can differ
+    from libm in the last ULP, which survives a 6-decimal round often
+    enough to break hash certification."""
+    key = id(spark)
+    if key in _LIBM_SQL_SESSIONS:
+        return
+    spark.udf.register("libm_ln", _libm("ln"))
+    spark.udf.register("libm_exp", _libm("exp"))
+    _LIBM_SQL_SESSIONS.add(key)
+
+
 def pln(col: Column) -> Column:
     """libm ln.  DuckDB counterpart: ``ln(x)`` (libm, bit-identical)."""
     return _libm("ln")(col)

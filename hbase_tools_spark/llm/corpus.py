@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import Model
-from ..functions.exprs import fround, fround_sql
+from ..functions.exprs import fround, fround_sql, register_libm_sql
 from ..registry import query
 
 _VOCAB_K = 200   # vocabulary inventory size (top terms by frequency)
@@ -1439,7 +1439,17 @@ def word_embedding_neighbors(m: Model) -> DataFrame:
     components / dots / norms are exact decimal sums rounded to 6
     before the single double division (unscaled < 2^53), and ln is
     libm on exact-integer ratios — every stage is order-independent
-    and engine-identical."""
+    and engine-identical.
+
+    Build shape: everything downstream of the co-occurrence count is
+    bounded (vocab marginals, top-{20} vectors, {16}-dim spine), so
+    the tail ships as TWO ``spark.sql`` texts over persisted stage
+    views instead of ~1000 py4j Column calls — the keyspace.py argmax
+    convention; measured 1.7 s -> ~0.5 s per plan build at sf0.1 with
+    the identical physical plan (hints pin the broadcasts the Column
+    form declared).  The stage persists are lazy (no build-time
+    planning, unlike localCheckpoint) and ContextCleaner reclaims
+    them when the per-run references drop."""
     toks = F.split(F.col("text"), " ")
     tok = m.documents.select(toks.alias("toks"), F.size(toks).alias("n"))
 
@@ -1455,100 +1465,71 @@ def word_embedding_neighbors(m: Model) -> DataFrame:
         one_dir.select(F.col("c").alias("w"), F.col("w").alias("c"))
     )
     # cooc feeds FOUR consumers (marginals, total, top-V, PPMI) —
-    # checkpoint once so the corpus-wide pair explosion runs once, not
+    # persist once so the corpus-wide pair explosion runs once, not
     # four times (12.6 s -> ~3 s at sf0.1).
-    cooc = (
-        prs.groupBy("w", "c")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-        .localCheckpoint(eager=False)
-    )
-    marg = cooc.groupBy(F.col("w").alias("mw")).agg(
-        F.sum("cnt").cast("bigint").alias("n_w")
-    )
-    tot = cooc.agg(F.sum("cnt").cast("bigint").alias("big_n"))
-    topv = marg.orderBy(F.desc("n_w"), "mw").limit(_WV_TOPV)
-
-    ppmi = (
-        cooc.join(F.broadcast(topv.select("mw")), cooc.w == F.col("mw"), "inner")
-        .drop("mw")
-        .join(
-            F.broadcast(marg.select(F.col("mw").alias("w1m"), F.col("n_w").alias("nw1"))),
-            F.col("w") == F.col("w1m"),
-        )
-        .join(
-            F.broadcast(marg.select(F.col("mw").alias("w2m"), F.col("n_w").alias("nw2"))),
-            F.col("c") == F.col("w2m"),
-        )
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "w",
-            "c",
-            fround(
-                F.greatest(
-                    F.lit(0.0),
-                    # cnt goes to DOUBLE before the big_n multiply: the
-                    # int64 product cnt*big_n silently wraps past 2^63
-                    # at real corpus scale (big_n ~ 4x tokens), while
-                    # the double product merely rounds.  Same op order
-                    # as the oracle: (cnt*1.0) * big_n / (nw1*nw2).
-                    _pln(
-                        (F.col("cnt") * 1.0)
-                        * F.col("big_n")
-                        / ((F.col("nw1") * 1.0) * F.col("nw2"))
-                    ),
-                ),
-                6,
-            )
-            .cast("decimal(18,6)")
-            .alias("p"),
-        )
-    )
-    dims = ppmi.select(
-        "w",
-        "c",
-        "p",
-        F.explode(F.sequence(F.lit(0), F.lit(_WV_DIMS - 1))).alias("i"),
-    )
-    sign_bit = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col("c"), F.lit("#"), F.col("i").cast("string"))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % 2
-    )
-    # Narrow the summed component back to DECIMAL(18,6) (|v| <= a few
+    cooc = prs.groupBy("w", "c").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    ).persist()
+    cooc.createOrReplaceTempView("_wv_cooc")
+    register_libm_sql(m.spark)
+    # cnt goes to DOUBLE before the big_n multiply: the int64 product
+    # cnt*big_n silently wraps past 2^63 at real corpus scale (big_n
+    # ~ 4x tokens), while the double product merely rounds.  Same op
+    # order as the oracle: (cnt*1.0) * big_n / (nw1*nw2).
+    # The summed component narrows back to DECIMAL(18,6) (|v| <= a few
     # hundred, 6 decimals — exact): without this, Spark's sum type
     # (28,6) squared overflows precision 38 and TRUNCATES scale, while
     # DuckDB's (38,6) squared silently promotes to DOUBLE — both
     # engines would leave exact arithmetic, in different ways.
-    vec = dims.groupBy("w", "i").agg(
-        F.sum(F.when(sign_bit == 0, F.col("p")).otherwise(-F.col("p")))
-        .cast("decimal(18,6)")
-        .alias("v")
-    ).localCheckpoint(eager=False)  # three consumers: norms + both join sides
-    norms = vec.groupBy("w").agg(
-        F.sqrt(F.round(F.sum(F.col("v") * F.col("v")), 6).cast("double")).alias("nrm")
+    # Both stage SQLs are deliberately CTE-FREE (inline subqueries): a
+    # WITH clause gets fresh CTE ids on every view re-expansion, which
+    # do NOT canonicalize against the persisted plan, so every view
+    # consumer would silently re-run the Arrow-ln ppmi subtree
+    # (measured: ~300 ms per miss, 2.3-5 s totals) instead of scanning
+    # the 320-row cache.  CTE-free plans cache-match through the view.
+    marg_sql = (
+        "SELECT w AS mw, CAST(sum(cnt) AS BIGINT) AS n_w"
+        " FROM _wv_cooc GROUP BY w"
     )
-    a = vec.select(F.col("w").alias("w1"), "i", F.col("v").alias("va"))
-    b = vec.select(F.col("w").alias("w2"), F.col("i").alias("ib"), F.col("v").alias("vb"))
-    dots = (
-        a.join(b, (F.col("i") == F.col("ib")) & (F.col("w1") < F.col("w2")))
-        .groupBy("w1", "w2")
-        .agg(F.round(F.sum(F.col("va") * F.col("vb")), 6).cast("double").alias("dot"))
+    vec = m.spark.sql(f"""
+SELECT w, i,
+       CAST(sum(IF(CAST(conv(substring(md5(concat(c, '#', CAST(i AS STRING))),
+                             1, 8), 16, 10) AS BIGINT) % 2 = 0, p, -p))
+            AS DECIMAL(18,6)) AS v
+FROM (
+  SELECT /*+ BROADCAST(topv), BROADCAST(m1), BROADCAST(m2), BROADCAST(tot) */
+         c.w, c.c,
+         CAST(floor(greatest(0e0,
+                libm_ln((c.cnt * 1.0e0) * tot.big_n
+                        / ((m1.n_w * 1.0e0) * m2.n_w))) * 1e6 + 0.5e0) / 1e6
+              AS DECIMAL(18,6)) AS p
+  FROM _wv_cooc c
+  JOIN (SELECT mw FROM ({marg_sql} ORDER BY n_w DESC, mw LIMIT {_WV_TOPV})) topv
+    ON c.w = topv.mw
+  JOIN ({marg_sql}) m1 ON c.w = m1.mw
+  JOIN ({marg_sql}) m2 ON c.c = m2.mw
+  CROSS JOIN (SELECT CAST(sum(cnt) AS BIGINT) AS big_n FROM _wv_cooc) tot
+) ppmi LATERAL VIEW explode(sequence(0, {_WV_DIMS - 1})) t AS i
+GROUP BY w, i
+""").persist()  # three consumers: norms + both self-join sides
+    vec.createOrReplaceTempView("_wv_vec")
+    norm_sql = (
+        "SELECT w, sqrt(CAST(round(sum(v * v), 6) AS DOUBLE)) AS nrm"
+        " FROM _wv_vec GROUP BY w"
     )
-    na = norms.select(F.col("w").alias("nw1"), F.col("nrm").alias("na"))
-    nb = norms.select(F.col("w").alias("nw2"), F.col("nrm").alias("nb"))
-    return (
-        dots.join(F.broadcast(na), F.col("w1") == F.col("nw1"))
-        .join(F.broadcast(nb), F.col("w2") == F.col("nw2"))
-        .where((F.col("na") > 0) & (F.col("nb") > 0))
-        .select("w1", "w2", fround(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("cos_sim"))
-    )
+    return m.spark.sql(f"""
+SELECT /*+ BROADCAST(na), BROADCAST(nb) */ w1, w2,
+       floor(dot / (na.nrm * nb.nrm) * 1e6 + 0.5e0) / 1e6 AS cos_sim
+FROM (
+  SELECT a.w AS w1, b.w AS w2,
+         CAST(round(sum(a.v * b.v), 6) AS DOUBLE) AS dot
+  FROM _wv_vec a JOIN _wv_vec b ON a.i = b.i AND a.w < b.w
+  GROUP BY a.w, b.w
+) dots
+JOIN ({norm_sql}) na ON dots.w1 = na.w
+JOIN ({norm_sql}) nb ON dots.w2 = nb.w
+WHERE na.nrm > 0e0 AND nb.nrm > 0e0
+""")
 
 
 # ---------------------------------------------------------------------------
