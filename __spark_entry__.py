@@ -125,6 +125,7 @@ _EDIT_ROUND: dict[str, int] = {
     "docs_bm25_stream_served": 8,  # ingest persist/unpersist hygiene
     "docs_span_removed": 8,  # higher-order-filter cut rewrite
     "word_embedding_neighbors": 8,  # CTE-free SQL-text stage views
+    "novelty_by_source": 8,  # md5 window keys in the corpus shuffle
 }
 
 # Debut ordering (never-certified queries first in this sequence, then

@@ -1424,13 +1424,19 @@ def novelty_by_source(m: Model) -> DataFrame:
         toks.alias("toks"),
         F.floor(F.col("doc_id") / B).cast("bigint").alias("batch"),
     ).where(F.size("toks") >= W)
+    # The window key leaves the scan as md5(shingle), not the ~50-byte
+    # string: nothing downstream reads the text (only equality + the
+    # min-batch join), so the corpus-shaped shuffle, the checkpoint
+    # blocks, and the merge-join keys all shrink ~3x.  A 128-bit
+    # collision would be needed to miscount — not a realistic event at
+    # any corpus size (2^64 windows for a birthday collision).
     posts = base.select(
         "source",
         "batch",
         F.explode(
             F.expr(
                 f"array_distinct(transform(sequence(0, size(toks) - {W}),"
-                f" i -> concat_ws(' ', slice(toks, i + 1, {W}))))"
+                f" i -> md5(concat_ws(' ', slice(toks, i + 1, {W})))))"
             )
         ).alias("shingle"),
     )
