@@ -131,7 +131,9 @@ _EDIT_ROUND: dict[str, int] = {
 # Debut ordering (never-certified queries first in this sequence, then
 # any remaining debuts in registration order).  All 182 pre-round-8
 # queries are certified (r1–r7 union); round-8 debuts go here.
-_DEBUT_PRIORITY: list[str] = []
+_DEBUT_PRIORITY: list[str] = [
+    "multimodal_pframe_video",  # real inter-frame video decode (r8)
+]
 
 
 def _ordered_names() -> list[str]:

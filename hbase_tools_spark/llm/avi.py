@@ -45,11 +45,30 @@ def _list(list_type: bytes, body: bytes) -> bytes:
 
 
 def build_avi_mjpeg(
-    width: int, height: int, frames: list[bytes], fps: int = 25
+    width: int,
+    height: int,
+    frames: list[bytes],
+    fps: int = 25,
+    handler: bytes = b"MJPG",
+    key_flags: list[bool] | None = None,
 ) -> bytes:
-    """Assemble a structurally valid MJPEG AVI from encoded JPEG frames."""
+    """Assemble a structurally valid AVI from encoded frame chunks.
+
+    Default posture is MJPEG (every chunk a standalone JPEG, every
+    idx1 entry flagged AVIIF_KEYFRAME).  ``handler``/``key_flags``
+    generalize the same container to inter-frame streams: non-key
+    entries simply lose the keyframe flag — exactly how the AVI index
+    marks delta frames for any codec."""
     if not frames:
         raise ValueError("AVI needs at least one frame")
+    if key_flags is None:
+        key_flags = [True] * len(frames)
+    if len(key_flags) != len(frames):
+        raise ValueError("key_flags must align 1:1 with frames")
+    if not key_flags[0]:
+        raise ValueError("first frame must be a keyframe")
+    if len(handler) != 4:
+        raise ValueError("handler must be a 4-byte fourcc")
     if fps < 1:
         raise ValueError("fps must be >= 1")
     if not (1 <= width <= 65535 and 1 <= height <= 65535):
@@ -74,7 +93,7 @@ def build_avi_mjpeg(
     )
     strh = (
         b"vids"
-        + b"MJPG"
+        + handler
         + struct.pack(
             "<IHHIIIIIIII4H",
             0,                 # dwFlags
@@ -97,7 +116,7 @@ def build_avi_mjpeg(
         height,
         1,                     # biPlanes
         24,                    # biBitCount
-        b"MJPG",               # biCompression
+        handler,               # biCompression
         width * height * 3,    # biSizeImage
         0, 0, 0, 0,
     )
@@ -112,8 +131,8 @@ def build_avi_mjpeg(
     movi_parts = []
     idx_entries = []
     off = 4  # idx1 offsets are relative to the 'movi' fourcc position
-    for f in frames:
-        idx_entries.append((off, len(f)))
+    for f, is_key in zip(frames, key_flags):
+        idx_entries.append((off, len(f), _AVIIF_KEYFRAME if is_key else 0))
         part = _chunk(b"00dc", f)
         movi_parts.append(part)
         off += len(part)
@@ -121,8 +140,8 @@ def build_avi_mjpeg(
     idx1 = _chunk(
         b"idx1",
         b"".join(
-            b"00dc" + struct.pack("<III", _AVIIF_KEYFRAME, off, size)
-            for off, size in idx_entries
+            b"00dc" + struct.pack("<III", flags, off, size)
+            for off, size, flags in idx_entries
         ),
     )
     riff_body = b"AVI " + hdrl + movi + idx1
@@ -162,7 +181,7 @@ def parse_avi(data: bytes) -> dict:
         raise ValueError("RIFF size overruns buffer")
     if data[8:12] != b"AVI ":
         raise ValueError("RIFF is not an AVI")
-    out = {"frames": [], "n_index_entries": 0}
+    out = {"frames": [], "n_index_entries": 0, "index_flags": []}
     n_streams = 0
 
     def _movi_frames(pos: int, end: int) -> None:
@@ -215,6 +234,10 @@ def parse_avi(data: bytes) -> dict:
                 _movi_frames(body + 4, body + size)
         elif fourcc == b"idx1":
             out["n_index_entries"] = size // 16
+            out["index_flags"] = [
+                struct.unpack_from("<I", data, body + 16 * i + 4)[0]
+                for i in range(size // 16)
+            ]
     if "width" not in out:
         raise ValueError("missing avih header")
     if "handler" not in out:
@@ -225,3 +248,103 @@ def parse_avi(data: bytes) -> dict:
             f"avih says {out['total_frames']}"
         )
     return out
+
+
+# ---------------------------------------------------------------------------
+# INTER-FRAME video: JPEG keyframes + closed-loop DPCM delta P-frames.
+#
+# The container is the exact AVI above — delta frames are what the
+# spec's idx1 keyframe flag exists for (an entry without
+# AVIIF_KEYFRAME is a frame you cannot seek to, i.e. it depends on its
+# predecessor).  The payload codec is repo-synthetic but structurally
+# the real P-frame recipe with motion search degenerate to zero
+# vectors: each P-frame stores a per-pixel residual against the
+# RECONSTRUCTED previous frame (closed-loop prediction — encoder and
+# decoder share the same reference, so error never accumulates across
+# the GOP, the property every DPCM codec since H.261 is built on),
+# entropy-coded with DEFLATE (zlib, public).  Keyframes are real
+# baseline JPEGs (llm/jpeg.py), so I-frames are lossy and P-frames are
+# exact w.r.t. their source given the reference — both invariants are
+# certified by the query layer.  Handler fourcc 'MJPD' marks the
+# stream as this codec.
+# ---------------------------------------------------------------------------
+
+PFRAME_HANDLER = b"MJPD"
+
+
+def build_avi_pframes(
+    width: int,
+    height: int,
+    planes: list[bytes],
+    fps: int = 25,
+    gop: int = 4,
+    quality: int = 1,
+) -> bytes:
+    """Encode raw grayscale planes (width*height bytes each) as a
+    keyframe+delta AVI: every ``gop``-th frame a JPEG keyframe, the
+    rest zlib-coded DPCM residuals vs the running reconstruction."""
+    import zlib
+
+    from .jpeg import decode_jpeg, encode_jpeg
+
+    if gop < 1:
+        raise ValueError("gop must be >= 1")
+    fsz = width * height
+    chunks: list[bytes] = []
+    key_flags: list[bool] = []
+    recon: bytes | None = None
+    for i, plane in enumerate(planes):
+        if len(plane) != fsz:
+            raise ValueError(f"frame {i}: expected {fsz} bytes, got {len(plane)}")
+        if i % gop == 0:
+            jpg = encode_jpeg(width, height, plane, quality)
+            # closed loop: predict from what the DECODER will see
+            _, _, _, recon = decode_jpeg(jpg)
+            recon = bytes(recon)
+            chunks.append(jpg)
+            key_flags.append(True)
+        else:
+            residual = bytes((c - p) & 0xFF for c, p in zip(plane, recon))
+            chunks.append(zlib.compress(residual, 6))
+            key_flags.append(False)
+            recon = plane  # lossless residual: recon == source exactly
+    return build_avi_mjpeg(
+        width, height, chunks, fps=fps, handler=PFRAME_HANDLER, key_flags=key_flags
+    )
+
+
+def decode_avi_pframes(data: bytes) -> tuple[dict, list[bytes]]:
+    """Decode an 'MJPD' AVI through the real inter-frame loop: walk the
+    idx1 keyframe flags, JPEG-decode I-frames, and reconstruct each
+    P-frame as reference + inflated residual.  Returns (container
+    info, reconstructed planes)."""
+    import zlib
+
+    from .jpeg import decode_jpeg
+
+    info = parse_avi(data)
+    if info["handler"] != PFRAME_HANDLER.decode("latin-1"):
+        raise ValueError(f"not an MJPD stream: handler {info['handler']!r}")
+    flags = info["index_flags"]
+    if len(flags) != len(info["frames"]):
+        raise ValueError("idx1 entries do not cover every frame")
+    fsz = info["width"] * info["height"]
+    planes: list[bytes] = []
+    recon: bytes | None = None
+    for i, chunk in enumerate(info["frames"]):
+        if flags[i] & _AVIIF_KEYFRAME:
+            w, h, _, px = decode_jpeg(chunk)
+            if (w, h) != (info["width"], info["height"]):
+                raise ValueError(f"keyframe {i} dims {w}x{h} disagree with container")
+            recon = bytes(px)
+        else:
+            if recon is None:
+                raise ValueError(f"P-frame {i} before any keyframe")
+            residual = zlib.decompress(chunk)
+            if len(residual) != fsz:
+                raise ValueError(
+                    f"P-frame {i}: residual {len(residual)} bytes, plane is {fsz}"
+                )
+            recon = bytes((r + d) & 0xFF for r, d in zip(recon, residual))
+        planes.append(recon)
+    return info, planes

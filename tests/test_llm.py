@@ -775,6 +775,55 @@ def test_avi_container_roundtrip_and_errors():
         parse_avi(bad)
 
 
+def test_avi_pframe_interframe_decode():
+    """The 'MJPD' inter-frame path is REAL decode: keyframes land on
+    the GOP cadence in the idx1 flags, every P-frame reconstructs its
+    source bytes exactly through the reference chain (closed-loop
+    lossless residual), keyframes stay JPEG-lossy, and broken framing
+    (residual size lie, wrong handler, missing leading keyframe)
+    raises instead of silently drifting."""
+    import zlib
+
+    import pytest
+
+    from hbase_tools_spark.llm.avi import (
+        _AVIIF_KEYFRAME,
+        build_avi_mjpeg,
+        build_avi_pframes,
+        decode_avi_pframes,
+        parse_avi,
+    )
+
+    planes = [
+        bytes((j * 11 + i * 29) % 256 for j in range(256)) for i in range(10)
+    ]
+    avi = build_avi_pframes(16, 16, planes, fps=25, gop=4)
+    info, out = decode_avi_pframes(avi)
+    keyed = [bool(f & _AVIIF_KEYFRAME) for f in info["index_flags"]]
+    assert keyed == [i % 4 == 0 for i in range(10)]
+    assert info["handler"] == "MJPD"
+    # inter-frame invariant: P-frames exact, I-frames lossy-but-sized
+    for i in range(10):
+        if keyed[i]:
+            assert len(out[i]) == 256
+        else:
+            assert out[i] == planes[i]
+    # error paths
+    with pytest.raises(ValueError, match="not an MJPD"):
+        decode_avi_pframes(build_avi_mjpeg(16, 16, [b"\xff\xd8\xff\xd9"]))
+    with pytest.raises(ValueError, match="first frame must be a keyframe"):
+        build_avi_mjpeg(16, 16, [b"x", b"y"], key_flags=[False, True])
+    # a P-frame whose residual inflates to the wrong plane size
+    bad_res = zlib.compress(b"\x00" * 17)
+    good_key = parse_avi(avi)["frames"][0]
+    torn = build_avi_mjpeg(
+        16, 16, [good_key, bad_res],
+        handler=b"MJPD", key_flags=[True, False],
+    )
+    with pytest.raises(ValueError, match="residual"):
+        decode_avi_pframes(torn)
+
+
 def test_jpeg_decoder_interop_contracts():
     """Spec-interop behaviors pinned after the codec review: trailing
     bytes after EOI are legal (cameras/editors append data), optional
