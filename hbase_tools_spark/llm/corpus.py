@@ -153,7 +153,7 @@ def tfidf_top_terms(m: Model) -> DataFrame:
     + sort_array + slice — was measured ~15% SLOWER than this rank
     window at sf0.1: the per-group struct buffers cost more than the
     partition sort they avoid.)"""
-    wc = _wc(m).localCheckpoint(eager=False)
+    wc = _wc(m).persist()
     dfr = wc.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     nd = F.broadcast(m.documents.agg(F.count(F.lit(1)).alias("n_docs")))
 
@@ -327,7 +327,7 @@ def oov_rate_by_source(m: Model) -> DataFrame:
     and rides as a broadcast; the final rollup keys on ``source``
     (bounded cardinality, map-side partials).  Ties at the vocabulary
     boundary break on the word (same ORDER BY in both engines)."""
-    swc = _swc(m).localCheckpoint(eager=False)
+    swc = _swc(m).persist()
     # TakeOrderedAndProject (orderBy+limit), NOT an unpartitioned
     # row_number window — the window form single-partition-sorts the
     # whole vocabulary, exactly the global sort this query's plan notes
@@ -398,7 +398,7 @@ def source_unigram_divergence(m: Model) -> DataFrame:
     is quantized to DECIMAL(28,12) before the sum so the cross-partition
     sum order cannot move the result; the decimal sum rounds exactly at
     6 dp in both engines."""
-    swc = _swc(m).localCheckpoint(eager=False)
+    swc = _swc(m).persist()
     cw = swc.groupBy("word").agg(F.sum("c").alias("cw"))
     ns = swc.groupBy("source").agg(F.sum("c").alias("ns"))
     n = swc.agg(F.sum("c").alias("n"))
@@ -1271,7 +1271,7 @@ def corpus_dataset_card(m: Model) -> DataFrame:
     flag is a broadcast-or-hash join against the >= 2 content-hash
     relation (corpus-proportional worst case — co-keyed hash join);
     everything collapses to source grain with map-side partials."""
-    wc = _wc(m).localCheckpoint(eager=False)  # two consumers
+    wc = _wc(m).persist()  # two consumers
     per_doc = wc.groupBy("doc_id").agg(
         F.sum("c").cast("bigint").alias("n_tokens"),
         F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
@@ -1646,7 +1646,7 @@ def docs_lr_quality_train(m: Model) -> DataFrame:
             / 10.0
         ).alias("x2"),
         F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
-    ).localCheckpoint(eager=False)  # scanned K+1 times — materialize once
+    ).persist()  # scanned K+1 times — materialize once
 
     spark = m.documents.sparkSession
     w = spark.range(1).select(

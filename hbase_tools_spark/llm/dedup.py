@@ -111,7 +111,7 @@ def ngram_jaccard_pairs(m: Model) -> DataFrame:
     once (lazy localCheckpoint) before the self-join: ReuseExchange
     does NOT fire across the two legs (verified on the executed plan),
     so without it the shingle pass runs twice."""
-    posts = _shingles_with_size(m).localCheckpoint(eager=False)
+    posts = _shingles_with_size(m).persist()
     # shuffle-hash hint: the posting list is too big to broadcast
     # cheaply (AQE would otherwise collect one whole side to the
     # driver) and far too big for that at corpus scale; hash-join on
@@ -1021,7 +1021,7 @@ def docs_window_dedup(m: Model) -> DataFrame:
     posts = (
         _shingles_with_size(m, width=_DUP_WINDOW)
         .select("doc_id", F.xxhash64("shingle").alias("wh"))
-        .localCheckpoint(eager=False)
+        .persist()
     )
     per_doc = posts.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_windows")
@@ -1096,7 +1096,7 @@ def _dup_window_positions(m: Model):
         # runs twice (ReuseExchange can't fire — one leg partial-aggs
         # before its exchange), the same guard ngram_jaccard_pairs
         # documents
-        .localCheckpoint(eager=False)
+        .persist()
     )
     wf = (
         p.groupBy("shingle")
@@ -1313,7 +1313,7 @@ def corpus_novelty_curve(m: Model) -> DataFrame:
     bc = (
         posts.groupBy("wh", "batch")
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=False)
+        .persist()
     )
     fb = bc.groupBy("wh").agg(F.min("batch").alias("fb"))
     nd = (
@@ -1446,7 +1446,7 @@ def novelty_by_source(m: Model) -> DataFrame:
     # 2.2 s -> 1.9 s warm, 5.9 -> 2.9 cold with the checkpoint)
     bc = posts.groupBy("source", "batch", "shingle").agg(
         F.count(F.lit(1)).alias("c")
-    ).localCheckpoint(eager=False)
+    ).persist()
     fb = bc.groupBy("shingle").agg(F.min("batch").alias("fb"))
     nd = base.groupBy("source", "batch").agg(
         F.count(F.lit(1)).alias("n_docs")
@@ -1623,7 +1623,7 @@ def novelty_ingest_batch(
     bc = (
         w.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=False)
+        .persist()
     )
     n_docs = docs.where(
         F.size(F.split(F.col("text"), " ")) >= _DUP_WINDOW
@@ -1722,7 +1722,7 @@ def novelty_ingest_bloom(
         _batch_windows(docs)
         .groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=False)
+        .persist()
     )
     pos = _bloom_positions(bc)
     have_index = _fs_exists(spark, index_dir)

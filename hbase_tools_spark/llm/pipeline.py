@@ -1008,7 +1008,7 @@ def docs_dsir_weights(m: Model) -> DataFrame:
         # and the doc_id clustering means no exchange exists for
         # ReuseExchange to dedup -- materialize the doc-grain counts
         # once (narrow JVM tree, cheap analysis)
-        .localCheckpoint(eager=False)
+        .persist()
     )
     bt = fc.groupBy("b").agg(
         F.sum(F.when(F.col("tgt"), F.col("c")).otherwise(0)).alias("ct"),
@@ -1614,7 +1614,7 @@ def docs_budget_selection(m: Model) -> DataFrame:
         .withColumn(
             "bkt", F.floor(F.col("score") * B).cast("int")
         )
-        .localCheckpoint(eager=False)  # feeds histogram AND selection
+        .persist()  # feeds histogram AND selection
     )
     budget_rel = F.broadcast(
         sc.agg(
@@ -1724,7 +1724,7 @@ def corpus_temperature_mixture(m: Model) -> DataFrame:
             .cast("bigint")
             .alias("n_tokens")
         )
-        .localCheckpoint(eager=False)  # feeds tot and the share relation
+        .persist()  # feeds tot and the share relation
     )
     tot = src.agg(F.sum("n_tokens").cast("bigint").alias("t"))
     a = src.crossJoin(F.broadcast(tot)).select(
@@ -1734,7 +1734,7 @@ def corpus_temperature_mixture(m: Model) -> DataFrame:
         fround(pexp(_TEMP_ALPHA * pln(F.col("n_tokens") * 1.0 / F.col("t"))), 8)
         .cast("decimal(18,8)")
         .alias("ap"),
-    ).localCheckpoint(eager=False)  # feeds the normalizer and the output
+    ).persist()  # feeds the normalizer and the output
     s = a.agg(F.sum("ap").alias("sap"))
     q = F.col("ap").cast("double") / F.col("sap").cast("double")
     return a.crossJoin(F.broadcast(s)).select(
@@ -1903,7 +1903,7 @@ def docs_table_profile(m: Model) -> DataFrame:
     # ONE corpus scan: the 1-row aggregate is checkpointed and the five
     # per-column projections read it (a plain union would re-plan — and
     # re-scan — the aggregate per branch; measured 10 scans vs 1).
-    a = m.documents.agg(*aggs).localCheckpoint(eager=False)
+    a = m.documents.agg(*aggs).persist()
     outs = [
         a.select(
             F.lit(c).alias("column_name"),
@@ -2034,7 +2034,7 @@ def docs_table_profile_sketch(m: Model) -> DataFrame:
             F.min(c).cast("string").alias(f"mn_{c}"),
             F.max(c).cast("string").alias(f"mx_{c}"),
         ]
-    a = docs.agg(*aggs).localCheckpoint(eager=False)
+    a = docs.agg(*aggs).persist()
     outs = [
         a.select(
             F.lit(c).alias("column_name"),

@@ -504,7 +504,7 @@ def _mlt_lex_build(m: Model) -> DataFrame:
     :func:`_mlt_lex`.  The (doc, word, tf) relation feeds the
     probe-term derivation, the document frequencies, AND the scoring
     join — checkpointed once."""
-    wc = _wc(m).localCheckpoint(eager=False)
+    wc = _wc(m).persist()
     qw = (
         wc.where(F.col("doc_id") < _SIM_NQUERIES)
         .select(F.col("doc_id").alias("query_id"), "word")

@@ -247,7 +247,7 @@ def embedding_neardup_pairs(m: Model) -> DataFrame:
         .where(F.col("n") <= _EMB_BUCKET_CAP)
         .select("bucket")
     )
-    base = eb.join(F.broadcast(okb), "bucket").localCheckpoint(eager=False)
+    base = eb.join(F.broadcast(okb), "bucket").persist()
     a = base.select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), "bucket"
     )

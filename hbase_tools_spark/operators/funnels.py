@@ -232,7 +232,7 @@ def events_retention_cohorts(m: Model) -> DataFrame:
             (F.floor(F.unix_timestamp("ts") / 86400)).cast("bigint").alias("day"),
         )
         .distinct()
-        .localCheckpoint(eager=False)  # reused by cohort AND the grid
+        .persist()  # reused by cohort AND the grid
     )
     cohort = ud.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
     sizes = cohort.groupBy("cohort_day").agg(

@@ -193,10 +193,16 @@ def test_window_dedup_has_no_window_key_join(spark):
     3x slower at 10x corpus.  The only join is per-doc (hash, not SMJ),
     and the heavy shuffle keys on xxhash64-folded windows."""
     plan = _plan(spark, "docs_window_dedup")
-    # the checkpoint truncates lineage, so the xxhash64 projection is
-    # upstream of this plan; the folded 8-byte key column is the signal
+    # the reuse point is a lazy persist, so the printed plan INCLUDES
+    # the cached subtree where the shingle string legitimately exists
+    # (pre-fold, scan-stage); the invariant is that no SHUFFLE ever
+    # keys on the window string — every exchange keys on the folded
+    # 8-byte wh / the doc id
     assert "wh#" in plan, "window keys no longer hash-folded"
-    assert "shingle" not in plan, "window strings leaked past the fold"
+    for seg in plan.split("Exchange hashpartitioning(")[1:]:
+        assert not seg.split(")", 1)[0].startswith("shingle"), (
+            "window strings leaked into a shuffle key"
+        )
     assert "ShuffledHashJoin" in plan, "doc-level join lost the hash hint"
     assert "SortMergeJoin" not in plan
     # exactly one join operator: the doc-keyed one
