@@ -1555,8 +1555,17 @@ def docs_span_removed(m: Model) -> DataFrame:
     )
     n_tokens = F.size("toks").cast("bigint")
     n_removed = (F.size("toks") - F.size(kept)).cast("bigint")
+    # the cut projection costs O(tokens x |starts|) per doc (~20B cheap
+    # JVM comparisons at the 100x fixture); spread it across slots
+    # instead of the bench's 4 post-shuffle partitions (no-op once the
+    # input split count exceeds the byte-sized target, i.e. at scale)
+    from ..functions.partitioning import spread_if_undersplit
+
+    joined = spread_if_undersplit(
+        all_docs.join(dpos.hint("shuffle_hash"), "doc_id", "left"), "doc_id"
+    )
     return (
-        all_docs.join(dpos.hint("shuffle_hash"), "doc_id", "left")
+        joined
         .select(
             "doc_id",
             n_tokens.alias("n_tokens"),
