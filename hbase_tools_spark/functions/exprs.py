@@ -116,7 +116,13 @@ def _libm(name: str):
     return _LIBM_UDFS[name]
 
 
-_LIBM_SQL_SESSIONS: set[int] = set()
+#: WeakSet, not id()-keyed: a garbage-collected session can be
+#: followed by a new one allocated at the same address, and an id set
+#: would false-hit (skipping registration — later ``spark.sql`` texts
+#: fail analysis on undefined ``libm_ln``) while also growing
+#: unboundedly across sessions.  Weak references key on the live
+#: object and vacate with it.
+_LIBM_SQL_SESSIONS: "weakref.WeakSet" = None  # type: ignore[assignment]
 
 
 def register_libm_sql(spark) -> None:
@@ -125,12 +131,16 @@ def register_libm_sql(spark) -> None:
     for cross-engine-identical ln/exp — the JVM's Math.log can differ
     from libm in the last ULP, which survives a 6-decimal round often
     enough to break hash certification."""
-    key = id(spark)
-    if key in _LIBM_SQL_SESSIONS:
+    global _LIBM_SQL_SESSIONS
+    if _LIBM_SQL_SESSIONS is None:
+        import weakref
+
+        _LIBM_SQL_SESSIONS = weakref.WeakSet()
+    if spark in _LIBM_SQL_SESSIONS:
         return
     spark.udf.register("libm_ln", _libm("ln"))
     spark.udf.register("libm_exp", _libm("exp"))
-    _LIBM_SQL_SESSIONS.add(key)
+    _LIBM_SQL_SESSIONS.add(spark)
 
 
 def pln(col: Column) -> Column:

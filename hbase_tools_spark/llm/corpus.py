@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import Model
+from ..functions.cache import stage_persist
 from ..functions.exprs import fround, fround_sql, register_libm_sql
 from ..registry import query
 
@@ -153,7 +154,7 @@ def tfidf_top_terms(m: Model) -> DataFrame:
     + sort_array + slice — was measured ~15% SLOWER than this rank
     window at sf0.1: the per-group struct buffers cost more than the
     partition sort they avoid.)"""
-    wc = _wc(m).persist()
+    wc = stage_persist(_wc(m))
     dfr = wc.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     nd = F.broadcast(m.documents.agg(F.count(F.lit(1)).alias("n_docs")))
 
@@ -327,7 +328,7 @@ def oov_rate_by_source(m: Model) -> DataFrame:
     and rides as a broadcast; the final rollup keys on ``source``
     (bounded cardinality, map-side partials).  Ties at the vocabulary
     boundary break on the word (same ORDER BY in both engines)."""
-    swc = _swc(m).persist()
+    swc = stage_persist(_swc(m))
     # TakeOrderedAndProject (orderBy+limit), NOT an unpartitioned
     # row_number window — the window form single-partition-sorts the
     # whole vocabulary, exactly the global sort this query's plan notes
@@ -398,7 +399,7 @@ def source_unigram_divergence(m: Model) -> DataFrame:
     is quantized to DECIMAL(28,12) before the sum so the cross-partition
     sum order cannot move the result; the decimal sum rounds exactly at
     6 dp in both engines."""
-    swc = _swc(m).persist()
+    swc = stage_persist(_swc(m))
     cw = swc.groupBy("word").agg(F.sum("c").alias("cw"))
     ns = swc.groupBy("source").agg(F.sum("c").alias("ns"))
     n = swc.agg(F.sum("c").alias("n"))
@@ -1271,7 +1272,7 @@ def corpus_dataset_card(m: Model) -> DataFrame:
     flag is a broadcast-or-hash join against the >= 2 content-hash
     relation (corpus-proportional worst case — co-keyed hash join);
     everything collapses to source grain with map-side partials."""
-    wc = _wc(m).persist()  # two consumers
+    wc = stage_persist(_wc(m))  # two consumers
     per_doc = wc.groupBy("doc_id").agg(
         F.sum("c").cast("bigint").alias("n_tokens"),
         F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
@@ -1359,6 +1360,7 @@ query(
 # double division — bit-identical across engines.
 # ---------------------------------------------------------------------------
 
+_WV_BUILD_SEQ = 0  # per-build stage-view suffix (concurrency guard)
 _WV_DIMS = 16   # projection dimensions
 _WV_TOPV = 20   # vocabulary slice that gets vectors + neighbors
 
@@ -1448,8 +1450,16 @@ def word_embedding_neighbors(m: Model) -> DataFrame:
     convention; measured 1.7 s -> ~0.5 s per plan build at sf0.1 with
     the identical physical plan (hints pin the broadcasts the Column
     form declared).  The stage persists are lazy (no build-time
-    planning, unlike localCheckpoint) and ContextCleaner reclaims
-    them when the per-run references drop."""
+    planning, unlike localCheckpoint), tracked by functions/cache.py,
+    and released deterministically at the next query boundary; the
+    stage views carry a per-build unique suffix so two concurrent
+    builds on one session never race on a shared view name (each
+    build's SQL references only its own views — a re-persist of the
+    canonically identical cooc plan still hits CacheManager warm)."""
+    global _WV_BUILD_SEQ
+    _WV_BUILD_SEQ += 1
+    v_cooc = f"_wv_cooc_{_WV_BUILD_SEQ}"
+    v_vec = f"_wv_vec_{_WV_BUILD_SEQ}"
     toks = F.split(F.col("text"), " ")
     tok = m.documents.select(toks.alias("toks"), F.size(toks).alias("n"))
 
@@ -1467,10 +1477,10 @@ def word_embedding_neighbors(m: Model) -> DataFrame:
     # cooc feeds FOUR consumers (marginals, total, top-V, PPMI) —
     # persist once so the corpus-wide pair explosion runs once, not
     # four times (12.6 s -> ~3 s at sf0.1).
-    cooc = prs.groupBy("w", "c").agg(
+    cooc = stage_persist(prs.groupBy("w", "c").agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt")
-    ).persist()
-    cooc.createOrReplaceTempView("_wv_cooc")
+    ))
+    cooc.createOrReplaceTempView(v_cooc)
     register_libm_sql(m.spark)
     # cnt goes to DOUBLE before the big_n multiply: the int64 product
     # cnt*big_n silently wraps past 2^63 at real corpus scale (big_n
@@ -1489,9 +1499,9 @@ def word_embedding_neighbors(m: Model) -> DataFrame:
     # the 320-row cache.  CTE-free plans cache-match through the view.
     marg_sql = (
         "SELECT w AS mw, CAST(sum(cnt) AS BIGINT) AS n_w"
-        " FROM _wv_cooc GROUP BY w"
+        f" FROM {v_cooc} GROUP BY w"
     )
-    vec = m.spark.sql(f"""
+    vec = stage_persist(m.spark.sql(f"""
 SELECT w, i,
        CAST(sum(IF(CAST(conv(substring(md5(concat(c, '#', CAST(i AS STRING))),
                              1, 8), 16, 10) AS BIGINT) % 2 = 0, p, -p))
@@ -1503,19 +1513,19 @@ FROM (
                 libm_ln((c.cnt * 1.0e0) * tot.big_n
                         / ((m1.n_w * 1.0e0) * m2.n_w))) * 1e6 + 0.5e0) / 1e6
               AS DECIMAL(18,6)) AS p
-  FROM _wv_cooc c
+  FROM {v_cooc} c
   JOIN (SELECT mw FROM ({marg_sql} ORDER BY n_w DESC, mw LIMIT {_WV_TOPV})) topv
     ON c.w = topv.mw
   JOIN ({marg_sql}) m1 ON c.w = m1.mw
   JOIN ({marg_sql}) m2 ON c.c = m2.mw
-  CROSS JOIN (SELECT CAST(sum(cnt) AS BIGINT) AS big_n FROM _wv_cooc) tot
+  CROSS JOIN (SELECT CAST(sum(cnt) AS BIGINT) AS big_n FROM {v_cooc}) tot
 ) ppmi LATERAL VIEW explode(sequence(0, {_WV_DIMS - 1})) t AS i
 GROUP BY w, i
-""").persist()  # three consumers: norms + both self-join sides
-    vec.createOrReplaceTempView("_wv_vec")
+"""))  # three consumers: norms + both self-join sides
+    vec.createOrReplaceTempView(v_vec)
     norm_sql = (
         "SELECT w, sqrt(CAST(round(sum(v * v), 6) AS DOUBLE)) AS nrm"
-        " FROM _wv_vec GROUP BY w"
+        f" FROM {v_vec} GROUP BY w"
     )
     return m.spark.sql(f"""
 SELECT /*+ BROADCAST(na), BROADCAST(nb) */ w1, w2,
@@ -1523,7 +1533,7 @@ SELECT /*+ BROADCAST(na), BROADCAST(nb) */ w1, w2,
 FROM (
   SELECT a.w AS w1, b.w AS w2,
          CAST(round(sum(a.v * b.v), 6) AS DOUBLE) AS dot
-  FROM _wv_vec a JOIN _wv_vec b ON a.i = b.i AND a.w < b.w
+  FROM {v_vec} a JOIN {v_vec} b ON a.i = b.i AND a.w < b.w
   GROUP BY a.w, b.w
 ) dots
 JOIN ({norm_sql}) na ON dots.w1 = na.w
@@ -1646,7 +1656,8 @@ def docs_lr_quality_train(m: Model) -> DataFrame:
             / 10.0
         ).alias("x2"),
         F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
-    ).persist()  # scanned K+1 times — materialize once
+    )
+    feat = stage_persist(feat)  # scanned K+1 times — materialize once
 
     spark = m.documents.sparkSession
     w = spark.range(1).select(

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import Model
+from ..functions.cache import stage_persist
 from ..functions.exprs import fround, fround_sql
 from ..registry import query
 
@@ -111,7 +112,7 @@ def ngram_jaccard_pairs(m: Model) -> DataFrame:
     once (lazy localCheckpoint) before the self-join: ReuseExchange
     does NOT fire across the two legs (verified on the executed plan),
     so without it the shingle pass runs twice."""
-    posts = _shingles_with_size(m).persist()
+    posts = stage_persist(_shingles_with_size(m))
     # shuffle-hash hint: the posting list is too big to broadcast
     # cheaply (AQE would otherwise collect one whole side to the
     # driver) and far too big for that at corpus scale; hash-join on
@@ -1018,10 +1019,9 @@ def docs_window_dedup(m: Model) -> DataFrame:
     the fraction being estimated and impossible to observe at fixture
     scale).  Both per-doc relations then meet in one doc-keyed join —
     doc-cardinality rows, co-partitioned on doc_id."""
-    posts = (
+    posts = stage_persist(
         _shingles_with_size(m, width=_DUP_WINDOW)
         .select("doc_id", F.xxhash64("shingle").alias("wh"))
-        .persist()
     )
     per_doc = posts.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_windows")
@@ -1091,13 +1091,13 @@ def _dup_window_positions(m: Model):
             ).alias("pos0", "shingle"),
         )
         .select("doc_id", (F.col("pos0") + 1).alias("pos"), "shingle")
-        # both the doc-frequency aggregate and the semi-join probe
-        # consume p; without the checkpoint the corpus-wide posexplode
-        # runs twice (ReuseExchange can't fire — one leg partial-aggs
-        # before its exchange), the same guard ngram_jaccard_pairs
-        # documents
-        .persist()
     )
+    # both the doc-frequency aggregate and the semi-join probe
+    # consume p; without the checkpoint the corpus-wide posexplode
+    # runs twice (ReuseExchange can't fire — one leg partial-aggs
+    # before its exchange), the same guard ngram_jaccard_pairs
+    # documents
+    p = stage_persist(p)
     wf = (
         p.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -1310,10 +1310,9 @@ def corpus_novelty_curve(m: Model) -> DataFrame:
     posts = _shingles_with_size(m, width=_DUP_WINDOW).select(
         batch.alias("batch"), F.col("shingle").alias("wh")
     )
-    bc = (
+    bc = stage_persist(
         posts.groupBy("wh", "batch")
         .agg(F.count(F.lit(1)).alias("c"))
-        .persist()
     )
     fb = bc.groupBy("wh").agg(F.min("batch").alias("fb"))
     nd = (
@@ -1444,9 +1443,9 @@ def novelty_by_source(m: Model) -> DataFrame:
     # DIFFERENT keys — without materialization the explode+aggregate
     # runs twice (ReuseExchange can't fire across key sets; measured
     # 2.2 s -> 1.9 s warm, 5.9 -> 2.9 cold with the checkpoint)
-    bc = posts.groupBy("source", "batch", "shingle").agg(
+    bc = stage_persist(posts.groupBy("source", "batch", "shingle").agg(
         F.count(F.lit(1)).alias("c")
-    ).persist()
+    ))
     fb = bc.groupBy("shingle").agg(F.min("batch").alias("fb"))
     nd = base.groupBy("source", "batch").agg(
         F.count(F.lit(1)).alias("n_docs")
@@ -1634,6 +1633,18 @@ def novelty_ingest_batch(
         .agg(F.count(F.lit(1)).alias("c"))
         .persist()
     )
+    try:
+        return _novelty_batch_body(spark, index_dir, docs, batch_id, bc)
+    finally:
+        # batch-scoped cache: release the moment the batch commits
+        # (streaming/ingest.py discipline) — without this each ingest
+        # batch leaks one persisted relation for the session lifetime
+        bc.unpersist()
+
+
+def _novelty_batch_body(spark, index_dir, docs, batch_id, bc) -> dict:
+    from ..streaming.ingest import _fs_exists
+
     n_docs = docs.where(
         F.size(F.split(F.col("text"), " ")) >= _DUP_WINDOW
     ).count()
@@ -1733,6 +1744,15 @@ def novelty_ingest_bloom(
         .agg(F.count(F.lit(1)).alias("c"))
         .persist()
     )
+    try:
+        return _novelty_bloom_body(spark, index_dir, batch_id, bc)
+    finally:
+        bc.unpersist()  # batch-scoped cache, see novelty_ingest_batch
+
+
+def _novelty_bloom_body(spark, index_dir, batch_id, bc) -> dict:
+    from ..streaming.ingest import _fs_exists
+
     pos = _bloom_positions(bc)
     have_index = _fs_exists(spark, index_dir)
     if have_index:

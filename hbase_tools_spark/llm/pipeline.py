@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import Model
+from ..functions.cache import stage_persist
 from ..functions.exprs import fround, fround_sql
 from ..registry import query
 
@@ -1008,8 +1009,8 @@ def docs_dsir_weights(m: Model) -> DataFrame:
         # and the doc_id clustering means no exchange exists for
         # ReuseExchange to dedup -- materialize the doc-grain counts
         # once (narrow JVM tree, cheap analysis)
-        .persist()
     )
+    fc = stage_persist(fc)
     bt = fc.groupBy("b").agg(
         F.sum(F.when(F.col("tgt"), F.col("c")).otherwise(0)).alias("ct"),
         F.sum(F.when(~F.col("tgt"), F.col("c")).otherwise(0)).alias("cr"),
@@ -1614,8 +1615,8 @@ def docs_budget_selection(m: Model) -> DataFrame:
         .withColumn(
             "bkt", F.floor(F.col("score") * B).cast("int")
         )
-        .persist()  # feeds histogram AND selection
     )
+    sc = stage_persist(sc)  # feeds histogram AND selection
     budget_rel = F.broadcast(
         sc.agg(
             F.floor(F.lit(float(_BUDGET_FRACTION)) * F.sum("n_tokens"))
@@ -1724,8 +1725,8 @@ def corpus_temperature_mixture(m: Model) -> DataFrame:
             .cast("bigint")
             .alias("n_tokens")
         )
-        .persist()  # feeds tot and the share relation
     )
+    src = stage_persist(src)  # feeds tot and the share relation
     tot = src.agg(F.sum("n_tokens").cast("bigint").alias("t"))
     a = src.crossJoin(F.broadcast(tot)).select(
         "source",
@@ -1734,7 +1735,8 @@ def corpus_temperature_mixture(m: Model) -> DataFrame:
         fround(pexp(_TEMP_ALPHA * pln(F.col("n_tokens") * 1.0 / F.col("t"))), 8)
         .cast("decimal(18,8)")
         .alias("ap"),
-    ).persist()  # feeds the normalizer and the output
+    )
+    a = stage_persist(a)  # feeds the normalizer and the output
     s = a.agg(F.sum("ap").alias("sap"))
     q = F.col("ap").cast("double") / F.col("sap").cast("double")
     return a.crossJoin(F.broadcast(s)).select(
@@ -1903,7 +1905,7 @@ def docs_table_profile(m: Model) -> DataFrame:
     # ONE corpus scan: the 1-row aggregate is checkpointed and the five
     # per-column projections read it (a plain union would re-plan — and
     # re-scan — the aggregate per branch; measured 10 scans vs 1).
-    a = m.documents.agg(*aggs).persist()
+    a = stage_persist(m.documents.agg(*aggs))
     outs = [
         a.select(
             F.lit(c).alias("column_name"),
@@ -2034,7 +2036,7 @@ def docs_table_profile_sketch(m: Model) -> DataFrame:
             F.min(c).cast("string").alias(f"mn_{c}"),
             F.max(c).cast("string").alias(f"mx_{c}"),
         ]
-    a = docs.agg(*aggs).persist()
+    a = stage_persist(docs.agg(*aggs))
     outs = [
         a.select(
             F.lit(c).alias("column_name"),

@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import Model
+from ..functions.cache import stage_persist
 from ..functions.exprs import fround, fround_sql, pln
 from ..registry import query
 from .corpus import _WC_SQL, _wc
@@ -504,7 +505,7 @@ def _mlt_lex_build(m: Model) -> DataFrame:
     :func:`_mlt_lex`.  The (doc, word, tf) relation feeds the
     probe-term derivation, the document frequencies, AND the scoring
     join — checkpointed once."""
-    wc = _wc(m).persist()
+    wc = stage_persist(_wc(m))
     qw = (
         wc.where(F.col("doc_id") < _SIM_NQUERIES)
         .select(F.col("doc_id").alias("query_id"), "word")

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import Model
+from ..functions.cache import stage_persist
 from ..functions.exprs import fround, fround_sql
 from ..registry import query
 
@@ -247,7 +248,7 @@ def embedding_neardup_pairs(m: Model) -> DataFrame:
         .where(F.col("n") <= _EMB_BUCKET_CAP)
         .select("bucket")
     )
-    base = eb.join(F.broadcast(okb), "bucket").persist()
+    base = stage_persist(eb.join(F.broadcast(okb), "bucket"))
     a = base.select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), "bucket"
     )

@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import Model
+from ..functions.cache import stage_persist
 from ..functions.exprs import fround, fround_sql
 from ..registry import query
 
@@ -232,8 +233,8 @@ def events_retention_cohorts(m: Model) -> DataFrame:
             (F.floor(F.unix_timestamp("ts") / 86400)).cast("bigint").alias("day"),
         )
         .distinct()
-        .persist()  # reused by cohort AND the grid
     )
+    ud = stage_persist(ud)  # reused by cohort AND the grid
     cohort = ud.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
     sizes = cohort.groupBy("cohort_day").agg(
         F.count(F.lit(1)).alias("cohort_size")

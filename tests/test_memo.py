@@ -153,3 +153,40 @@ def test_stream_served_guards_against_view_swap(spark):
     finally:
         spark.conf.set("spark.hbase_tools.model_dir", "")
         load_model(spark, SF_DIR)
+
+
+def test_stage_persist_lifecycle(spark):
+    """stage_persist tracks the relation; release_stage_caches drops
+    the CacheManager entry (the round-8 ADVICE leak class: lazy
+    persists accumulated for the session lifetime) and a released plan
+    still recomputes correctly from lineage."""
+    from hbase_tools_spark.functions import cache
+
+    cache.release_stage_caches()  # clean slate
+    df = cache.stage_persist(spark.range(100).selectExpr("id", "id * 2 AS d"))
+    assert df.count() == 100
+    assert df.storageLevel.useMemory  # persisted
+    released = cache.release_stage_caches()
+    assert released == 1
+    assert not df.storageLevel.useMemory  # CacheManager entry gone
+    assert df.count() == 100  # lineage recompute, lifecycle not semantics
+    assert cache.release_stage_caches() == 0  # tracker drained
+
+
+def test_word_embedding_stage_views_are_per_build(spark):
+    """Two word_embedding_neighbors builds on one session must not
+    race on a shared stage-view name (round-8 ADVICE): each build
+    registers its own suffixed views and both plans evaluate."""
+    from hbase_tools_spark.catalog import load_model
+    from hbase_tools_spark.llm import corpus
+    from hbase_tools_spark.functions.cache import release_stage_caches
+
+    m = load_model(spark, SF_DIR)
+    a = corpus.word_embedding_neighbors(m)
+    seq_a = corpus._WV_BUILD_SEQ
+    b = corpus.word_embedding_neighbors(m)
+    seq_b = corpus._WV_BUILD_SEQ
+    assert seq_b == seq_a + 1  # distinct view namespace per build
+    # build A's plan still evaluates after build B replaced nothing
+    assert a.count() == b.count() > 0
+    release_stage_caches()

@@ -200,9 +200,13 @@ def test_window_dedup_has_no_window_key_join(spark):
     # 8-byte wh / the doc id
     assert "wh#" in plan, "window keys no longer hash-folded"
     for seg in plan.split("Exchange hashpartitioning(")[1:]:
-        assert not seg.split(")", 1)[0].startswith("shingle"), (
-            "window strings leaked into a shuffle key"
-        )
+        # check EVERY key in the exchange's key list, not just the
+        # first — a window string smuggled in as a second/later shuffle
+        # key (hashpartitioning(doc_id#1, shingle#2, 200)) must fail
+        for key in seg.split(")", 1)[0].split(", "):
+            assert not key.strip().startswith("shingle"), (
+                "window strings leaked into a shuffle key"
+            )
     assert "ShuffledHashJoin" in plan, "doc-level join lost the hash hint"
     assert "SortMergeJoin" not in plan
     # exactly one join operator: the doc-keyed one
