@@ -348,3 +348,201 @@ def decode_avi_pframes(data: bytes) -> tuple[dict, list[bytes]]:
             recon = bytes((r + d) & 0xFF for r, d in zip(recon, residual))
         planes.append(recon)
     return info, planes
+
+
+# ---------------------------------------------------------------------------
+# MOTION-COMPENSATED inter-frame video ('MJPM'): the MJPD codec with
+# the motion search no longer degenerate.  Public MPEG-1-style P-frame
+# recipe built from the spec (ISO/IEC 11172-2 concepts; no external
+# code): each P-frame is partitioned into fixed blocks, every block
+# carries a motion vector into the RECONSTRUCTED previous frame
+# (full-search SAD over a +-_MC_RANGE window, deterministic
+# tie-break), the motion-compensated prediction is subtracted, and the
+# per-pixel residual is DEFLATE-coded.  Closed-loop and mod-256
+# lossless like MJPD, so P-frames stay byte-exact w.r.t. their source
+# — what MC buys is a residual that compresses far better on
+# translating content (pinned by test against the zero-vector codec).
+# Chunk layout for a P-frame: one (dx, dy) signed-byte pair per block
+# in raster order, then the zlib residual plane.
+# ---------------------------------------------------------------------------
+
+MC_HANDLER = b"MJPM"
+_MC_BLOCK = 8    # macroblock edge (16x16 frames -> 2x2 blocks)
+_MC_RANGE = 2    # full-search window: dx, dy in [-2, 2]
+
+
+def _mc_blocks(width: int, height: int) -> list[tuple[int, int, int, int]]:
+    """Raster-order (x, y, bw, bh) macroblock grid (edge blocks clamp)."""
+    return [
+        (x, y, min(_MC_BLOCK, width - x), min(_MC_BLOCK, height - y))
+        for y in range(0, height, _MC_BLOCK)
+        for x in range(0, width, _MC_BLOCK)
+    ]
+
+
+def _mc_candidates(
+    x: int, y: int, bw: int, bh: int, width: int, height: int
+) -> list[tuple[int, int]]:
+    """Deterministic candidate order: (0,0) first, then by SAD
+    tie-break key (|dx|+|dy|, dy, dx); only vectors whose reference
+    block lies fully inside the frame."""
+    cands = [
+        (dx, dy)
+        for dy in range(-_MC_RANGE, _MC_RANGE + 1)
+        for dx in range(-_MC_RANGE, _MC_RANGE + 1)
+        if 0 <= x + dx and x + dx + bw <= width
+        and 0 <= y + dy and y + dy + bh <= height
+    ]
+    return sorted(cands, key=lambda v: (abs(v[0]) + abs(v[1]), v[1], v[0]))
+
+
+def _mc_search(ref, cur, width: int, height: int) -> list[tuple[int, int]]:
+    """Per-block full-search motion estimation: the (dx, dy) minimizing
+    SAD against the reconstructed reference; first candidate in the
+    deterministic order wins ties (so a flat block keeps (0, 0))."""
+    import numpy as np
+
+    r = np.frombuffer(ref, dtype=np.uint8).reshape(height, width).astype(np.int16)
+    c = np.frombuffer(cur, dtype=np.uint8).reshape(height, width).astype(np.int16)
+    mvs: list[tuple[int, int]] = []
+    for x, y, bw, bh in _mc_blocks(width, height):
+        blk = c[y : y + bh, x : x + bw]
+        best, best_sad = (0, 0), None
+        for dx, dy in _mc_candidates(x, y, bw, bh, width, height):
+            sad = int(
+                np.abs(blk - r[y + dy : y + dy + bh, x + dx : x + dx + bw]).sum()
+            )
+            if best_sad is None or sad < best_sad:
+                best, best_sad = (dx, dy), sad
+                if sad == 0:
+                    break  # candidate order is the tie-break order
+        mvs.append(best)
+    return mvs
+
+
+def _mc_predict(ref, width: int, height: int, mvs) -> bytes:
+    """Assemble the motion-compensated prediction plane from the
+    reference and the raster-order block vectors."""
+    import numpy as np
+
+    r = np.frombuffer(ref, dtype=np.uint8).reshape(height, width)
+    pred = np.empty_like(r)
+    blocks = _mc_blocks(width, height)
+    if len(mvs) != len(blocks):
+        raise ValueError(f"expected {len(blocks)} vectors, got {len(mvs)}")
+    for (x, y, bw, bh), (dx, dy) in zip(blocks, mvs):
+        if not (0 <= x + dx and x + dx + bw <= width
+                and 0 <= y + dy and y + dy + bh <= height):
+            raise ValueError(f"motion vector ({dx},{dy}) leaves the frame")
+        pred[y : y + bh, x : x + bw] = r[y + dy : y + dy + bh, x + dx : x + dx + bw]
+    return pred.tobytes()
+
+
+def build_avi_mc(
+    width: int,
+    height: int,
+    planes: list[bytes],
+    fps: int = 25,
+    gop: int = 4,
+    quality: int = 1,
+) -> bytes:
+    """Encode raw grayscale planes as a motion-compensated keyframe+
+    delta AVI: JPEG I-frame every ``gop`` frames, MC P-frames (per-
+    block vectors + zlib residual vs the compensated prediction)."""
+    import numpy as np
+    import zlib
+
+    from .jpeg import decode_jpeg, encode_jpeg
+
+    if gop < 1:
+        raise ValueError("gop must be >= 1")
+    fsz = width * height
+    n_blocks = len(_mc_blocks(width, height))
+    chunks: list[bytes] = []
+    key_flags: list[bool] = []
+    recon: bytes | None = None
+    for i, plane in enumerate(planes):
+        if len(plane) != fsz:
+            raise ValueError(f"frame {i}: expected {fsz} bytes, got {len(plane)}")
+        if i % gop == 0:
+            jpg = encode_jpeg(width, height, plane, quality)
+            _, _, _, px = decode_jpeg(jpg)  # closed loop: decoder's view
+            recon = bytes(px)
+            chunks.append(jpg)
+            key_flags.append(True)
+        else:
+            mvs = _mc_search(recon, plane, width, height)
+            pred = _mc_predict(recon, width, height, mvs)
+            residual = (
+                np.frombuffer(plane, dtype=np.uint8).astype(np.int16)
+                - np.frombuffer(pred, dtype=np.uint8)
+            ).astype(np.uint8).tobytes()
+            mv_bytes = bytes(
+                b for dx, dy in mvs for b in ((dx & 0xFF), (dy & 0xFF))
+            )
+            assert len(mv_bytes) == 2 * n_blocks
+            chunks.append(mv_bytes + zlib.compress(residual, 6))
+            key_flags.append(False)
+            recon = plane  # mod-256 lossless residual: recon == source
+    return build_avi_mjpeg(
+        width, height, chunks, fps=fps, handler=MC_HANDLER, key_flags=key_flags
+    )
+
+
+def decode_avi_mc(data: bytes) -> tuple[dict, list[bytes], list[list[tuple[int, int]]]]:
+    """Decode an 'MJPM' AVI through the full motion-compensated loop:
+    JPEG-decode I-frames; for P-frames parse the per-block vector
+    table, build the compensated prediction from the previous
+    reconstruction, and add the inflated residual.  Returns (container
+    info, reconstructed planes, per-P-frame vector lists — keyframes
+    contribute an empty list)."""
+    import numpy as np
+    import zlib
+
+    from .jpeg import decode_jpeg
+
+    info = parse_avi(data)
+    if info["handler"] != MC_HANDLER.decode("latin-1"):
+        raise ValueError(f"not an MJPM stream: handler {info['handler']!r}")
+    flags = info["index_flags"]
+    if len(flags) != len(info["frames"]):
+        raise ValueError("idx1 entries do not cover every frame")
+    width, height = info["width"], info["height"]
+    fsz = width * height
+    n_blocks = len(_mc_blocks(width, height))
+    planes: list[bytes] = []
+    mv_frames: list[list[tuple[int, int]]] = []
+    recon: bytes | None = None
+    for i, chunk in enumerate(info["frames"]):
+        if flags[i] & _AVIIF_KEYFRAME:
+            w, h, _, px = decode_jpeg(chunk)
+            if (w, h) != (width, height):
+                raise ValueError(f"keyframe {i} dims {w}x{h} disagree with container")
+            recon = bytes(px)
+            mv_frames.append([])
+        else:
+            if recon is None:
+                raise ValueError(f"P-frame {i} before any keyframe")
+            if len(chunk) < 2 * n_blocks:
+                raise ValueError(f"P-frame {i}: truncated vector table")
+            raw = chunk[: 2 * n_blocks]
+            mvs = [
+                (
+                    raw[2 * b] - 256 if raw[2 * b] > 127 else raw[2 * b],
+                    raw[2 * b + 1] - 256 if raw[2 * b + 1] > 127 else raw[2 * b + 1],
+                )
+                for b in range(n_blocks)
+            ]
+            residual = zlib.decompress(chunk[2 * n_blocks :])
+            if len(residual) != fsz:
+                raise ValueError(
+                    f"P-frame {i}: residual {len(residual)} bytes, plane is {fsz}"
+                )
+            pred = _mc_predict(recon, width, height, mvs)
+            recon = (
+                np.frombuffer(pred, dtype=np.uint8).astype(np.int16)
+                + np.frombuffer(residual, dtype=np.uint8)
+            ).astype(np.uint8).tobytes()
+            mv_frames.append(mvs)
+        planes.append(recon)
+    return info, planes, mv_frames

@@ -1423,3 +1423,172 @@ def multimodal_pframe_video(m: Model) -> DataFrame:
     return spread_if_undersplit(media, "doc_id").mapInPandas(
         _pframe_roundtrip, PFRAME_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# MOTION-COMPENSATED video decode ('MJPM'): the round-8 verdict's
+# stretch goal — the MJPD inter-frame loop with per-block motion
+# vectors (llm/avi.py build_avi_mc/decode_avi_mc), making the P-frame
+# path representative of real GOP structure (MPEG-1-style: estimate,
+# compensate, code the residual).  The synthetic content SCROLLS
+# (frame i is the byte plane at row offset i), so the motion search
+# has real translation to find: every block that can reach its
+# reference predicts exactly via (0, +1) and the residual concentrates
+# in the fresh bottom rows — the compression shape MC exists for
+# (pinned vs the zero-vector codec in tests/test_llm.py).
+# ---------------------------------------------------------------------------
+
+_MC_GOP = 4
+
+MC_VIDEO_SCHEMA = (
+    "doc_id bigint, width int, height int, n_frames bigint, "
+    "n_key bigint, n_delta bigint, n_blocks int, duration_us bigint, "
+    "container_ok boolean, keyframes_ok boolean, pframes_exact boolean, "
+    "mv_table_ok boolean"
+)
+
+
+def _mc_roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from .avi import (
+        _AVIIF_KEYFRAME,
+        _MC_RANGE,
+        _mc_blocks,
+        build_avi_mc,
+        decode_avi_mc,
+    )
+
+    W, H = _MJPEG_W, _MJPEG_H
+    fsz = W * H
+    n_blocks = len(_mc_blocks(W, H))
+    for pdf in batches:
+        out = {k: [] for k in (
+            "doc_id", "width", "height", "n_frames", "n_key", "n_delta",
+            "n_blocks", "duration_us", "container_ok", "keyframes_ok",
+            "pframes_exact", "mv_table_ok",
+        )}
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            data = text.encode("utf-8")
+            if not data:
+                continue
+            n_frames = (len(data) + fsz - 1) // fsz
+            # scrolling planes: frame i starts one ROW further into the
+            # buffer — adjacent frames are vertical translations of
+            # each other plus one fresh bottom row
+            need = (n_frames - 1) * W + fsz
+            padded = data + bytes(max(0, need - len(data)))
+            originals = [
+                padded[i * W : i * W + fsz] for i in range(n_frames)
+            ]
+            avi = build_avi_mc(
+                W, H, originals, fps=_MJPEG_FPS, gop=_MC_GOP, quality=1
+            )
+            info, planes, mv_frames = decode_avi_mc(avi)
+            keyed = [bool(f & _AVIIF_KEYFRAME) for f in info["index_flags"]]
+            container_ok = (
+                info["width"] == W
+                and info["height"] == H
+                and info["total_frames"] == n_frames
+                and info["n_index_entries"] == n_frames
+                and info["handler"] == "MJPM"
+                and keyed == [i % _MC_GOP == 0 for i in range(n_frames)]
+            )
+            keyframes_ok = all(
+                _psnr(originals[i], planes[i]) >= _MJPEG_PSNR_MIN
+                for i in range(n_frames)
+                if keyed[i]
+            )
+            pframes_exact = all(
+                planes[i] == originals[i]
+                for i in range(n_frames)
+                if not keyed[i]
+            )
+            # the MC-specific invariant: every P-frame carries exactly
+            # one in-window vector per macroblock (keyframes none)
+            mv_table_ok = all(
+                (len(mvs) == 0) if keyed[i] else (
+                    len(mvs) == n_blocks
+                    and all(
+                        abs(dx) <= _MC_RANGE and abs(dy) <= _MC_RANGE
+                        for dx, dy in mvs
+                    )
+                )
+                for i, mvs in enumerate(mv_frames)
+            )
+            out["doc_id"].append(doc_id)
+            out["width"].append(info["width"])
+            out["height"].append(info["height"])
+            out["n_frames"].append(info["total_frames"])
+            out["n_key"].append(sum(keyed))
+            out["n_delta"].append(info["total_frames"] - sum(keyed))
+            out["n_blocks"].append(n_blocks)
+            out["duration_us"].append(
+                info["total_frames"] * info["us_per_frame"]
+            )
+            out["container_ok"].append(bool(container_ok))
+            out["keyframes_ok"].append(bool(keyframes_ok))
+            out["pframes_exact"].append(bool(pframes_exact))
+            out["mv_table_ok"].append(bool(mv_table_ok))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.array(out["doc_id"], dtype="Int64"),
+                "width": pd.array(out["width"], dtype="Int32"),
+                "height": pd.array(out["height"], dtype="Int32"),
+                "n_frames": pd.array(out["n_frames"], dtype="Int64"),
+                "n_key": pd.array(out["n_key"], dtype="Int64"),
+                "n_delta": pd.array(out["n_delta"], dtype="Int64"),
+                "n_blocks": pd.array(out["n_blocks"], dtype="Int32"),
+                "duration_us": pd.array(out["duration_us"], dtype="Int64"),
+                "container_ok": out["container_ok"],
+                "keyframes_ok": out["keyframes_ok"],
+                "pframes_exact": out["pframes_exact"],
+                "mv_table_ok": out["mv_table_ok"],
+            }
+        )
+
+
+@query(
+    "multimodal_mc_video",
+    oracle=f"""
+SELECT doc_id,
+       CAST({_MJPEG_W} AS INTEGER) AS width,
+       CAST({_MJPEG_H} AS INTEGER) AS height,
+       CAST(nf AS BIGINT) AS n_frames,
+       CAST((nf + {_MC_GOP - 1}) // {_MC_GOP} AS BIGINT) AS n_key,
+       CAST(nf - (nf + {_MC_GOP - 1}) // {_MC_GOP} AS BIGINT) AS n_delta,
+       CAST(4 AS INTEGER) AS n_blocks,
+       CAST(nf * {1_000_000 // _MJPEG_FPS} AS BIGINT) AS duration_us,
+       TRUE AS container_ok,
+       TRUE AS keyframes_ok,
+       TRUE AS pframes_exact,
+       TRUE AS mv_table_ok
+FROM (
+  SELECT doc_id,
+         (length(text) + {_MJPEG_W * _MJPEG_H - 1}) // {_MJPEG_W * _MJPEG_H} AS nf
+  FROM documents
+  WHERE doc_id % 3 = 2 AND length(text) > 0
+)
+""",
+    views=[],
+)
+def multimodal_mc_video(m: Model) -> DataFrame:
+    """MOTION-COMPENSATED inter-frame video decode: each video doc
+    becomes a scrolling {16}x{16} grayscale sequence encoded as an
+    'MJPM' AVI (JPEG I-frame every {4} frames; P-frames carry one
+    full-search motion vector per 8x8 macroblock plus a zlib residual
+    against the motion-compensated prediction — llm/avi.py), and
+    decode rebuilds every frame through the estimate->compensate->add
+    loop.  Certified facts: container dims / frame / key / delta /
+    block counts, duration, and four invariant flags — container
+    fields and I/P cadence correct, I-frames above the {30} dB PSNR
+    floor, every P-frame byte-exact vs its source (closed-loop mod-256
+    residual), and a well-formed in-window vector table on every
+    P-frame.  One zero-shuffle Arrow map stage, payload-linear;
+    sequential only within a video, parallel across videos."""
+    from ..functions.partitioning import spread_if_undersplit
+
+    media = m.documents.select("doc_id", "text").where(
+        (F.col("doc_id") % 3 == 2) & (F.length("text") > 0)
+    )
+    return spread_if_undersplit(media, "doc_id").mapInPandas(
+        _mc_roundtrip, MC_VIDEO_SCHEMA
+    )

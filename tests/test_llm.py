@@ -824,6 +824,63 @@ def test_avi_pframe_interframe_decode():
         decode_avi_pframes(torn)
 
 
+def test_avi_mc_motion_compensation():
+    """The 'MJPM' motion-compensated path: vectors are found (a pure
+    vertical scroll estimates (0, +1) on every block that can reach
+    its reference), P-frames stay byte-exact through the
+    estimate->compensate->add loop, MC beats the zero-vector DPCM
+    codec on translating random texture (the compression MC exists
+    for), and torn framing raises."""
+    import numpy as np
+    import pytest
+
+    from hbase_tools_spark.llm.avi import (
+        _AVIIF_KEYFRAME,
+        _mc_blocks,
+        build_avi_mc,
+        build_avi_mjpeg,
+        build_avi_pframes,
+        decode_avi_mc,
+        decode_avi_pframes,
+    )
+
+    W = H = 16
+    # scrolling content: frame i = buffer rows i..i+15 (dy=+1 motion)
+    g = np.random.default_rng(11)
+    buf = g.integers(0, 256, ((H + 10) * W,), dtype=np.uint8).tobytes()
+    planes = [buf[i * W : i * W + W * H] for i in range(8)]
+    avi = build_avi_mc(W, H, planes, fps=25, gop=8)
+    info, out, mv_frames = decode_avi_mc(avi)
+    keyed = [bool(f & _AVIIF_KEYFRAME) for f in info["index_flags"]]
+    assert info["handler"] == "MJPM"
+    assert keyed == [i == 0 for i in range(8)]
+    for i in range(1, 8):
+        assert out[i] == planes[i]  # closed-loop exact P-frames
+    # from frame 2 on the reference is the exact previous plane, so
+    # every block whose (0,+1) reference fits estimates the scroll
+    # (the bottom block row cannot reach y+1 and stays best-effort)
+    blocks = _mc_blocks(W, H)
+    for i in range(2, 8):
+        for (x, y, bw, bh), mv in zip(blocks, mv_frames[i]):
+            if y + 1 + bh <= H:
+                assert mv == (0, 1), (i, (x, y), mv)
+    # MC pays for itself on translating texture vs zero-vector DPCM
+    dpcm = build_avi_pframes(W, H, planes, fps=25, gop=8)
+    assert len(avi) < len(dpcm)
+    # error paths: wrong handler, torn vector table
+    with pytest.raises(ValueError, match="not an MJPM"):
+        decode_avi_mc(dpcm)
+    good_key = [
+        f for f, k in zip(info["frames"], keyed) if k
+    ][0]
+    torn = build_avi_mjpeg(
+        W, H, [good_key, b"\x00"],  # 1 byte < the 2*n_blocks table
+        handler=b"MJPM", key_flags=[True, False],
+    )
+    with pytest.raises(ValueError, match="truncated vector table"):
+        decode_avi_mc(torn)
+
+
 def test_jpeg_decoder_interop_contracts():
     """Spec-interop behaviors pinned after the codec review: trailing
     bytes after EOI are legal (cameras/editors append data), optional
