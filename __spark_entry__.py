@@ -130,6 +130,12 @@ _EDIT_ROUND: dict[str, int] = {
     # a cached subtree to any later canonically-equal plan).  A future
     # nondeterministic upstream at a persist site voids the exemption
     # and must re-certify through this ledger.
+    #
+    # The round-9 stage_persist swap (same 24 sites, persist ->
+    # tracked persist + deterministic release) and the per-build
+    # word_embedding stage-view suffixes are lifecycle/naming only —
+    # pyspark persist semantics unchanged, values can't move; exempt.
+    "hybrid_rrf_served": 9,  # idf to word grain + memoized reads
 }
 
 # Debut ordering (never-certified queries first in this sequence, then
