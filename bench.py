@@ -236,7 +236,10 @@ def main() -> None:
         # queries.  Runs 2..N of the SAME query still hit CacheManager
         # warm (release happens only here, between queries); memoized
         # pretrained artifacts are not tracked and survive.
-        release_stage_caches()
+        # SPARK_GRAFT_RELEASE=off restores the round-8 accumulate
+        # posture (A/B instrument for the lifecycle's sweep impact).
+        if os.environ.get("SPARK_GRAFT_RELEASE", "on") != "off":
+            release_stage_caches()
 
     # DuckDB side: identical SQL, identical parquet, all cores.
     duck_secs: dict[str, float] = {}

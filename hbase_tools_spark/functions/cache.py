@@ -59,15 +59,20 @@ def stage_persist(df: DataFrame) -> DataFrame:
 
 
 def release_stage_caches() -> int:
-    """Unpersist every tracked stage relation (async block drop);
-    returns how many were released.  Safe to call at any query
-    boundary: plans that referenced a released cache re-compute from
-    lineage — lifecycle only, never semantics."""
+    """Unpersist every tracked stage relation; returns how many were
+    released.  Safe to call at any query boundary: plans that
+    referenced a released cache re-compute from lineage — lifecycle
+    only, never semantics.  BLOCKING on purpose: an async release
+    enqueues block removals that then execute DURING the next query's
+    runs (driver RPC + executor dropFromMemory contending with its
+    tasks — measured ~+40 ms/query across a 184-query sweep, ~7 s
+    total); the release point is outside every timed region, so the
+    removal cost belongs here, not smeared over the neighbors."""
     global _TRACKED
     tracked, _TRACKED = _TRACKED, []
     for df in tracked:
         try:
-            df.unpersist(blocking=False)
+            df.unpersist(blocking=True)
         except Exception:  # session torn down mid-release — nothing to free
             pass
     return len(tracked)
