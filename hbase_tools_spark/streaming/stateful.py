@@ -244,14 +244,20 @@ def stream_funnel_stage(m: Model) -> DataFrame:
     drain equals the batch funnel semantics, so the result is
     oracle-checkable.  Multi-batch/late-arrival behavior is pinned in
     tests/test_streaming.py."""
-    from .jobs import events_stream, run_to_table
+    from .jobs import events_state_partitions, events_stream, run_to_table
 
     ev = (
         events_stream(m.spark, m.sf_dir)
         .where(F.col("event_type").isin(*FUNNEL_STAGES))
         .select("user_id", "event_type", F.unix_micros("ts").alias("tus"))
     )
-    return run_to_table(funnel_stages(ev), "stream_funnel_stage", "append")
+    # user-cardinality-linear state: parallelism = state partitions,
+    # sized to the feed (see auto_state_partitions — the round-9
+    # drain-scaling adjudication)
+    return run_to_table(
+        funnel_stages(ev), "stream_funnel_stage", "append",
+        state_partitions=events_state_partitions(m),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -382,7 +388,7 @@ def stream_attribution(m: Model) -> DataFrame:
     multi-batch behavior is pinned in tests/test_streaming.py.  State
     is O(1) per user by construction — the design target the funnel
     state needed pruning to reach."""
-    from .jobs import events_stream, run_to_table
+    from .jobs import events_state_partitions, events_stream, run_to_table
 
     ev = (
         events_stream(m.spark, m.sf_dir)
@@ -395,7 +401,8 @@ def stream_attribution(m: Model) -> DataFrame:
         )
     )
     drained = run_to_table(
-        attribution_stream(ev), "stream_attribution", "append"
+        attribution_stream(ev), "stream_attribution", "append",
+        state_partitions=events_state_partitions(m),
     )
     return drained.groupBy("attributed_to").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_purchases")
