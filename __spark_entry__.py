@@ -143,6 +143,7 @@ _EDIT_ROUND: dict[str, int] = {
 # queries are certified (r1–r8 union); round-9 debuts go here.
 _DEBUT_PRIORITY: list[str] = [
     "multimodal_mc_video",  # motion-compensated inter-frame video (r9)
+    "multimodal_adpcm_audio",  # IMA ADPCM lossy-audio roundtrip (r9)
 ]
 
 

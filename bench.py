@@ -97,10 +97,27 @@ def _steady_state_batch_ms(spark) -> float:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _host_calibration() -> float:
+    """Median-of-3 wall seconds of a fixed 20M-iteration CPython add
+    loop — a host-speed yardstick recorded in the artifact (see the
+    `host_cal_sec` comment below)."""
+    import statistics
+
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        s = 0
+        for i in range(20_000_000):
+            s += i
+        times.append(time.time() - t0)
+    return round(statistics.median(times), 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
     only = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")  # comma-sep subset
+    host_cal = _host_calibration()
 
     from pyspark.sql import SparkSession
 
@@ -329,6 +346,14 @@ def main() -> None:
         "n_over_2x": len(over_2x),
         "runs": runs,
         "aggregation": "median",
+        # Host speed calibration: wall seconds of a fixed 20M-iteration
+        # CPython add loop, measured median-of-3 right before the
+        # sweep.  The sandbox VM is recycled between rounds onto hosts
+        # of very different speed (r9 observed a 2.1 GHz Xeon at ~2x
+        # the r8 host's per-core time, moving BOTH engines' totals in
+        # lockstep) — absolute seconds only compare across artifacts
+        # after dividing by this number; vs_duckdb self-normalizes.
+        "host_cal_sec": host_cal,
         # run-1 total: includes every memoized artifact's build cost
         # exactly once per family (see spark_cold note above) — the
         # cold-start bound the warm median cannot show.

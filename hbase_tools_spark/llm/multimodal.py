@@ -1592,3 +1592,143 @@ def multimodal_mc_video(m: Model) -> DataFrame:
     return spread_if_undersplit(media, "doc_id").mapInPandas(
         _mc_roundtrip, MC_VIDEO_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL lossy AUDIO compression: IMA ADPCM (4-bit adaptive-differential
+# PCM, WAV format tag 0x0011) in :mod:`.adpcm` — the audio counterpart
+# of the MJPD/MJPM inter-frame video path.  Each audio doc's PCM
+# samples (the same byte-pair derivation multimodal_wav_pcm_stats
+# certifies) are encoded through the real step-adaptive quantizer into
+# a spec-layout blocked WAV, then parsed + fully decoded back through
+# the predictor loop.  ADPCM is LOSSY, so exactness is certified
+# against the CODEC CONTRACT: the decode must equal the encoder's own
+# closed-loop reconstruction bit-exactly (closed_loop_ok) and clear an
+# SNR floor vs the source (snr_ok); the container facts and the 4:1
+# compressed size have closed forms the DuckDB oracle predicts.
+# ---------------------------------------------------------------------------
+
+_ADPCM_RATE = 8000
+_ADPCM_SNR_DB = 3.0   # byte-pair "noise" PCM measures ~13-15 dB; real
+#                       speech/music codes far higher (sine: 41 dB) —
+#                       the floor certifies the coder TRACKS, not hi-fi.
+_ADPCM_SNR_MIN_NS = 64  # below this the index-0 step-table adaptation
+#                         ramp dominates total error (worst case ~-3 dB
+#                         at ns=2 regardless of coder quality), so the
+#                         SNR certificate applies from 64 samples up.
+
+ADPCM_SCHEMA = (
+    "doc_id bigint, n_samples bigint, samples_per_block int, "
+    "n_blocks bigint, compressed_bytes bigint, pcm_bytes bigint, "
+    "container_ok boolean, closed_loop_ok boolean, snr_ok boolean"
+)
+
+
+def _adpcm_roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from .adpcm import (
+        BLOCK_ALIGN,
+        SAMPLES_PER_BLOCK,
+        adpcm_encode,
+        build_wav_adpcm,
+        parse_wav_adpcm,
+    )
+
+    for pdf in batches:
+        out = {k: [] for k in (
+            "doc_id", "n_samples", "samples_per_block", "n_blocks",
+            "compressed_bytes", "pcm_bytes", "container_ok",
+            "closed_loop_ok", "snr_ok",
+        )}
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            data = text.encode("utf-8")
+            ns = len(data) // 2
+            if ns == 0:
+                continue
+            pairs = np.frombuffer(data[: 2 * ns], dtype=np.uint8).reshape(-1, 2)
+            samples = (
+                pairs[:, 0].astype(np.int64)
+                + 256 * pairs[:, 1].astype(np.int64)
+                - _PCM_BIAS
+            )
+            _, recon = adpcm_encode(samples)
+            wav = build_wav_adpcm(_ADPCM_RATE, samples)
+            info, decoded = parse_wav_adpcm(wav)
+            nb = (ns + SAMPLES_PER_BLOCK - 1) // SAMPLES_PER_BLOCK
+            container_ok = (
+                info["tag"] == 0x0011
+                and info["bits"] == 4
+                and info["channels"] == 1
+                and info["sample_rate"] == _ADPCM_RATE
+                and info["samples_per_block"] == SAMPLES_PER_BLOCK
+                and info["n_samples"] == ns
+                and info["n_blocks"] == nb
+                and info["compressed_bytes"] == nb * BLOCK_ALIGN
+            )
+            closed_loop_ok = len(decoded) == ns and bool(
+                np.array_equal(decoded, recon)
+            )
+            err = (decoded - samples).astype(np.float64)
+            sig = float(np.sum(samples.astype(np.float64) ** 2))
+            noise = float(np.sum(err**2))
+            snr_ok = (
+                ns < _ADPCM_SNR_MIN_NS
+                or noise == 0.0
+                or (
+                    sig > 0.0
+                    and 10.0 * math.log10(sig / noise) >= _ADPCM_SNR_DB
+                )
+            )
+            out["doc_id"].append(doc_id)
+            out["n_samples"].append(ns)
+            out["samples_per_block"].append(SAMPLES_PER_BLOCK)
+            out["n_blocks"].append(nb)
+            out["compressed_bytes"].append(nb * BLOCK_ALIGN)
+            out["pcm_bytes"].append(2 * ns)
+            out["container_ok"].append(container_ok)
+            out["closed_loop_ok"].append(closed_loop_ok)
+            out["snr_ok"].append(snr_ok)
+        yield pd.DataFrame(out)
+
+
+@query(
+    "multimodal_adpcm_audio",
+    oracle="""
+SELECT doc_id,
+       CAST(ns AS BIGINT) AS n_samples,
+       CAST(505 AS INTEGER) AS samples_per_block,
+       CAST((ns + 504) // 505 AS BIGINT) AS n_blocks,
+       CAST(((ns + 504) // 505) * 256 AS BIGINT) AS compressed_bytes,
+       CAST(2 * ns AS BIGINT) AS pcm_bytes,
+       TRUE AS container_ok,
+       TRUE AS closed_loop_ok,
+       TRUE AS snr_ok
+FROM (
+  SELECT doc_id, length(text) // 2 AS ns FROM documents
+  WHERE doc_id % 3 = 1 AND length(text) >= 2
+)
+""",
+    views=[],
+)
+def multimodal_adpcm_audio(m: Model) -> DataFrame:
+    """REAL lossy audio compression roundtrip: each audio doc's 16-bit
+    PCM stream is encoded as spec-layout IMA ADPCM (4-bit adaptive
+    quantizer, 256-byte self-seeding blocks, fact-chunk sample count —
+    llm/adpcm.py, written from the public IMA/WAVE specs) and decoded
+    back through the real predictor/step-table loop from the container
+    bytes.  Certified facts: container geometry (tag 0x0011, 4 bits,
+    505 samples/block), exact block count and the 4:1 closed-form
+    compressed size, plus two codec invariants — the decode equals the
+    encoder's closed-loop reconstruction bit-exactly, and SNR vs the
+    source clears the floor.  One zero-shuffle Arrow map stage,
+    payload-linear; blocks are independently decodable (splittable at
+    100 TB — one task per block range), parallel across docs here."""
+    from ..functions.partitioning import spread_if_undersplit
+
+    media = m.documents.select("doc_id", "text").where(
+        (F.col("doc_id") % 3 == 1) & (F.length("text") >= 2)
+    )
+    return spread_if_undersplit(media, "doc_id").mapInPandas(
+        _adpcm_roundtrip, ADPCM_SCHEMA
+    )
