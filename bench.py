@@ -267,9 +267,11 @@ def main() -> None:
         con = duckdb.connect()
         for t in ["region", "nation", "customer", "supplier", "part",
                   "orders", "lineitem", "events", "documents", "embeddings"]:
-            con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-            )
+            # Spark-written tables (e.g. the derived sf1 fixture) are
+            # parquet DIRECTORIES; DuckDB needs the part-file glob.
+            path = f"{sf_dir}/{t}.parquet"
+            src = f"{path}/*.parquet" if os.path.isdir(path) else path
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
         oracles = entrymod.oracle_sql()
         for name in names:
             if name not in oracles:

@@ -30,6 +30,10 @@ def ducksql():
         "orders", "lineitem", "events", "documents", "embeddings",
     ]:
         path = os.path.join(SF_DIR, f"{name}.parquet")
+        # Spark-written tables (derived scale fixtures) are parquet
+        # DIRECTORIES; DuckDB needs the part-file glob.
+        if os.path.isdir(path):
+            path = os.path.join(path, "*.parquet")
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{path}'")
     yield lambda sql: con.sql(sql).fetchdf()
     con.close()
