@@ -136,6 +136,7 @@ _EDIT_ROUND: dict[str, int] = {
     # word_embedding stage-view suffixes are lifecycle/naming only —
     # pyspark persist semantics unchanged, values can't move; exempt.
     "hybrid_rrf_served": 9,  # idf to word grain + memoized reads
+    "neardup_clusters": 9,  # oracle CTEs -> MATERIALIZED (sf1 OOM fix)
 }
 
 # Debut ordering (never-certified queries first in this sequence, then

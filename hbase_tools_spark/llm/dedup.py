@@ -639,8 +639,15 @@ _LP_STEPS = 4  # label-propagation rounds (cluster diameter bound)
 def _lp_oracle() -> str:
     """Unrolled k-step min-label propagation in DuckDB SQL: step s+1
     labels = min(own label, neighbors' labels)."""
+    # MATERIALIZED is load-bearing at scale: each step references the
+    # previous CTE twice, so DuckDB's default inlining re-expands the
+    # whole upstream MinHash pipeline ~2^steps times — at the sf1
+    # fixture that blows past a 100 GiB memory limit (observed OOM);
+    # materialized, each step is one tiny pass over ≤|nodes| rows.
+    # (Spark materializes the per-round relation explicitly via the
+    # loop's localCheckpoint — this is the same plan shape.)
     base = f"""
-edges AS (
+edges AS MATERIALIZED (
   SELECT doc_a AS u, doc_b AS v FROM pairs
   UNION ALL SELECT doc_b AS u, doc_a AS v FROM pairs
 ),
@@ -649,7 +656,7 @@ s0 AS (SELECT doc_id, doc_id AS label FROM nodes)"""
     steps = []
     for i in range(_LP_STEPS):
         steps.append(f"""
-s{i + 1} AS (
+s{i + 1} AS MATERIALIZED (
   SELECT n.doc_id,
          least(n.label, coalesce(min(m.label), n.label)) AS label
   FROM s{i} n
@@ -668,7 +675,10 @@ SELECT doc_id, label AS cluster_id FROM s{_LP_STEPS}
     # inside the pairs CTE (previously this leaned on views=["servers"]
     # purely to make the registry emit the WITH keyword — coupling this
     # oracle to an unrelated view definition)
-    oracle="WITH pairs AS (\n" + _MINHASH_PAIRS_SQL + "\n),\n" + _lp_oracle(),
+    oracle="WITH pairs AS MATERIALIZED (\n"
+    + _MINHASH_PAIRS_SQL
+    + "\n),\n"
+    + _lp_oracle(),
     views=[],
 )
 def neardup_clusters(m: Model) -> DataFrame:
