@@ -145,6 +145,7 @@ _EDIT_ROUND: dict[str, int] = {
 _DEBUT_PRIORITY: list[str] = [
     "multimodal_mc_video",  # motion-compensated inter-frame video (r9)
     "multimodal_adpcm_audio",  # IMA ADPCM lossy-audio roundtrip (r9)
+    "semantic_dedup_survivors",  # SemDeDup selection stage (r9)
 ]
 
 

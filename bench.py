@@ -258,6 +258,12 @@ def main() -> None:
         if os.environ.get("SPARK_GRAFT_RELEASE", "on") != "off":
             release_stage_caches()
 
+    # Host window can shift over a ~1 h sweep — a second calibration
+    # between the legs makes a mid-sweep slowdown visible in-artifact
+    # (r9 observed a sweep whose Spark leg ran 1.6x slow while the
+    # DuckDB leg beat the previous round's).
+    host_cal_mid = _host_calibration()
+
     # DuckDB side: identical SQL, identical parquet, all cores.
     duck_secs: dict[str, float] = {}
     duck_med: dict[str, float] = {}
@@ -356,6 +362,11 @@ def main() -> None:
         # lockstep) — absolute seconds only compare across artifacts
         # after dividing by this number; vs_duckdb self-normalizes.
         "host_cal_sec": host_cal,
+        # measured between the Spark and DuckDB legs / after both legs:
+        # a spread across the three marks a window shift mid-sweep
+        # (per-leg totals then don't compare even within the artifact).
+        "host_cal_mid_sec": host_cal_mid,
+        "host_cal_post_sec": _host_calibration(),
         # run-1 total: includes every memoized artifact's build cost
         # exactly once per family (see spark_cold note above) — the
         # cold-start bound the warm median cannot show.

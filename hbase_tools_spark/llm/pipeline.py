@@ -877,6 +877,61 @@ def semantic_only_dup_pairs(m: Model) -> DataFrame:
     return ep.join(jp.hint("shuffle_hash"), ["vec_a", "vec_b"], "left_anti")
 
 
+@query(
+    "semantic_dedup_survivors",
+    # MATERIALIZED: ep is referenced twice below; DuckDB's default CTE
+    # inlining would run the bucketed pair join twice (and the same
+    # re-expansion class OOM'd the neardup_clusters oracle at sf1).
+    oracle=f"""
+WITH ep AS MATERIALIZED ({_NEARDUP_PAIRS_SQL})
+SELECT d.doc_id, d.lang, d.source,
+       a.vec_a IS NOT NULL AS kept_with_dups
+FROM documents d
+LEFT JOIN (SELECT DISTINCT vec_a FROM ep) a ON a.vec_a = d.doc_id
+LEFT JOIN (SELECT DISTINCT vec_b FROM ep) b ON b.vec_b = d.doc_id
+WHERE b.vec_b IS NULL
+""",
+    views=[],
+)
+def semantic_dedup_survivors(m: Model) -> DataFrame:
+    """SemDeDup SELECTION stage (Abbas et al. 2023): the kept corpus
+    after embedding-space dedup — completing the semantic family
+    (``embedding_neardup_pairs`` finds the pairs,
+    ``semantic_only_dup_pairs`` diagnoses the lexical-invisible
+    subset, THIS emits the training corpus a semantic dedup pass
+    keeps).  Survivor rule: a document survives iff it is the MINIMUM
+    doc_id of every cosine-{0.35}+ pair it belongs to — the
+    deterministic one-pass greedy rule (no transitive closure: a
+    chain's middle links drop even when their smaller partner also
+    dropped, which is SemDeDup's per-group greedy behavior, unlike
+    the connected-component semantics of ``docs_neardup_survivors``).
+    ``kept_with_dups`` marks survivors that headed at least one dup
+    pair (the canonical-representative set).
+
+    Scale: the pair relation is the bucket-capped LSH join (∝ N·cap,
+    never corpus²); both membership relations are ≤ pairs-sized, and
+    the anti/left joins key on doc_id — shuffle-hash, no sort, no
+    broadcast assumption (pairs grow with the corpus)."""
+    ep = embedding_neardup_pairs(m)
+    dropped = ep.select(F.col("vec_b").alias("doc_id")).distinct()
+    heads = (
+        ep.select(F.col("vec_a").alias("doc_id"))
+        .distinct()
+        .withColumn("kept_with_dups", F.lit(True))
+    )
+    d = m.documents.select("doc_id", "lang", "source")
+    return (
+        d.join(dropped.hint("shuffle_hash"), "doc_id", "left_anti")
+        .join(heads.hint("shuffle_hash"), "doc_id", "left")
+        .select(
+            "doc_id", "lang", "source",
+            F.coalesce("kept_with_dups", F.lit(False)).alias(
+                "kept_with_dups"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # DSIR importance weights (Xie et al. 2023, "Data Selection for
 # Language Models via Importance Resampling"): rank raw-corpus
