@@ -99,7 +99,11 @@ def adpcm_encode(samples: np.ndarray) -> tuple[bytes, np.ndarray]:
     the first ``len(samples)`` samples).  The final block is padded by
     repeating the last sample so the payload is a whole number of
     ``BLOCK_ALIGN``-byte blocks."""
-    samples = np.asarray(samples, dtype=np.int64)
+    # Clamp to int16 range up front: the block header packs the first
+    # sample with '<h', and the byte-pair text derivation can exceed
+    # int16 on non-ASCII input (bytes >= 0x80 in the high position) —
+    # degrade like the in-loop predictor clamp instead of crashing.
+    samples = np.clip(np.asarray(samples, dtype=np.int64), -32768, 32767)
     ns = len(samples)
     if ns == 0:
         raise ValueError("adpcm_encode: empty input")

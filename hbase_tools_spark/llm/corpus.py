@@ -33,7 +33,7 @@ from decimal import ROUND_HALF_UP, Decimal
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -1620,6 +1620,30 @@ GROUP BY w{K}.wa, w{K}.wb, w{K}.wc
 """
 
 
+def _lr_features(documents: DataFrame) -> DataFrame:
+    """The 3-feature (x1, x2, y) relation shared by the in-plan trainer,
+    the persisted-weights materializer, and the serving twin — one copy
+    so the feature convention cannot drift between train and serve."""
+    return documents.select(
+        fround(
+            F.size(F.filter(F.split(F.col("text"), " "), lambda x: x.isin("the", "a")))
+            * 1.0
+            / F.size(F.split(F.col("text"), " ")),
+            4,
+        ).alias("x1"),
+        (
+            fround(
+                F.length(F.regexp_replace(F.col("text"), " ", ""))
+                * 1.0
+                / F.size(F.split(F.col("text"), " ")),
+                4,
+            )
+            / 10.0
+        ).alias("x2"),
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+    )
+
+
 @query("docs_lr_quality_train", oracle=_lr_oracle(), views=[])
 def docs_lr_quality_train(m: Model) -> DataFrame:
     """Linear classifier TRAINED in-engine: logistic regression
@@ -1638,28 +1662,27 @@ def docs_lr_quality_train(m: Model) -> DataFrame:
     Scale: per step ONE corpus scan + map-side-combined scalar
     aggregate (the K sequential syncs are inherent to full-batch GD —
     the Lloyd shape); features never materialize wider than 3
-    doubles/row."""
-    feat = m.documents.select(
-        fround(
-            F.size(F.filter(F.split(F.col("text"), " "), lambda x: x.isin("the", "a")))
-            * 1.0
-            / F.size(F.split(F.col("text"), " ")),
-            4,
-        ).alias("x1"),
-        (
-            fround(
-                F.length(F.regexp_replace(F.col("text"), " ", ""))
-                * 1.0
-                / F.size(F.split(F.col("text"), " ")),
-                4,
-            )
-            / 10.0
-        ).alias("x2"),
-        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
-    )
-    feat = stage_persist(feat)  # scanned K+1 times — materialize once
+    doubles/row.  The query-many production shape is
+    ``docs_lr_quality_served`` (same readout from a persisted weights
+    artifact — scoring cost only)."""
+    feat = stage_persist(_lr_features(m.documents))  # scanned K+1 times
+    return _lr_readout(feat, _lr_train_weights(feat))
 
-    spark = m.documents.sparkSession
+
+def _lr_z() -> Column:
+    """The linear score wa*x1 + wb*x2 + wc with the oracle's exact
+    parenthesization (association order matters in IEEE)."""
+    return (
+        (F.col("wa").cast("double") * F.col("x1"))
+        + (F.col("wb").cast("double") * F.col("x2"))
+    ) + F.col("wc").cast("double")
+
+
+def _lr_train_weights(feat: DataFrame) -> DataFrame:
+    """Run the {_LR_STEPS}-step full-batch GD loop over a (x1, x2, y)
+    feature relation; returns the final 1-row DECIMAL(12,7) weight
+    relation (wa, wb, wc)."""
+    spark = feat.sparkSession
     w = spark.range(1).select(
         F.lit(0).cast("decimal(12,7)").alias("wa"),
         F.lit(0).cast("decimal(12,7)").alias("wb"),
@@ -1667,15 +1690,9 @@ def docs_lr_quality_train(m: Model) -> DataFrame:
     )
     n_rel = feat.agg(F.count(F.lit(1)).alias("n"))
 
-    def z_of() -> object:
-        return (
-            (F.col("wa").cast("double") * F.col("x1"))
-            + (F.col("wb").cast("double") * F.col("x2"))
-        ) + F.col("wc").cast("double")
-
     for _ in range(_LR_STEPS):
         d = feat.crossJoin(F.broadcast(w))
-        sig = 1.0 / (1.0 + _pexp(-z_of()))
+        sig = 1.0 / (1.0 + _pexp(-_lr_z()))
         g = d.agg(
             F.round(F.sum((F.col("x1") * (sig - F.col("y"))).cast("decimal(28,12)")), 7).alias("ga"),
             F.round(F.sum((F.col("x2") * (sig - F.col("y"))).cast("decimal(28,12)")), 7).alias("gb"),
@@ -1707,9 +1724,16 @@ def docs_lr_quality_train(m: Model) -> DataFrame:
             .cast("decimal(12,7)")
             .alias("wc"),
         )
+    return w
+
+
+def _lr_readout(feat: DataFrame, w: DataFrame) -> DataFrame:
+    """Score a feature relation against a 1-row weight relation: final
+    weights (as doubles), corpus size, training accuracy — ONE corpus
+    scan with the broadcast weights decorated in."""
     scored = feat.crossJoin(F.broadcast(w))
     correct = F.when(
-        (z_of() > 0.0) == (F.col("y") == 1.0), 1
+        (_lr_z() > 0.0) == (F.col("y") == 1.0), 1
     ).otherwise(0)
     return scored.groupBy("wa", "wb", "wc").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
@@ -1721,6 +1745,57 @@ def docs_lr_quality_train(m: Model) -> DataFrame:
         "n_docs",
         "train_accuracy",
     )
+
+
+def materialize_lr_weights(documents: DataFrame, out_dir: str) -> None:
+    """Persist the trained LR weights as a 1-row parquet relation
+    (``{out_dir}/weights``) — the pretrained-classifier production
+    shape (fastText/quality-gate models ship exactly this way: train
+    once offline, every scoring job loads the artifact).  The feature
+    relation is stage-persisted for the K gradient scans and eagerly
+    consumed by the write, so the cache never outlives this build."""
+    feat = stage_persist(_lr_features(documents))
+    w = _lr_train_weights(feat)
+    w.write.mode("overwrite").parquet(out_dir + "/weights")
+
+
+def _lr_weights_dir(m: Model) -> str:
+    """Materialize the trained LR weights ONCE per (process, fixture
+    dir) into scratch and memoize the path — the ``_lm_artifact_dir``
+    convention: in production the artifact exists before any query
+    runs, so the serving query's measured cost is scoring alone."""
+    import tempfile
+
+    from ..functions.memo import model_cached
+
+    def build() -> str:
+        import atexit
+        import os
+        import shutil
+
+        base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+        out = tempfile.mkdtemp(prefix="lr_weights_", dir=base)
+        atexit.register(shutil.rmtree, out, ignore_errors=True)
+        materialize_lr_weights(m.documents, out)
+        return out
+
+    return model_cached(m, "lr_weights_dir", build)
+
+
+@query("docs_lr_quality_served", oracle=_lr_oracle(), views=[])
+def docs_lr_quality_served(m: Model) -> DataFrame:
+    """The LR quality classifier SERVED from persisted weights — the
+    query-many production twin of ``docs_lr_quality_train``: identical
+    output (the artifact is trained by the same GD loop on the same
+    corpus), but the query path is ONE feature scan with the 1-row
+    weights parquet broadcast in — no gradient syncs, no stage cache.
+    Bit-parity with the in-plan trainer is pinned in tests.
+
+    Scale: scoring N docs is a single map-side pass (the weights
+    relation is O(1)); training cost is paid once at artifact build —
+    exactly how fastText-style quality gates deploy at 100 TB."""
+    w = m.spark.read.parquet(_lr_weights_dir(m) + "/weights")
+    return _lr_readout(_lr_features(m.documents), w)
 
 
 # ---------------------------------------------------------------------------

@@ -1058,6 +1058,116 @@ def docs_window_dedup(m: Model) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Line-level dedup (C4, Raffel et al. 2020 §2.2: "we discarded all but
+# one of any three-sentence span occurring more than once in the data
+# set") — the KEEP-FIRST global policy the window family lacks: every
+# normalized line keeps exactly ONE canonical occurrence corpus-wide
+# (lowest (doc_id, line_no)); every other occurrence is removed.  The
+# fixture corpus has no newlines/punctuation, so the normalized "line"
+# unit is the deterministic non-overlapping {_LINE_W}-word segment
+# (the same re-keying SURVEY's plan prescribes: the shingle machinery
+# at line grain).
+# ---------------------------------------------------------------------------
+
+_LINE_W = 16  # words per normalized line segment
+
+_LINES_SQL = f"""
+SELECT doc_id,
+       CAST(unnest(range(0, (len(toks) + {_LINE_W - 1}) // {_LINE_W}))
+            AS BIGINT) AS line_no,
+       unnest(list_transform(range(0, (len(toks) + {_LINE_W - 1}) // {_LINE_W}),
+              i -> lower(array_to_string(
+                     toks[i*{_LINE_W}+1:i*{_LINE_W}+{_LINE_W}], ' ')))) AS seg
+FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t
+"""
+
+
+@query(
+    "docs_line_dedup",
+    oracle=f"""
+WITH l AS ({_LINES_SQL}),
+pd AS (SELECT doc_id, count(*) AS n_lines FROM l GROUP BY doc_id),
+fc AS (SELECT seg, count(*) AS c FROM l GROUP BY seg),
+k AS (
+  SELECT seg, doc_id AS kdoc
+  FROM (SELECT seg, doc_id,
+               row_number() OVER (PARTITION BY seg
+                                  ORDER BY doc_id, line_no) AS rn
+        FROM l)
+  WHERE rn = 1
+),
+agg AS (
+  SELECT kdoc AS doc_id,
+         count(*) AS n_kept,
+         count(*) FILTER (WHERE c = 1) AS n_unique
+  FROM k JOIN fc USING (seg)
+  GROUP BY kdoc
+)
+SELECT pd.doc_id,
+       CAST(n_lines AS BIGINT) AS n_lines,
+       CAST(n_lines - coalesce(n_unique, 0) AS BIGINT) AS n_dup_lines,
+       CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(n_lines - coalesce(n_kept, 0) AS BIGINT) AS n_removed,
+       {fround_sql('coalesce(n_kept, 0) * 1.0 / n_lines', 6)} AS kept_fraction
+FROM pd LEFT JOIN agg ON pd.doc_id = agg.doc_id
+""",
+    views=[],
+)
+def docs_line_dedup(m: Model) -> DataFrame:
+    """C4-style line-level dedup with the KEEP-FIRST policy: every
+    normalized {16}-word line segment keeps exactly one canonical
+    occurrence corpus-wide — the occurrence with the lowest
+    (doc_id, line_no) — and all others are removed.  Per document:
+    total line count, how many of its lines are duplicated anywhere
+    (the C4 discard candidates), how many survive as canonical copies,
+    how many occurrences a remover would cut, and the kept fraction.
+
+    Plan — NO corpus-vs-corpus re-association join (the
+    ``docs_window_dedup`` trick extended to keep-first attribution):
+    the line-frequency aggregate carries BOTH the count and the
+    canonical first holder as ``min(struct(doc_id, line_no))``, so the
+    per-doc kept and unique counts fall out of ONE doc-keyed rollup of
+    the frequency relation — line-cardinality shuffles only, keyed on
+    ``xxhash64(line)`` 8-byte ints (collision odds ~n²/2^65,
+    unobservable).  Three doc-keyed relations then meet in one
+    co-partitioned join.  At 100 TB every stage is linear in corpus
+    lines; nothing is ever corpus² and no window spans more than one
+    line key."""
+    W = _LINE_W
+    toks = F.split(F.col("text"), " ")
+    segs = F.expr(
+        f"transform(sequence(0, CAST((size(toks) + {W - 1}) DIV {W} AS INT) - 1),"
+        f" i -> lower(concat_ws(' ', slice(toks, i * {W} + 1, {W}))))"
+    )
+    posts = stage_persist(
+        m.documents.select("doc_id", toks.alias("toks"))
+        .select("doc_id", F.posexplode(segs).alias("line_no", "seg"))
+        .select("doc_id", "line_no", F.xxhash64("seg").alias("lh"))
+    )
+    per_doc = posts.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_lines")
+    )
+    freq = posts.groupBy("lh").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.min(F.struct("doc_id", "line_no")).alias("keeper"),
+    )
+    kept = freq.groupBy(F.col("keeper.doc_id").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.count(F.when(F.col("c") == 1, 1)).alias("n_unique"),
+    )
+    n_dup = F.col("n_lines") - F.coalesce(F.col("n_unique"), F.lit(0))
+    n_kept = F.coalesce(F.col("n_kept"), F.lit(0))
+    return per_doc.join(kept.hint("shuffle_hash"), "doc_id", "left").select(
+        "doc_id",
+        F.col("n_lines").cast("bigint").alias("n_lines"),
+        n_dup.cast("bigint").alias("n_dup_lines"),
+        n_kept.cast("bigint").alias("n_kept"),
+        (F.col("n_lines") - n_kept).cast("bigint").alias("n_removed"),
+        fround(n_kept * 1.0 / F.col("n_lines"), 6).alias("kept_fraction"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Exact duplicated-SPAN extraction (Lee et al. 2022 §4, the ExactSubstr
 # remover): docs_window_dedup says HOW MUCH of a doc is duplicated;
 # this says WHERE — the maximal verbatim-duplicated token spans, i.e.

@@ -552,7 +552,14 @@ def multimodal_png_stats(m: Model) -> DataFrame:
 # corpus pipeline gates on.
 # ---------------------------------------------------------------------------
 
-_PCM_BIAS = 16384  # recenter byte-pair samples into a signed range
+# Recenter byte-pair samples into a signed range.  ASCII-ONLY value
+# contract: the wav_pcm oracle derives byte pairs per CHARACTER
+# (ascii(substring(...))), which equals the Spark side's utf-8 BYTE
+# pairs only when every byte < 0x80; the test fixtures are ASCII.  The
+# high byte < 0x80 also keeps samples inside int16 for '<h' packing.
+# (The ADPCM path is byte-consistent on both sides and clamps, so it
+# merely degrades — not crashes — outside this contract.)
+_PCM_BIAS = 16384
 
 WAV_STATS_SCHEMA = (
     "doc_id bigint, n_samples bigint, peak int, sum_sq bigint, "
@@ -1705,8 +1712,11 @@ SELECT doc_id,
        TRUE AS closed_loop_ok,
        TRUE AS snr_ok
 FROM (
-  SELECT doc_id, length(text) // 2 AS ns FROM documents
-  WHERE doc_id % 3 = 1 AND length(text) >= 2
+  -- strlen = BYTE length (DuckDB), matching the Spark side's
+  -- octet_length / utf-8-encode derivation on any input, not just
+  -- the ASCII fixtures.
+  SELECT doc_id, strlen(text) // 2 AS ns FROM documents
+  WHERE doc_id % 3 = 1 AND strlen(text) >= 2
 )
 """,
     views=[],
@@ -1727,7 +1737,9 @@ def multimodal_adpcm_audio(m: Model) -> DataFrame:
     from ..functions.partitioning import spread_if_undersplit
 
     media = m.documents.select("doc_id", "text").where(
-        (F.col("doc_id") % 3 == 1) & (F.length("text") >= 2)
+        # octet_length: BYTE-based, agreeing with the udf's
+        # len(text.encode('utf-8'))//2 sample count on any input.
+        (F.col("doc_id") % 3 == 1) & (F.octet_length("text") >= 2)
     )
     return spread_if_undersplit(media, "doc_id").mapInPandas(
         _adpcm_roundtrip, ADPCM_SCHEMA

@@ -62,7 +62,15 @@ def main() -> None:
 
     names = sorted(QUERIES)
     if args.only:
-        names = [n for n in args.only.split(",") if n in QUERIES]
+        requested = [n for n in args.only.split(",") if n]
+        unknown = [n for n in requested if n not in QUERIES]
+        if unknown:
+            # A typo must not silently shrink the sweep and still
+            # report green with a smaller n_queries.
+            raise SystemExit(
+                f"--only: not in the registry: {', '.join(unknown)}"
+            )
+        names = requested
     m = load_model(spark, sf_dir)
     results: dict[str, dict] = {}
     n_match = n_rows_only = n_err = 0

@@ -293,6 +293,27 @@ def test_lr_training_decreases_log_loss(spark):
     assert loss / len(rows) < math.log(2.0)  # w=0 loss
 
 
+def test_lr_served_weights_parity(spark, tmp_path):
+    """The pretrained-classifier production shape: the persisted
+    weights artifact reproduces the in-plan trainer's output
+    bit-for-bit (same corpus trains both), and the artifact itself is
+    a 1-row (wa, wb, wc) decimal relation."""
+    from hbase_tools_spark.llm.corpus import (
+        _lr_features,
+        _lr_readout,
+        materialize_lr_weights,
+    )
+
+    m = load_model(spark, SF_DIR)
+    out = str(tmp_path / "lr")
+    materialize_lr_weights(m.documents, out)
+    w = spark.read.parquet(out + "/weights")
+    assert w.columns == ["wa", "wb", "wc"] and w.count() == 1
+    [served] = _lr_readout(_lr_features(m.documents), w).collect()
+    [direct] = QUERIES["docs_lr_quality_train"].fn(m).collect()
+    assert served.asDict() == direct.asDict()
+
+
 # -- session paths ----------------------------------------------------------
 
 def test_session_paths_match_python_port(model):

@@ -527,6 +527,98 @@ def test_span_removed_consistent_with_dup_spans(spark):
             assert rm["n_removed"] == 0 and rm["removed_fraction"] == 0.0
 
 
+def test_line_dedup_keep_first_python_port(spark):
+    """Full Python recomputation of the C4 keep-first line dedup: the
+    survivors PARTITION the corpus lines — per doc, kept + removed ==
+    total, the kept set is exactly the canonical-first occurrences,
+    and corpus-wide sum(n_kept) == the number of distinct normalized
+    lines while sum(n_lines) == total line occurrences."""
+    import hbase_tools_spark.llm  # noqa: F401
+    from hbase_tools_spark.llm.dedup import _LINE_W
+    from hbase_tools_spark.registry import QUERIES
+
+    m = load_model(spark, SF_DIR)
+    rows = {r["doc_id"]: r for r in QUERIES["docs_line_dedup"].fn(m).collect()}
+    docs = m.documents.select("doc_id", "text").collect()
+    # python port: segment, normalize, global keep-first
+    occs = []  # (doc_id, line_no, seg)
+    for d in docs:
+        toks = d["text"].split(" ")
+        n_seg = (len(toks) + _LINE_W - 1) // _LINE_W
+        for i in range(n_seg):
+            occs.append(
+                (d["doc_id"], i, " ".join(toks[i * _LINE_W:(i + 1) * _LINE_W]).lower())
+            )
+    from collections import Counter, defaultdict
+
+    freq = Counter(seg for _, _, seg in occs)
+    first: dict[str, tuple] = {}
+    for doc_id, line_no, seg in sorted(occs):
+        first.setdefault(seg, (doc_id, line_no))
+    want = defaultdict(lambda: [0, 0, 0])  # n_lines, n_dup, n_kept
+    for doc_id, line_no, seg in occs:
+        want[doc_id][0] += 1
+        if freq[seg] >= 2:
+            want[doc_id][1] += 1
+        if first[seg] == (doc_id, line_no):
+            want[doc_id][2] += 1
+    assert set(rows) == set(want)
+    for doc_id, (n_lines, n_dup, n_kept) in want.items():
+        r = rows[doc_id]
+        assert (r["n_lines"], r["n_dup_lines"], r["n_kept"]) == (
+            n_lines, n_dup, n_kept,
+        ), doc_id
+        assert r["n_removed"] == n_lines - n_kept
+    # partition invariants: survivors tile the distinct-line space
+    assert sum(r["n_kept"] for r in rows.values()) == len(freq)
+    assert sum(r["n_lines"] for r in rows.values()) == len(occs)
+    assert any(r["n_removed"] > 0 for r in rows.values())  # non-degenerate
+
+
+def test_pii_scrub_python_port(spark):
+    """Full Python (re-module) recomputation of the PII scrub over the
+    same deterministic contact-decorated text: per-doc hit counts,
+    redacted lengths, and the clean partition (doc_id % 5 == 0 docs
+    carry no footer and must come back untouched and clean)."""
+    import re
+
+    import hbase_tools_spark.llm  # noqa: F401
+    from hbase_tools_spark.llm.text import _PII_EMAIL, _PII_IP, _PII_PHONE
+    from hbase_tools_spark.registry import QUERIES
+
+    m = load_model(spark, SF_DIR)
+    rows = {r["doc_id"]: r for r in QUERIES["docs_pii_scrub"].fn(m).collect()}
+    docs = m.documents.select("doc_id", "text").collect()
+    assert set(rows) == {d["doc_id"] for d in docs}
+    n_hits_total = 0
+    for d in docs:
+        i, text = d["doc_id"], d["text"]
+        if i % 5 == 0:
+            raw = text
+        else:
+            raw = text + " contact:"
+            if i % 2 == 0:
+                raw += f" user{i}@mail{i % 7}.example.com"
+            if i % 3 != 1:
+                raw += f" tel {i*7%900+100}-{i*13%900+100}-{i*31%9000+1000}"
+            if i % 4 == 2:
+                raw += f" ip {i%256}.{i*3%256}.{i*5%256}.{i*11%256}"
+        r = rows[i]
+        n_em = len(re.findall(_PII_EMAIL, raw))
+        partial = re.sub(_PII_IP, "<IP>", re.sub(_PII_EMAIL, "<EMAIL>", raw))
+        n_ip = len(re.findall(_PII_IP, raw))
+        n_ph = len(re.findall(_PII_PHONE, partial))
+        scrubbed = re.sub(_PII_PHONE, "<PHONE>", partial)
+        assert (r["n_emails"], r["n_phones"], r["n_ips"]) == (n_em, n_ph, n_ip), i
+        assert r["n_pii"] == n_em + n_ph + n_ip
+        assert r["raw_chars"] == len(raw) and r["scrubbed_chars"] == len(scrubbed)
+        assert r["clean"] == (r["n_pii"] == 0)
+        if i % 5 == 0:
+            assert r["clean"] and r["raw_chars"] == len(text)
+        n_hits_total += r["n_pii"]
+    assert n_hits_total > 0  # the scrub actually fires on the fixture
+
+
 def test_incremental_novelty_matches_full_curve(spark, tmp_path):
     """The persisted first-seen index is the incremental production
     shape: ingesting the fixture's batches in order through
@@ -1483,7 +1575,15 @@ def test_adpcm_codec_roundtrip():
     # closed-loop reconstruction over that block's sample range (the
     # 4-byte header re-seeds predictor + step index) — the property
     # that makes the format splittable (one task per block range).
-    # ns=1200 from the loop above: block 1 covers samples 505..1009.
+    # Re-encode an explicit multi-block signal rather than relying on
+    # the loop above's exit state.
+    pairs = rng.integers(32, 127, size=(1200, 2), dtype=np.uint8)
+    s = (
+        pairs[:, 0].astype(np.int64)
+        + 256 * pairs[:, 1].astype(np.int64)
+        - 16384
+    )
+    payload, recon = adpcm_encode(s)
     alone = adpcm_decode_block(payload[BLOCK_ALIGN : 2 * BLOCK_ALIGN])
     assert np.array_equal(
         alone, recon[SAMPLES_PER_BLOCK : 2 * SAMPLES_PER_BLOCK]
