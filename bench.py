@@ -292,6 +292,39 @@ def main() -> None:
     except Exception as exc:  # bench must still emit its line
         print(f"duckdb comparison skipped: {exc}", file=sys.stderr)
 
+    # Window-robust weak-set adjudication (round-9 verdict task 6): an
+    # in-sweep median can be inflated by a transient host window (r9
+    # adjudicated 34 such cases in prose — host_cal spanned 3x within
+    # one sweep).  Isolation-re-run every query that exceeded BOTH 2x
+    # DuckDB and 1 s absolute in the sweep — same session, same
+    # harness, after both legs — and record the isolated medians plus
+    # their own calibration mark, so the weak set is decided on
+    # min(sweep, isolated) instead of re-litigating ambient noise in
+    # prose.  `weak_over_2x_1s` is that post-adjudication membership.
+    weak_candidates = sorted(
+        n for n, d in duck_med.items()
+        if d and spark_med[n] / d > 2.0 and spark_med[n] > 1.0
+    )
+    isolated_med: dict[str, float] = {}
+    host_cal_iso = None
+    if weak_candidates:
+        host_cal_iso = _host_calibration()
+        for name in weak_candidates:
+            times = []
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                qs[name](spark, sf_dir).toPandas()
+                times.append(time.perf_counter() - t0)
+                gc.collect()
+            isolated_med[name] = round(statistics.median(times), 4)
+            if os.environ.get("SPARK_GRAFT_RELEASE", "on") != "off":
+                release_stage_caches()
+    weak_final = sorted(
+        n for n in weak_candidates
+        if min(spark_med[n], isolated_med[n]) > 1.0
+        and min(spark_med[n], isolated_med[n]) / duck_med[n] > 2.0
+    )
+
     # Steady-state streaming batch cost (round-5 verdict task 2c): the
     # stream_* drains above pay one-shot machinery (state-store
     # bootstrap, first planning) a continuous production stream
@@ -352,6 +385,9 @@ def main() -> None:
         "stream_secs": round(sum(spark_med[n] for n in stream_names), 4),
         "stream_steady_batch_ms": stream_steady_ms,
         "n_over_2x": len(over_2x),
+        # weak set AFTER isolation re-runs: >1 s AND >2x on the better
+        # of (sweep median, isolated median)
+        "n_weak_isolated": len(weak_final),
         "runs": runs,
         "aggregation": "median",
         # Host speed calibration: wall seconds of a fixed 20M-iteration
@@ -382,6 +418,9 @@ def main() -> None:
         duckdb_median=duck_med,
         vs_duckdb_per_query=ratios,
         over_2x=over_2x,
+        isolated_medians=isolated_med,
+        host_cal_iso_sec=host_cal_iso,
+        weak_over_2x_1s=weak_final,
     )
     # Scoped runs (SPARK_GRAFT_BENCH_QUERIES) write a side artifact so
     # iteration never clobbers the committed full-sweep BENCH_FULL.json;

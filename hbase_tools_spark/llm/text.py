@@ -756,8 +756,8 @@ def tokenizer_fertility(m: Model) -> DataFrame:
 # in-engine.  The corpus collapses to the word-frequency VOCAB relation
 # first (the classic BPE trick: corpora are huge, vocabularies aren't),
 # so every merge round is an agg + argmax + greedy re-merge over a
-# vocab-sized relation; the argmax travels as a 1-row broadcast cross
-# join, never a driver collect.
+# vocab-sized relation; the argmax is a 1-row driver sync per round
+# (the Lloyd/codebook convention) that re-enters the fold as a literal.
 # ---------------------------------------------------------------------------
 
 _BPE_STEPS = 4
@@ -856,26 +856,27 @@ def bpe_merge_steps(m: Model) -> DataFrame:
     vocabulary, symbols start as characters, and each round (a) sums
     adjacent-pair frequencies, (b) takes the deterministic argmax
     (count desc, pair asc), and (c) greedily re-merges the vocabulary —
-    the argmax travels as a 1-row broadcast cross join, so the whole
-    K-round chain is ONE plan with no driver synchronization (the
-    ``neardup_pagerank`` contrast shape to Lloyd's k-means).
+    the argmax is collected as a 1-row codebook per round (full-batch
+    training IS K sequential syncs — the Lloyd shape) and re-enters
+    the fold as a literal, so each round costs exactly one vocab-sized
+    job with no exchange rebuild.
 
-    Scale: the corpus is scanned ONCE (word counts); every subsequent
-    round is vocab-sized — exactly why real BPE trainers pre-aggregate
-    to the vocabulary.  Pair counts are exact integer sums; the greedy
-    merge is a left fold with identical lambda text in both engines."""
+    Scale: the corpus is scanned ONCE (word counts, stage-persisted);
+    every subsequent round is vocab-sized — exactly why real BPE
+    trainers pre-aggregate to the vocabulary.  Pair counts are exact
+    integer sums; the greedy merge is a left fold with identical
+    lambda text in both engines."""
     merges, _ = _bpe_chain(m)
-    out = merges[0]
-    for b in merges[1:]:
-        out = out.unionAll(b)
-    return out
+    return m.documents.sparkSession.createDataFrame(
+        merges, "step bigint, pair string, merged string, n bigint"
+    )
 
 
-def _bpe_chain(m: Model) -> tuple[list[DataFrame], DataFrame]:
+def _bpe_chain(m: Model) -> tuple[list[tuple], DataFrame]:
     """The K-round BPE training chain shared by :func:`bpe_merge_steps`
-    (consumes the per-round argmax relations) and
-    :func:`bpe_encode_tokens` (consumes the final merged vocabulary):
-    returns (one 1-row merge DataFrame per round, the (word, s, c)
+    (consumes the per-round argmax rows) and :func:`bpe_encode_tokens`
+    (consumes the final merged vocabulary): returns (one collected
+    (step, pair, merged, n) tuple per round, the (word, s, c)
     vocabulary after all K merges — ``s`` is the space-joined symbol
     segmentation of ``word``)."""
     from ..functions.cache import stage_persist
@@ -901,13 +902,12 @@ def _bpe_chain(m: Model) -> tuple[list[DataFrame], DataFrame]:
         "transform(sequence(1, size(toks) - 1),"
         " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
     )
-    merges = []
+    merges: list[tuple] = []
     cur = vocab
     # Sentinel argmax candidate (pair " " = empty symbols, unmatched by
     # the fold since tokens are never empty; n=0 loses to any real
     # pair): keeps each round's 1-row argmax NON-EMPTY even when no
-    # adjacent pairs remain — an empty best would cross-join the whole
-    # chain away.  Mirrored verbatim in the oracle chain.
+    # adjacent pairs remain.  Mirrored verbatim in the oracle chain.
     sentinel = m.documents.sparkSession.createDataFrame(
         [(" ", 0)], "pair string, n bigint"
     )
@@ -920,29 +920,38 @@ def _bpe_chain(m: Model) -> tuple[list[DataFrame], DataFrame]:
             .groupBy("pair")
             .agg(F.sum("c").cast("bigint").alias("n"))
         )
+        # Each round is exactly ONE job: the pair aggregate with the
+        # deterministic argmax COLLECTED as a 1-row codebook (the
+        # Lloyd/centroid-build convention — a K-round training loop is
+        # inherently K sequential syncs; collecting one row per sync
+        # replaces the former per-round lazy-checkpoint + broadcast
+        # exchange pair, measured 2.25 s -> ~0.8 s at sf0.1).  The
+        # merge pair then enters the next round's fold as a LITERAL,
+        # so rounds 2..K never rebuild an exchange.
         best = (
             counts.unionAll(sentinel)
             .orderBy(F.desc("n"), "pair")
             .limit(1)
-            .select(
-                F.lit(step).cast("bigint").alias("step"),
-                "pair",
-                F.replace(F.col("pair"), F.lit(" "), F.lit("")).alias("merged"),
-                "n",
-            )
-            # 1-ROW checkpoint per round, within this invocation (NOT a
-            # cross-run memo — training is still fully measured): each
-            # best feeds BOTH the output union and the next round's
-            # fold, and the union's branches otherwise re-execute every
-            # earlier round's aggregate (the multi-branch-union trap,
-            # NOTES.md); measured 3.9 s -> 2.5 s warm at sf0.1.
-            .localCheckpoint(eager=False)
+            .first()
         )
-        merges.append(best)
+        pair, n = best["pair"], int(best["n"])
+        merged = pair.replace(" ", "")
+        merges.append((step, pair, merged, n))
         cur = (
-            cur.select("word", F.split("s", " ").alias("toks"), "c")
-            .crossJoin(F.broadcast(best.select("pair", "merged")))
+            cur.select(
+                "word",
+                F.split("s", " ").alias("toks"),
+                "c",
+                F.lit(pair).alias("pair"),
+                F.lit(merged).alias("merged"),
+            )
             .select("word", F.expr(_BPE_FOLD_SPARK.strip()).alias("s"), "c")
+            # Lineage truncation per round: the fold references its
+            # input tokens twice, so an unchecked chain DOUBLES the
+            # expression tree every round (2^K plan analysis).  A lazy
+            # vocab-sized checkpoint keeps every round's plan constant
+            # size; it materializes inside the round's one job.
+            .localCheckpoint(eager=False)
         )
     return merges, cur
 

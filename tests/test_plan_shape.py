@@ -157,6 +157,7 @@ def test_no_unjustified_cartesian_or_nested_loop_join(spark):
         "word_embedding_neighbors",  # cooc total N: broadcast 1-row agg
         "events_markov_attribution",  # p_full / effect-total: broadcast 1-row relations
         "docs_lr_quality_train",  # weight vector + n: broadcast 1-row relations per GD step
+        "docs_lr_quality_served",  # persisted 1-row weights broadcast into the scan
         "corpus_temperature_mixture",  # total tokens + normalizer: broadcast 1-row aggs
         # broadcast side is the n_types^2 pair grid / the 5*k-row sketch
         # relation — both constant-size by construction (k=128, 5 types)
