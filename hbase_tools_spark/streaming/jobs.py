@@ -195,6 +195,14 @@ def events_state_partitions(m) -> int:
     )
 
 
+# Progress trail of the most recent drain (instrumentation only):
+# run_to_table copies the finished query's recentProgress here so the
+# floor-decomposition harness (scripts/drain_decompose.py, SCALE.md)
+# can split a drain's wall time into startup / per-batch phases
+# without touching the drain path itself.
+LAST_DRAIN_PROGRESS: list[dict] = []
+
+
 def run_to_table(
     stream_df: DataFrame,
     name: str,
@@ -249,6 +257,10 @@ def run_to_table(
             .start()
         )
         q.awaitTermination()
+        try:
+            LAST_DRAIN_PROGRESS[:] = list(q.recentProgress)
+        except Exception:
+            LAST_DRAIN_PROGRESS[:] = []
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
         spark.conf.set(
