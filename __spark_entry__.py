@@ -147,6 +147,7 @@ _DEBUT_PRIORITY: list[str] = [
     "docs_line_dedup",  # C4 keep-first line-level dedup (r10)
     "docs_pii_scrub",  # CCNet/Dolma PII redaction stage (r10)
     "docs_lr_quality_served",  # persisted-weights serving twin (r10)
+    "multimodal_mulaw_audio",  # G.711 mu/A-law companded audio (r10)
 ]
 
 

@@ -1744,3 +1744,162 @@ def multimodal_adpcm_audio(m: Model) -> DataFrame:
     return spread_if_undersplit(media, "doc_id").mapInPandas(
         _adpcm_roundtrip, ADPCM_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# multimodal_mulaw_audio — REAL G.711 mu-law/A-law companded audio
+# (llm/g711.py, written from the public ITU-T G.711 segment tables):
+# the telephony 2:1 logarithmic PCM coder, certified through a real
+# WAV tag-7 container roundtrip plus four codec invariants.  Unlike
+# ADPCM's block-seeded predictor, every G.711 BYTE is independent —
+# the strongest splittability story in the codec family (any task can
+# decode any byte range), demonstrated operationally by the
+# resample-commutes fact: decimating the COMPRESSED stream equals
+# decimating the decoded samples, so resampling never decodes the
+# discarded bytes.
+# ---------------------------------------------------------------------------
+
+_G711_RATE = 8000
+_G711_SNR_DB = 25.0  # byte-pair samples sit in the mid segments
+#                      (~38 dB measured); the floor certifies the
+#                      companding TRACKS, not hi-fi.
+_G711_TRANSCODE_SNR_DB = 20.0  # mu->A double companding (~35 dB meas.)
+
+MULAW_SCHEMA = (
+    "doc_id bigint, n_samples bigint, n_resampled bigint, "
+    "pcm_bytes bigint, mulaw_bytes bigint, container_ok boolean, "
+    "mulaw_ok boolean, alaw_ok boolean, transcode_ok boolean, "
+    "resample_ok boolean"
+)
+
+
+def _mulaw_roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from .g711 import (
+        alaw_decode,
+        alaw_encode,
+        build_wav_g711,
+        mulaw_decode,
+        mulaw_encode,
+        parse_wav_g711,
+    )
+
+    def snr_ok(ref: np.ndarray, dec: np.ndarray, floor_db: float) -> bool:
+        err = (dec - ref).astype(np.float64)
+        sig = float(np.sum(ref.astype(np.float64) ** 2))
+        noise = float(np.sum(err**2))
+        return noise == 0.0 or (
+            sig > 0.0 and 10.0 * math.log10(sig / noise) >= floor_db
+        )
+
+    for pdf in batches:
+        out = {k: [] for k in (
+            "doc_id", "n_samples", "n_resampled", "pcm_bytes",
+            "mulaw_bytes", "container_ok", "mulaw_ok", "alaw_ok",
+            "transcode_ok", "resample_ok",
+        )}
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            data = text.encode("utf-8")
+            ns = len(data) // 2
+            if ns == 0:
+                continue
+            pairs = np.frombuffer(data[: 2 * ns], dtype=np.uint8).reshape(-1, 2)
+            samples = (
+                pairs[:, 0].astype(np.int64)
+                + 256 * pairs[:, 1].astype(np.int64)
+                - _PCM_BIAS
+            )
+            # container roundtrip (tag 7, 8 bits, fact-chunk truncation)
+            info, dec = parse_wav_g711(
+                build_wav_g711(_G711_RATE, samples, "mulaw")
+            )
+            container_ok = (
+                info["tag"] == 7
+                and info["bits"] == 8
+                and info["channels"] == 1
+                and info["sample_rate"] == _G711_RATE
+                and info["block_align"] == 1
+                and info["n_samples"] == ns
+                and info["compressed_bytes"] == ns
+            )
+            # mu-law: container decode == direct decode, VALUE
+            # idempotence (re-coding the reconstruction is lossless),
+            # SNR floor
+            mu_codes = mulaw_encode(samples)
+            mu_dec = mulaw_decode(mu_codes)
+            mulaw_ok = (
+                np.array_equal(dec, mu_dec)
+                and np.array_equal(mulaw_decode(mulaw_encode(mu_dec)), mu_dec)
+                and snr_ok(samples, mu_dec, _G711_SNR_DB)
+            )
+            # A-law: BYTE idempotence (exact over all codes) + SNR
+            a_codes = alaw_encode(samples)
+            a_dec = alaw_decode(a_codes)
+            alaw_ok = (
+                np.array_equal(alaw_encode(a_dec), a_codes)
+                and snr_ok(samples, a_dec, _G711_SNR_DB)
+            )
+            # mu -> A transcode tracks the source through both coders
+            t_dec = alaw_decode(alaw_encode(mu_dec))
+            transcode_ok = snr_ok(samples, t_dec, _G711_TRANSCODE_SNR_DB)
+            # 2:1 decimation in the compressed domain == in the sample
+            # domain (byte independence made operational)
+            resample_ok = np.array_equal(
+                mulaw_decode(mu_codes[::2]), mu_dec[::2]
+            )
+            out["doc_id"].append(doc_id)
+            out["n_samples"].append(ns)
+            out["n_resampled"].append((ns + 1) // 2)
+            out["pcm_bytes"].append(2 * ns)
+            out["mulaw_bytes"].append(ns)
+            out["container_ok"].append(container_ok)
+            out["mulaw_ok"].append(mulaw_ok)
+            out["alaw_ok"].append(alaw_ok)
+            out["transcode_ok"].append(transcode_ok)
+            out["resample_ok"].append(resample_ok)
+        yield pd.DataFrame(out)
+
+
+@query(
+    "multimodal_mulaw_audio",
+    oracle="""
+SELECT doc_id,
+       CAST(ns AS BIGINT) AS n_samples,
+       CAST((ns + 1) // 2 AS BIGINT) AS n_resampled,
+       CAST(2 * ns AS BIGINT) AS pcm_bytes,
+       CAST(ns AS BIGINT) AS mulaw_bytes,
+       TRUE AS container_ok,
+       TRUE AS mulaw_ok,
+       TRUE AS alaw_ok,
+       TRUE AS transcode_ok,
+       TRUE AS resample_ok
+FROM (
+  SELECT doc_id, strlen(text) // 2 AS ns FROM documents
+  WHERE doc_id % 3 = 1 AND strlen(text) >= 2
+)
+""",
+    views=[],
+)
+def multimodal_mulaw_audio(m: Model) -> DataFrame:
+    """REAL G.711 companded-audio roundtrip: each audio doc's 16-bit
+    PCM stream is coded to 8-bit mu-law through a spec-layout WAV
+    (wFormatTag 7, fact-chunk sample count — llm/g711.py, written from
+    the public ITU-T G.711 segment tables) and fully decoded back from
+    the container bytes.  Certified facts: container geometry, the 2:1
+    closed-form compressed size, and four codec invariants — the
+    container decode equals the direct expansion, re-coding the mu-law
+    reconstruction is value-lossless (the quantization-cell-midpoint
+    property; A-law is byte-exact over all 256 codes), the mu->A
+    transcode still tracks the source above an SNR floor, and 2:1
+    decimation commutes between the compressed and decoded domains.
+    One zero-shuffle Arrow map stage, payload-linear; every G.711 byte
+    decodes independently (splittable at any offset at 100 TB)."""
+    from ..functions.partitioning import spread_if_undersplit
+
+    media = m.documents.select("doc_id", "text").where(
+        (F.col("doc_id") % 3 == 1) & (F.octet_length("text") >= 2)
+    )
+    return spread_if_undersplit(media, "doc_id").mapInPandas(
+        _mulaw_roundtrip, MULAW_SCHEMA
+    )

@@ -527,6 +527,81 @@ def test_span_removed_consistent_with_dup_spans(spark):
             assert rm["n_removed"] == 0 and rm["removed_fraction"] == 0.0
 
 
+def test_g711_codec_roundtrip():
+    """G.711 (llm/g711.py): A-law is byte-idempotent over ALL 256
+    codes, mu-law over all but the spec's negative-zero 0x7F (both are
+    value-idempotent over the full int16 domain), quantization error
+    is segment-bounded, smooth signals code ~38 dB, the WAV tag-7
+    container roundtrips with fact-chunk truncation, byte independence
+    makes decimation commute with decoding, and torn containers
+    raise."""
+    import math
+
+    import numpy as np
+    import pytest
+
+    from hbase_tools_spark.llm.g711 import (
+        alaw_decode,
+        alaw_encode,
+        build_wav_g711,
+        mulaw_decode,
+        mulaw_encode,
+        parse_wav_g711,
+    )
+
+    codes = np.arange(256, dtype=np.uint8)
+    # A-law: exact byte idempotence; mu-law: only 0x7F (negative zero)
+    # re-codes to 0xFF (positive zero) — same value, spec ambiguity
+    a_mid = alaw_decode(codes)
+    assert np.array_equal(alaw_encode(a_mid), codes)
+    mu_mid = mulaw_decode(codes)
+    re = mulaw_encode(mu_mid)
+    bad = codes[re != codes]
+    assert list(bad) == [0x7F] and mu_mid[0x7F] == 0
+    # value idempotence + bounded error over the whole int16 domain
+    x = np.arange(-32768, 32768, dtype=np.int64)
+    for enc, dec, max_err in (
+        (mulaw_encode, mulaw_decode, 644),
+        (alaw_encode, alaw_decode, 512),
+    ):
+        d1 = dec(enc(x))
+        assert np.array_equal(dec(enc(d1)), d1)
+        assert np.abs(d1 - x).max() <= max_err
+    # container roundtrip + odd-length word alignment
+    rng = np.random.default_rng(7)
+    for ns in (1, 2, 101, 4000):
+        pairs = rng.integers(32, 127, size=(ns, 2), dtype=np.uint8)
+        s = (
+            pairs[:, 0].astype(np.int64)
+            + 256 * pairs[:, 1].astype(np.int64)
+            - 16384
+        )
+        for law, tag, dec in (("mulaw", 7, mulaw_decode), ("alaw", 6, alaw_decode)):
+            info, got = parse_wav_g711(build_wav_g711(8000, s, law))
+            assert info["tag"] == tag and info["bits"] == 8
+            assert info["n_samples"] == ns and info["compressed_bytes"] == ns
+            enc = mulaw_encode if law == "mulaw" else alaw_encode
+            assert np.array_equal(got, dec(enc(s)))
+    # byte independence: compressed-domain decimation == decoded
+    mu = mulaw_encode(s)
+    assert np.array_equal(mulaw_decode(mu[::2]), mulaw_decode(mu)[::2])
+    # smooth signal codes far above the floor
+    t = np.arange(4000)
+    sine = (8000 * np.sin(t / 20)).astype(np.int64)
+    d = mulaw_decode(mulaw_encode(sine))
+    err = (d - sine).astype(float)
+    snr = 10 * math.log10(
+        float((sine.astype(float) ** 2).sum()) / float((err**2).sum())
+    )
+    assert snr > 35.0
+    # error paths
+    with pytest.raises(ValueError, match="not a WAV"):
+        parse_wav_g711(b"JUNK")
+    wav = build_wav_g711(8000, sine, "mulaw")
+    with pytest.raises(ValueError, match="torn data chunk"):
+        parse_wav_g711(wav[:-10])
+
+
 def test_line_dedup_keep_first_python_port(spark):
     """Full Python recomputation of the C4 keep-first line dedup: the
     survivors PARTITION the corpus lines — per doc, kept + removed ==
