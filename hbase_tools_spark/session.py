@@ -24,6 +24,11 @@ def get_spark(app_name: str = "hbase-tools-spark", cpus: int | None = None) -> S
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Long multi-query sessions: localCheckpoint blocks are only
+        # dropped when a driver GC lets ContextCleaner run; the 30 min
+        # default lets tens of queries' blocks accumulate (measured
+        # OOMing a 100x certify sweep at 8g).  Same knob bench.py pins.
+        .config("spark.cleaner.periodicGC.interval", "20s")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))

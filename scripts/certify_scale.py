@@ -98,6 +98,12 @@ def main() -> None:
             n_err += 1
         finally:
             release_stage_caches()
+            # free py4j refs so ContextCleaner CAN drop checkpoint
+            # blocks between queries (the bench.py discipline; without
+            # it a 100x sweep accumulates blocks until the heap dies)
+            import gc
+
+            gc.collect()
         print(name, results[name], flush=True)
     out = {
         "sf_dir": sf_dir,
