@@ -270,23 +270,57 @@ def main() -> None:
     try:
         import duckdb
 
-        con = duckdb.connect()
-        for t in ["region", "nation", "customer", "supplier", "part",
-                  "orders", "lineitem", "events", "documents", "embeddings"]:
-            # Spark-written tables (e.g. the derived sf1 fixture) are
-            # parquet DIRECTORIES; DuckDB needs the part-file glob.
-            path = f"{sf_dir}/{t}.parquet"
-            src = f"{path}/*.parquet" if os.path.isdir(path) else path
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
+        def fresh_con():
+            con = duckdb.connect()
+            # Symmetric spill treatment at the scaled fixtures:
+            # DuckDB's default memory limit is ~80% of RAM, which
+            # collides with the live Spark JVM heap at sf10 (measured:
+            # "Failed to allocate" killed the whole leg mid-loop).
+            # Cap it below the headroom and give it a temp dir so it
+            # spills like Spark does.
+            try:
+                import tempfile
+
+                con.execute("SET memory_limit='48GB'")
+                con.execute(
+                    f"SET temp_directory='{tempfile.mkdtemp(prefix='duck_spill_')}'"
+                )
+            except Exception:
+                pass  # older duckdb without the pragma
+            for t in ["region", "nation", "customer", "supplier", "part",
+                      "orders", "lineitem", "events", "documents",
+                      "embeddings"]:
+                # Spark-written tables (e.g. the derived sf1 fixture)
+                # are parquet DIRECTORIES; DuckDB needs the part glob.
+                path = f"{sf_dir}/{t}.parquet"
+                src = f"{path}/*.parquet" if os.path.isdir(path) else path
+                con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
+            return con
+
+        con = fresh_con()
         oracles = entrymod.oracle_sql()
         for name in names:
             if name not in oracles:
                 continue
             times = []
-            for _ in range(runs):
-                t0 = time.perf_counter()
-                con.sql(oracles[name]).fetchdf()
-                times.append(time.perf_counter() - t0)
+            try:
+                for _ in range(runs):
+                    t0 = time.perf_counter()
+                    con.sql(oracles[name]).fetchdf()
+                    times.append(time.perf_counter() - t0)
+            except Exception as exc:
+                # One oracle dying (e.g. a DuckDB OOM at a scaled
+                # fixture) must not zero every later comparison — and
+                # an OOM poisons the connection's buffer pool
+                # (measured: later 16 KB allocations fail), so rebuild
+                # the connection before moving on.
+                print(f"duckdb {name} skipped: {exc}", file=sys.stderr)
+                try:
+                    con.close()
+                except Exception:
+                    pass
+                con = fresh_con()
+                continue
             duck_secs[name] = round(min(times), 4)
             duck_med[name] = round(statistics.median(times), 4)
     except Exception as exc:  # bench must still emit its line
