@@ -267,24 +267,40 @@ def main() -> None:
     # DuckDB side: identical SQL, identical parquet, all cores.
     duck_secs: dict[str, float] = {}
     duck_med: dict[str, float] = {}
+    duck_env: dict = {}
     try:
         import duckdb
 
+        # Symmetric spill treatment at the scaled fixtures: DuckDB's
+        # default memory limit is ~80% of RAM, which collides with the
+        # live Spark JVM heap at sf10 (measured: "Failed to allocate"
+        # killed the whole leg mid-loop).  Cap it below the headroom —
+        # derived from detected RAM, not this box's topology (round-10
+        # ADVICE: a hard-coded 48GB RAISES the limit on small hosts) —
+        # and give it ONE per-process spill dir (mkdtemp per connection
+        # leaked dirs across oracle-failure rebuilds), removed at exit.
+        import atexit
+        import shutil
+        import tempfile
+
+        try:
+            mem_bytes = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+        except (ValueError, OSError):
+            mem_bytes = 0
+        duck_mem = os.environ.get(
+            "SPARK_GRAFT_DUCK_MEM",
+            f"{min(48, max(1, int(mem_bytes * 0.5 / 2**30)))}GB"
+            if mem_bytes
+            else "48GB",
+        )
+        duck_spill = tempfile.mkdtemp(prefix="duck_spill_")
+        atexit.register(shutil.rmtree, duck_spill, ignore_errors=True)
+
         def fresh_con():
             con = duckdb.connect()
-            # Symmetric spill treatment at the scaled fixtures:
-            # DuckDB's default memory limit is ~80% of RAM, which
-            # collides with the live Spark JVM heap at sf10 (measured:
-            # "Failed to allocate" killed the whole leg mid-loop).
-            # Cap it below the headroom and give it a temp dir so it
-            # spills like Spark does.
             try:
-                import tempfile
-
-                con.execute("SET memory_limit='48GB'")
-                con.execute(
-                    f"SET temp_directory='{tempfile.mkdtemp(prefix='duck_spill_')}'"
-                )
+                con.execute(f"SET memory_limit='{duck_mem}'")
+                con.execute(f"SET temp_directory='{duck_spill}'")
             except Exception:
                 pass  # older duckdb without the pragma
             for t in ["region", "nation", "customer", "supplier", "part",
@@ -298,6 +314,22 @@ def main() -> None:
             return con
 
         con = fresh_con()
+        # Cross-round ratio adjudication (round-10 verdict task 2: the
+        # r10 duck leg ran 35% faster than r9 at identical host_cal and
+        # nothing in the artifact could explain it): record the DuckDB
+        # version, thread count, and memory limit in every artifact.
+        try:
+            duck_env = {
+                "version": duckdb.__version__,
+                "threads": int(
+                    con.sql("SELECT current_setting('threads')").fetchone()[0]
+                ),
+                "memory_limit": con.sql(
+                    "SELECT current_setting('memory_limit')"
+                ).fetchone()[0],
+            }
+        except Exception:
+            duck_env = {"version": getattr(duckdb, "__version__", None)}
         oracles = entrymod.oracle_sql()
         for name in names:
             if name not in oracles:
@@ -340,6 +372,7 @@ def main() -> None:
         if d and spark_med[n] / d > 2.0 and spark_med[n] > 1.0
     )
     isolated_med: dict[str, float] = {}
+    duck_isolated_med: dict[str, float] = {}
     host_cal_iso = None
     if weak_candidates:
         host_cal_iso = _host_calibration()
@@ -353,10 +386,28 @@ def main() -> None:
             isolated_med[name] = round(statistics.median(times), 4)
             if os.environ.get("SPARK_GRAFT_RELEASE", "on") != "off":
                 release_stage_caches()
+        # SYMMETRIC adjudication (round-10 ADVICE: a one-sided Spark
+        # re-run scored against the sweep's duck median lets a
+        # transient host window during the DuckDB leg decide weak-set
+        # membership): isolation-re-run the oracle too and compare
+        # min(spark sweep, iso) against min(duck sweep, iso).
+        try:
+            oracles = entrymod.oracle_sql()
+            for name in weak_candidates:
+                times = []
+                for _ in range(runs):
+                    t0 = time.perf_counter()
+                    con.sql(oracles[name]).fetchdf()
+                    times.append(time.perf_counter() - t0)
+                duck_isolated_med[name] = round(statistics.median(times), 4)
+        except Exception as exc:
+            print(f"duck isolation re-run skipped: {exc}", file=sys.stderr)
     weak_final = sorted(
         n for n in weak_candidates
         if min(spark_med[n], isolated_med[n]) > 1.0
-        and min(spark_med[n], isolated_med[n]) / duck_med[n] > 2.0
+        and min(spark_med[n], isolated_med[n])
+        / min(duck_med[n], duck_isolated_med.get(n, duck_med[n]))
+        > 2.0
     )
 
     # Steady-state streaming batch cost (round-5 verdict task 2c): the
@@ -419,6 +470,11 @@ def main() -> None:
         "stream_secs": round(sum(spark_med[n] for n in stream_names), 4),
         "stream_steady_batch_ms": stream_steady_ms,
         "n_over_2x": len(over_2x),
+        # duck leg configuration (round-10 verdict task 2): version +
+        # threads inline so even the driver's stdout-tail capture is
+        # cross-round adjudicable; the full block is in BENCH_FULL.json.
+        "duck_version": duck_env.get("version"),
+        "duck_threads": duck_env.get("threads"),
         # weak set AFTER isolation re-runs: >1 s AND >2x on the better
         # of (sweep median, isolated median)
         "n_weak_isolated": len(weak_final),
@@ -450,9 +506,11 @@ def main() -> None:
         memoized_queries=sorted(memoized),
         duckdb=duck_secs,
         duckdb_median=duck_med,
+        duck_env=duck_env,
         vs_duckdb_per_query=ratios,
         over_2x=over_2x,
         isolated_medians=isolated_med,
+        duck_isolated_medians=duck_isolated_med,
         host_cal_iso_sec=host_cal_iso,
         weak_over_2x_1s=weak_final,
     )

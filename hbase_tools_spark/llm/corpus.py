@@ -825,8 +825,25 @@ def docs_ccnet_perplexity_served(m: Model) -> DataFrame:
     output (same trusted corpus trains the artifact), but the query
     path reads only the LM parquet + the candidate documents, so its
     cost is the scoring join, not LM training.  Bit-parity with the
-    in-plan trainer is pinned in tests/test_funnels.py."""
-    return ccnet_perplexity_from_lm(m.spark, _lm_artifact_dir(m), m.documents)
+    in-plan trainer is pinned in tests/test_funnels.py.
+
+    The three LM read handles memoize beside the artifact as eager
+    localCheckpoints (round-10 verdict task 1): the artifact dir is
+    immutable once materialized, so re-listing/re-reading the parquet
+    per query was pure per-run floor — a serving tier holds the LM
+    resident exactly like this."""
+    from ..functions.memo import model_cached
+
+    lm_dir = _lm_artifact_dir(m)
+    lm = model_cached(
+        m,
+        "ppl_lm_read_handles",
+        lambda: tuple(
+            m.spark.read.parquet(f"{lm_dir}/{sub}").localCheckpoint(eager=True)
+            for sub in ("bigram", "unigram", "meta")
+        ),
+    )
+    return ccnet_perplexity_from_lm(m.spark, lm_dir, m.documents, lm=lm)
 
 
 def materialize_ppl_lm(documents: DataFrame, out_dir: str) -> None:
@@ -847,11 +864,15 @@ def materialize_ppl_lm(documents: DataFrame, out_dir: str) -> None:
     lm_v.write.mode("overwrite").parquet(out_dir + "/meta")
 
 
-def ccnet_perplexity_from_lm(spark, lm_dir: str, documents: DataFrame) -> DataFrame:
+def ccnet_perplexity_from_lm(
+    spark, lm_dir: str, documents: DataFrame, lm=None
+) -> DataFrame:
     """Serve CCNet perplexity bucketing from a persisted LM: identical
     output to ``docs_ccnet_perplexity`` when the LM was materialized
     from the same trusted corpus, but the query path reads only the LM
-    parquet + the candidate documents."""
+    parquet + the candidate documents.  ``lm`` optionally supplies the
+    three pre-read (bigram, unigram, meta) relations (the memoized
+    serving handles); omitted, they are read fresh — same values."""
     from ..functions.partitioning import spread_if_undersplit
 
     documents = spread_if_undersplit(documents, "doc_id")
@@ -864,12 +885,12 @@ def ccnet_perplexity_from_lm(spark, lm_dir: str, documents: DataFrame) -> DataFr
         .groupBy("doc_id", "lang", "a", "b")
         .agg(F.count(F.lit(1)).alias("k"))
     )
-    return _ppl_score(
-        cand,
-        spark.read.parquet(lm_dir + "/bigram"),
-        spark.read.parquet(lm_dir + "/unigram"),
-        spark.read.parquet(lm_dir + "/meta"),
-    )
+    if lm is None:
+        lm = tuple(
+            spark.read.parquet(f"{lm_dir}/{sub}")
+            for sub in ("bigram", "unigram", "meta")
+        )
+    return _ppl_score(cand, *lm)
 
 
 # ---------------------------------------------------------------------------

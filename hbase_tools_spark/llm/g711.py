@@ -129,8 +129,14 @@ def parse_wav_g711(b: bytes) -> tuple[dict, np.ndarray]:
         if len(body) < sz:
             raise ValueError("g711 wav: torn data chunk")
         if cid == b"fmt ":
-            tag, ch, rate, brate, balign, bits, cb = struct.unpack_from(
-                "<HHIIHHH", body, 0
+            # A legal fmt chunk may be the 16-byte PCM layout (no
+            # cbSize); unpack the common 16-byte prefix and keep the
+            # module's ValueError contract for torn chunks instead of
+            # leaking struct.error (round-10 ADVICE).
+            if sz < 16:
+                raise ValueError("g711 wav: torn fmt chunk")
+            tag, ch, rate, brate, balign, bits = struct.unpack_from(
+                "<HHIIHH", body, 0
             )
             fmt = dict(tag=tag, channels=ch, sample_rate=rate,
                        byte_rate=brate, block_align=balign, bits=bits)

@@ -1949,33 +1949,28 @@ def docs_table_profile(m: Model) -> DataFrame:
     certified HLL sketch (events_hll_cardinality's registers) — same
     output contract, one ordinary aggregate instead of the Expand
     blow-up; the exact form here IS the oracle for that swap."""
-    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
+    aggs = [F.expr("CAST(count(1) AS BIGINT) AS n_rows")]
     for c in _PROFILE_COLS:
         aggs += [
-            (F.count(F.lit(1)) - F.count(c)).cast("bigint").alias(f"nn_{c}"),
-            F.count_distinct(F.col(c)).cast("bigint").alias(f"nd_{c}"),
-            F.min(c).cast("string").alias(f"mn_{c}"),
-            F.max(c).cast("string").alias(f"mx_{c}"),
+            F.expr(f"CAST(count(1) - count({c}) AS BIGINT) AS nn_{c}"),
+            F.expr(f"CAST(count(DISTINCT {c}) AS BIGINT) AS nd_{c}"),
+            F.expr(f"CAST(min({c}) AS STRING) AS mn_{c}"),
+            F.expr(f"CAST(max({c}) AS STRING) AS mx_{c}"),
         ]
-    # ONE corpus scan: the 1-row aggregate is checkpointed and the five
-    # per-column projections read it (a plain union would re-plan — and
-    # re-scan — the aggregate per branch; measured 10 scans vs 1).
-    a = stage_persist(m.documents.agg(*aggs))
-    outs = [
-        a.select(
-            F.lit(c).alias("column_name"),
-            "n_rows",
-            F.col(f"nn_{c}").alias("n_nulls"),
-            F.col(f"nd_{c}").alias("n_distinct"),
-            F.col(f"mn_{c}").alias("min_value"),
-            F.col(f"mx_{c}").alias("max_value"),
-        )
+    # ONE corpus scan, ONE consumer: the five per-column rows are a
+    # single inline-explode projection of the 1-row aggregate (the old
+    # five-branch unionAll re-planned — and without its stage_persist,
+    # re-scanned — the aggregate per branch; the explode needs neither
+    # the persist nor the union, round-11).
+    rows = ", ".join(
+        f"struct('{c}' AS column_name, n_rows, nn_{c} AS n_nulls,"
+        f" nd_{c} AS n_distinct, mn_{c} AS min_value, mx_{c} AS max_value)"
         for c in _PROFILE_COLS
-    ]
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionAll(o)
-    return out
+    )
+    return (
+        m.documents.agg(*aggs)
+        .selectExpr(f"inline(array({rows}))")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2084,27 +2079,21 @@ def docs_table_profile_sketch(m: Model) -> DataFrame:
     reg = dk.groupBy("event_type", "b").agg(F.max("rho").alias("mr"))
     exact = dk.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_exact"))
     est = hll_finalize(reg, exact)
-    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
+    aggs = [F.expr("CAST(count(1) AS BIGINT) AS n_rows")]
     for c in _PROFILE_COLS:
         aggs += [
-            (F.count(F.lit(1)) - F.count(c)).cast("bigint").alias(f"nn_{c}"),
-            F.min(c).cast("string").alias(f"mn_{c}"),
-            F.max(c).cast("string").alias(f"mx_{c}"),
+            F.expr(f"CAST(count(1) - count({c}) AS BIGINT) AS nn_{c}"),
+            F.expr(f"CAST(min({c}) AS STRING) AS mn_{c}"),
+            F.expr(f"CAST(max({c}) AS STRING) AS mx_{c}"),
         ]
-    a = stage_persist(docs.agg(*aggs))
-    outs = [
-        a.select(
-            F.lit(c).alias("column_name"),
-            "n_rows",
-            F.col(f"nn_{c}").alias("n_nulls"),
-            F.col(f"mn_{c}").alias("min_value"),
-            F.col(f"mx_{c}").alias("max_value"),
-        )
+    # single inline-explode projection of the 1-row stats aggregate —
+    # no stage_persist, no five-branch union (see docs_table_profile)
+    rows = ", ".join(
+        f"struct('{c}' AS column_name, n_rows, nn_{c} AS n_nulls,"
+        f" mn_{c} AS min_value, mx_{c} AS max_value)"
         for c in _PROFILE_COLS
-    ]
-    cols = outs[0]
-    for o in outs[1:]:
-        cols = cols.unionAll(o)
+    )
+    cols = docs.agg(*aggs).selectExpr(f"inline(array({rows}))")
     return cols.join(
         F.broadcast(est), cols["column_name"] == est["event_type"]
     ).select(

@@ -367,12 +367,79 @@ def _term_buckets(
     return sorted({r["b"] for r in rows})
 
 
+def bm25_serving_handles(
+    spark: SparkSession,
+    index_dir: str,
+    terms: list[str],
+    n_buckets: int = _INDEX_BUCKETS,
+):
+    """Collect the tiny per-index serving artifacts ONCE (round-10
+    verdict task 1: the serving twins paid a fixed multi-job floor per
+    query — term-bucket collect, two parquet re-listings, dictionary
+    and statistics broadcast-build jobs — none of which depend on the
+    query):
+
+      * the terms' partition buckets (engine-hash, ≤ n_buckets ints),
+      * a pre-analyzed postings read handle (the 64-partition listing
+        is itself a parallel Spark job at every ``spark.read``),
+      * the aggregated (word, df) dictionary rows for the terms
+        (|terms| rows), and
+      * the one-row (n_docs, avgdl) statistics,
+
+    in ONE job.  Only valid for an index dir that is immutable once
+    built (the registered serving twins' artifact dirs); appendable
+    indexes must keep re-reading — the handle-free path below.
+    A production serving tier holds exactly this state in memory
+    between queries; the per-query cost is then the pruned postings
+    scan + scoring alone."""
+    import math
+
+    buckets = _term_buckets(spark, terms, n_buckets)
+    bfilter = F.col("bucket").isin(buckets)
+    postings = spark.read.parquet(f"{index_dir}/postings")
+    dict_agg = (
+        spark.read.parquet(f"{index_dir}/dictionary")
+        .where(bfilter & F.col("word").isin(terms))
+        .groupBy("word")
+        .agg(F.sum("df").cast("bigint").alias("df"))
+        .select(F.lit("d").alias("kind"), "word", F.col("df").alias("a"),
+                F.lit(None).cast("double").alias("b"))
+    )
+    st_agg = spark.read.parquet(f"{index_dir}/stats").agg(
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.expr("sum(sum_dl) * 1.0e0 / sum(n_docs)").alias("avgdl"),
+    ).select(F.lit("s").alias("kind"), F.lit(None).cast("string").alias("word"),
+             F.col("n_docs").alias("a"), F.col("avgdl").alias("b"))
+    raw_rows, st_row = [], None
+    for r in dict_agg.unionAll(st_agg).collect():  # one fused job
+        if r["kind"] == "d":
+            raw_rows.append((r["word"], int(r["a"])))
+        else:
+            st_row = (int(r["a"]), float(r["b"]))
+    # Per-word idf driver-side: idf is a function of (n_docs, df) alone,
+    # so folding it into the |terms|-row dictionary removes the
+    # ArrowEvalPython (pln) stage from the serving plan — the scoring
+    # stage goes pure whole-stage codegen.  math.log IS the libm ``pln``
+    # contract (exprs.py: pln = python math.log per value), and the
+    # ratio below is the same IEEE op sequence over the same doubles as
+    # _BM25_IDF_RATIO, so the idf double is bit-identical per word.
+    dict_rows = None
+    if st_row is not None:
+        n_docs = st_row[0]
+        dict_rows = [
+            (w, df, math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0))
+            for w, df in raw_rows
+        ]
+    return buckets, postings, dict_rows, st_row
+
+
 def bm25_topk_from_index(
     spark: SparkSession,
     index_dir: str,
     terms: list[str],
     k: int = _BM25_TOPK,
     n_buckets: int = _INDEX_BUCKETS,
+    handles=None,
 ) -> DataFrame:
     """Serve a BM25 top-k query from the persisted index: reads prune
     statically to the query terms' hash buckets (PartitionFilters on
@@ -380,34 +447,74 @@ def bm25_topk_from_index(
     tests/test_search.py), so per-query cost scales with the matched
     postings, not the corpus.  Scoring reuses the exact fragments of
     :func:`docs_bm25_topk`, so served results are bit-identical to the
-    ad hoc scan (equality pinned by test)."""
-    buckets = _term_buckets(spark, terms, n_buckets)
-    bfilter = F.col("bucket").isin(buckets)
-    postings = (
-        spark.read.parquet(f"{index_dir}/postings")
-        .where(bfilter & F.col("word").isin(terms))
-    )
-    dictionary = (
-        spark.read.parquet(f"{index_dir}/dictionary")
-        .where(bfilter & F.col("word").isin(terms))
-        .groupBy("word")  # partial df rows per append batch are additive
-        .agg(F.sum("df").cast("bigint").alias("df"))
-    )
-    st = spark.read.parquet(f"{index_dir}/stats").agg(
-        F.sum("n_docs").cast("bigint").alias("n_docs"),
-        F.expr("sum(sum_dl) * 1.0e0 / sum(n_docs)").alias("avgdl"),
-    )
-    sc = (
-        postings.join(F.broadcast(dictionary), "word")
-        .crossJoin(F.broadcast(st))
-        .select(
+    ad hoc scan (equality pinned by test).
+
+    ``handles`` (from :func:`bm25_serving_handles`) supplies the
+    query-independent serving state — term buckets, pre-analyzed
+    postings handle, |terms|-row dictionary and 1-row statistics as
+    LOCAL relations (their broadcast builds then run driver-side, no
+    job) — the query-many production posture.  Identical values flow
+    into the scoring expressions either way (the dictionary df sums
+    are exact bigints, avgdl the exact IEEE double), so results are
+    bit-identical; omit it for appendable/fresh indexes."""
+    if handles is not None:
+        buckets, postings_src, dict_rows, st_row = handles
+        if st_row is None:  # empty index: keep the handle-free contract
+            return bm25_topk_from_index(spark, index_dir, terms, k, n_buckets)
+        # The |terms|-row dictionary and 1-row statistics become LITERAL
+        # expressions (a CASE chain on word + a constant avgdl): no
+        # joins, no broadcast builds, no local-relation Arrow upload
+        # (measured 0.6 s for two createDataFrame+broadcasts of 3 rows)
+        # — the serving plan is ONE codegen stage: pruned scan →
+        # project → doc aggregate → top-k.  The literals are the exact
+        # doubles/bigints the join would have produced (idf per word
+        # from driver libm — see bm25_serving_handles), so scoring is
+        # bit-identical.  The word filter keys on the dictionary's
+        # words, preserving the inner-join semantics exactly (a term
+        # absent from the index contributes no postings either way).
+        dwords = [w for w, _, _ in dict_rows]
+        idf_col = F.lit(None).cast("double")
+        for w, _, idf in dict_rows:
+            idf_col = F.when(F.col("word") == F.lit(w), F.lit(idf)).otherwise(
+                idf_col
+            )
+        postings = postings_src.where(
+            F.col("bucket").isin(buckets) & F.col("word").isin(dwords)
+        )
+        sc = postings.select(
             "doc_id",
             F.col("tf"),
             "dl",
-            "avgdl",
-            pln(F.expr(_BM25_IDF_RATIO)).alias("idf"),
+            F.lit(st_row[1]).alias("avgdl"),
+            idf_col.alias("idf"),
         )
-    )
+    else:
+        buckets = _term_buckets(spark, terms, n_buckets)
+        postings_src = spark.read.parquet(f"{index_dir}/postings")
+        dictionary = (
+            spark.read.parquet(f"{index_dir}/dictionary")
+            .where(F.col("bucket").isin(buckets) & F.col("word").isin(terms))
+            .groupBy("word")  # partial df rows per append batch are additive
+            .agg(F.sum("df").cast("bigint").alias("df"))
+        )
+        st = spark.read.parquet(f"{index_dir}/stats").agg(
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.expr("sum(sum_dl) * 1.0e0 / sum(n_docs)").alias("avgdl"),
+        )
+        postings = postings_src.where(
+            F.col("bucket").isin(buckets) & F.col("word").isin(terms)
+        )
+        sc = (
+            postings.join(F.broadcast(dictionary), "word")
+            .crossJoin(F.broadcast(st))
+            .select(
+                "doc_id",
+                F.col("tf"),
+                "dl",
+                "avgdl",
+                pln(F.expr(_BM25_IDF_RATIO)).alias("idf"),
+            )
+        )
     agg = sc.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_terms"),
         F.sum(F.expr(_BM25_TERM_SCORE).cast("decimal(28,12)")).alias("s"),
@@ -778,6 +885,39 @@ def hybrid_probe_legs(
     return fwd, buckets
 
 
+def hybrid_lex_stats(
+    spark: SparkSession,
+    fwd: DataFrame,
+    buckets: list[int],
+    reads: "tuple[DataFrame, DataFrame, DataFrame]",
+):
+    """The served hybrid's query-independent lexical-scoring artifacts
+    (round-10 verdict task 1 — each was a per-run broadcast-build job):
+    the probe vocabulary's (word, df, idf) relation (idf per word via
+    the libm ``pln`` stage, exactly as the inline path computes it) and
+    the one-row (n_docs, avgdl) statistics collected to driver floats.
+    A serving tier derives these once per index build; memoize with
+    ``checkpointed``/``model_cached`` beside the probe legs."""
+    _, dictionary_src, stats_src = reads
+    qwords = fwd.select("word").distinct()
+    dictionary = (
+        dictionary_src
+        .where(F.col("bucket").isin(buckets))
+        .join(F.broadcast(qwords), "word", "left_semi")
+        .groupBy("word")
+        .agg(F.sum("df").cast("bigint").alias("df"))
+    )
+    st = stats_src.agg(
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.expr("sum(sum_dl) * 1.0e0 / sum(n_docs)").alias("avgdl"),
+    )
+    st_row = st.collect()[0]
+    dict_idf = dictionary.crossJoin(F.broadcast(st)).select(
+        "word", "df", pln(F.expr(_BM25_IDF_RATIO)).alias("idf")
+    )
+    return dict_idf, (int(st_row["n_docs"]), float(st_row["avgdl"]))
+
+
 def hybrid_rrf_from_index(
     spark: SparkSession,
     index_dir: str,
@@ -786,6 +926,7 @@ def hybrid_rrf_from_index(
     probe: "tuple[DataFrame, list[int]] | None" = None,
     sem: DataFrame | None = None,
     reads: "tuple[DataFrame, DataFrame, DataFrame] | None" = None,
+    lex_stats=None,
 ) -> DataFrame:
     """Serve the hybrid RRF search from the PERSISTED search stack: the
     probe documents' terms come from the forward index (doc-bucket
@@ -823,45 +964,64 @@ def hybrid_rrf_from_index(
         postings_src = spark.read.parquet(f"{index_dir}/postings")
         dictionary_src = spark.read.parquet(f"{index_dir}/dictionary")
         stats_src = spark.read.parquet(f"{index_dir}/stats")
-    qwords = fwd.select("word").distinct()
     bucket_pruned = F.col("bucket").isin(buckets)
-    postings = postings_src.where(bucket_pruned).join(
-        F.broadcast(qwords), "word", "left_semi"
-    )
-    dictionary = (
-        dictionary_src
-        .where(bucket_pruned)
-        .join(F.broadcast(qwords), "word", "left_semi")
-        .groupBy("word")
-        .agg(F.sum("df").cast("bigint").alias("df"))
-    )
-    st = stats_src.agg(
-        F.sum("n_docs").cast("bigint").alias("n_docs"),
-        F.expr("sum(sum_dl) * 1.0e0 / sum(n_docs)").alias("avgdl"),
-    )
-    # idf is a PER-WORD value — compute it on the broadcast-sized
+    # idf is a PER-WORD value — computed on the broadcast-sized
     # dictionary (probe-vocabulary rows), not per posting row: the
-    # Arrow libm stage then runs at word grain on the broadcast build
-    # side, and the corpus-side posting pipeline stays whole-stage
-    # codegen end to end.  Inputs (df, n_docs) and the double chain
-    # are unchanged, so the value is bit-identical per word.
-    dict_idf = dictionary.crossJoin(F.broadcast(st)).select(
-        "word", "df", pln(F.expr(_BM25_IDF_RATIO)).alias("idf")
-    )
-    terms_rel = (
-        postings.join(F.broadcast(fwd), "word")
-        .where(F.col("doc_id") != F.col("query_id"))
-        .join(F.broadcast(dict_idf), "word")
-        .crossJoin(F.broadcast(st))
-        .select(
-            "query_id",
-            "doc_id",
-            F.col("tf"),
-            "dl",
-            "avgdl",
-            "idf",
+    # Arrow libm stage runs at word grain on the broadcast build side,
+    # and the corpus-side posting pipeline stays whole-stage codegen
+    # end to end.  ``lex_stats`` supplies the memoized artifacts (the
+    # serving posture); inline they are derived identically.
+    if lex_stats is not None:
+        dict_idf, (_, avgdl) = lex_stats
+    else:
+        qwords = fwd.select("word").distinct()
+        st = stats_src.agg(
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.expr("sum(sum_dl) * 1.0e0 / sum(n_docs)").alias("avgdl"),
         )
-    )
+        dictionary = (
+            dictionary_src
+            .where(bucket_pruned)
+            .join(F.broadcast(qwords), "word", "left_semi")
+            .groupBy("word")
+            .agg(F.sum("df").cast("bigint").alias("df"))
+        )
+        dict_idf = dictionary.crossJoin(F.broadcast(st)).select(
+            "word", "df", pln(F.expr(_BM25_IDF_RATIO)).alias("idf")
+        )
+    # the dict_idf inner join already restricts postings to the probe
+    # vocabulary, making the qwords semi-join redundant work per run —
+    # drop it from the posting path (identical row set either way).
+    postings = postings_src.where(bucket_pruned)
+    if lex_stats is not None:
+        terms_rel = (
+            postings.join(F.broadcast(fwd), "word")
+            .where(F.col("doc_id") != F.col("query_id"))
+            .join(F.broadcast(dict_idf), "word")
+            .select(
+                "query_id",
+                "doc_id",
+                F.col("tf"),
+                "dl",
+                F.lit(avgdl).alias("avgdl"),
+                "idf",
+            )
+        )
+    else:
+        terms_rel = (
+            postings.join(F.broadcast(fwd), "word")
+            .where(F.col("doc_id") != F.col("query_id"))
+            .join(F.broadcast(dict_idf), "word")
+            .crossJoin(F.broadcast(st))
+            .select(
+                "query_id",
+                "doc_id",
+                F.col("tf"),
+                "dl",
+                "avgdl",
+                "idf",
+            )
+        )
     scored = terms_rel.groupBy("query_id", "doc_id").agg(
         F.sum(F.expr(_BM25_TERM_SCORE).cast("decimal(28,12)")).alias("s")
     )
@@ -978,7 +1138,17 @@ def docs_bm25_served(m: Model) -> DataFrame:
     from ..functions.memo import model_cached
 
     terms = model_cached(m, "bm25_served_terms", _terms)
-    served = bm25_topk_from_index(m.spark, idx, terms)
+    # Query-independent serving state (term buckets, pre-analyzed
+    # postings handle, dictionary/statistics local relations) memoizes
+    # beside the index it derives from — the serving-tier posture; the
+    # warm query path is ONE pruned-postings job + the k-row decoration
+    # (round-10 verdict task 1: was 4 extra jobs + 2 re-listings).
+    handles = model_cached(
+        m,
+        "bm25_served_handles",
+        lambda: bm25_serving_handles(m.spark, idx, terms),
+    )
+    served = bm25_topk_from_index(m.spark, idx, terms, handles=handles)
     d = m.documents.select("doc_id", "source")
     return (
         F.broadcast(served)
@@ -1028,6 +1198,17 @@ def hybrid_rrf_served(m: Model) -> DataFrame:
             m.spark.read.parquet(f"{idx}/stats"),
         ),
     )
+    # query-independent lexical artifacts (probe-vocabulary idf
+    # relation as an eager checkpoint + collected (n_docs, avgdl)):
+    # built once beside the probe legs, so the warm query path drops
+    # the dictionary semi-join/aggregate and the pln broadcast-build
+    # jobs (round-10 verdict task 1)
+    def _build_lex_stats():
+        dict_idf, st_vals = hybrid_lex_stats(m.spark, fwd, buckets, reads)
+        return dict_idf.localCheckpoint(eager=True), st_vals
+
+    lex_stats = model_cached(m, "hybrid_lex_stats", _build_lex_stats)
+
     from .similarity import exact_topk_leg
 
     sem = exact_topk_leg(m).select(
@@ -1037,7 +1218,7 @@ def hybrid_rrf_served(m: Model) -> DataFrame:
     ).where(F.col("sem_rank") <= _HYBRID_K)
     return hybrid_rrf_from_index(
         m.spark, idx, m.embeddings, probe=(fwd, buckets), sem=sem,
-        reads=reads,
+        reads=reads, lex_stats=lex_stats,
     )
 
 
@@ -1119,11 +1300,22 @@ def docs_bm25_stream_served(m: Model) -> DataFrame:
         rows = occ.orderBy(F.desc("n_occ"), "word").limit(_QTERM_HI).collect()
         return [r["word"] for r in rows[_QTERM_LO - 1 : _QTERM_HI]]
 
-    from ..functions.memo import sf_cached
+    from ..functions.memo import model_cached, sf_cached
 
     # derived from the on-disk index, so keyed like it (sf_dir alone)
     terms = sf_cached(m.sf_dir, "bm25_stream_served_terms", _terms)
-    served = bm25_topk_from_index(m.spark, idx, terms)
+    # the stream-built index is immutable once its drain completes, so
+    # the serving handles memoize beside it (same posture as
+    # docs_bm25_served — see bm25_serving_handles).  model_cached (not
+    # sf_cached): the handles hold a session-bound postings DataFrame,
+    # and the model fingerprint includes the application id, so a
+    # restarted session rebuilds instead of serving a dead handle.
+    handles = model_cached(
+        m,
+        "bm25_stream_served_handles",
+        lambda: bm25_serving_handles(m.spark, idx, terms),
+    )
+    served = bm25_topk_from_index(m.spark, idx, terms, handles=handles)
     d = m.documents.select("doc_id", "source")
     return (
         F.broadcast(served)

@@ -682,12 +682,14 @@ def ivf_ingest_stream(
     )
 
 
-def ivf_topk_from_index(spark, index_dir: str) -> DataFrame:
-    """ANN search over the PERSISTED index: centroids collected (C
-    rows), probe cells computed driver-side, and the candidate scan
-    reads ONLY the probed cell partitions (partition pruning — asserted
-    on the plan in tests).  Returns the same (query_id, vec_id, cosine,
-    rank) relation as ``embedding_ivf_topk`` computed index-free."""
+def ivf_serving_handles(spark, index_dir: str):
+    """Collect the query-independent IVF serving state ONCE (round-10
+    verdict task 1 — the serving path re-collected it per query): the
+    C-row centroid relation, the pre-analyzed assignments read handle
+    (its partition listing is a per-read driver job), and the fixed
+    probe vectors.  Only valid for an index dir immutable once built
+    (the registered stream-served twin's artifact); a production ANN
+    tier holds exactly this state resident between queries."""
     cent_rows = [
         (int(r["cell"]), list(r["c"]))
         for r in spark.read.parquet(index_dir + "/centroids").collect()
@@ -702,6 +704,21 @@ def ivf_topk_from_index(spark, index_dir: str) -> DataFrame:
             key=lambda r: r["vec_id"],
         )
     ]
+    return cent_rows, assign, probes
+
+
+def ivf_topk_from_index(spark, index_dir: str, handles=None) -> DataFrame:
+    """ANN search over the PERSISTED index: centroids collected (C
+    rows), probe cells computed driver-side, and the candidate scan
+    reads ONLY the probed cell partitions (partition pruning — asserted
+    on the plan in tests).  Returns the same (query_id, vec_id, cosine,
+    rank) relation as ``embedding_ivf_topk`` computed index-free.
+    ``handles`` (from :func:`ivf_serving_handles`) supplies the
+    memoized serving state — identical values flow either way."""
+    if handles is not None:
+        cent_rows, assign, probes = handles
+    else:
+        cent_rows, assign, probes = ivf_serving_handles(spark, index_dir)
     if not probes or not cent_rows:
         # filtered/re-keyed index: same empty contract as the sibling
         # serving paths (the guard must run BEFORE _nearest_cells — a
@@ -2315,9 +2332,22 @@ def embedding_ivf_stream_served(m: Model) -> DataFrame:
     the additive inverted lists serve exactly like a full rebuild,
     which is the design claim of the ingest path."""
     from ..catalog import assert_view_matches_fixture
+    from ..functions.memo import model_cached
 
     assert_view_matches_fixture(m, "embeddings")
-    return ivf_topk_from_index(m.spark, _stream_ivf_index_dir(m))
+    idx = _stream_ivf_index_dir(m)
+    # query-independent serving state (centroids, pre-analyzed
+    # assignments handle, probe vectors) memoizes beside the immutable
+    # stream-built index — the resident-ANN-tier posture (round-10
+    # verdict task 1); model_cached's app-id fingerprint rebuilds it
+    # in a fresh session rather than serving a dead handle
+    handles = model_cached(
+        m,
+        "ivf_stream_serving_handles",
+        lambda: ivf_serving_handles(m.spark, idx),
+        deps=("embeddings",),
+    )
+    return ivf_topk_from_index(m.spark, idx, handles=handles)
 
 
 query(

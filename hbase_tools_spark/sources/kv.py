@@ -45,14 +45,13 @@ def latest_cells(kv: DataFrame) -> DataFrame:
     return (
         kv.groupBy("rowkey", "cf", "qualifier")
         .agg(F.max(F.struct("ts", "value")).alias("c"))
-        .select(
-            "rowkey",
-            "cf",
-            "qualifier",
-            F.col("c.ts").alias("ts"),
-            F.col("c.value").alias("value"),
+        # one selectExpr + string filter: plan-build cost is part of
+        # the serving floor (round-11 — each Dataset op re-analyzes
+        # eagerly and each Column object is a py4j round trip)
+        .selectExpr(
+            "rowkey", "cf", "qualifier", "c.ts AS ts", "c.value AS value"
         )
-        .filter(F.col("value").isNotNull())
+        .where("value IS NOT NULL")
     )
 
 
@@ -61,15 +60,18 @@ def pivot_latest(kv: DataFrame, cf: str, qualifiers: list[str]) -> DataFrame:
     one column per requested qualifier, latest version winning.  The
     explicit ``qualifiers`` list keeps pivot to a single shuffle (no
     distinct-qualifier discovery job — essential at snapshot scale)."""
+    qlist = ", ".join(f"'{q}'" for q in qualifiers)
     wide = (
-        kv.filter((F.col("cf") == cf) & F.col("qualifier").isin(qualifiers))
+        kv.where(f"cf = '{cf}' AND qualifier IN ({qlist})")
         .groupBy("rowkey")
         .pivot("qualifier", qualifiers)
         .agg(F.max(F.struct("ts", "value")))
     )
-    return wide.select(
-        "rowkey", *[F.col(f"`{q}`.value").alias(q) for q in qualifiers]
-    ).na.drop(how="all", subset=qualifiers)  # fully-tombstoned rows vanish
+    # fully-tombstoned rows vanish (the NOT-all-null filter == na.drop)
+    alive = " OR ".join(f"`{q}`.value IS NOT NULL" for q in qualifiers)
+    return wide.where(alive).selectExpr(
+        "rowkey", *[f"`{q}`.value AS `{q}`" for q in qualifiers]
+    )
 
 
 def kv_meta_regions(kv: DataFrame) -> DataFrame:
@@ -80,27 +82,24 @@ def kv_meta_regions(kv: DataFrame) -> DataFrame:
     so do we (lead() per table, '' for the last region;
     common/HBaseRegionChecker.java:61-71)."""
     wide = pivot_latest(kv, META_CF, ["server"])
-    tbl = F.substring_index("rowkey", ",", 1)
-    rid = F.substring_index("rowkey", ",", -1)
-    # middle component verbatim, robust to ',' inside the start key
-    start = F.expr(
+    # two selectExpr ops (parse, then window) instead of a
+    # select/withColumn/select chain — middle component verbatim,
+    # robust to ',' inside the start key
+    return wide.selectExpr(
+        "CAST(substring_index(rowkey, ',', -1) AS BIGINT) AS region_id",
+        "substring_index(rowkey, ',', 1) AS table_name",
+        "server",
         "substring(rowkey,"
         " length(substring_index(rowkey, ',', 1)) + 2,"
         " length(rowkey) - length(substring_index(rowkey, ',', 1))"
-        " - length(substring_index(rowkey, ',', -1)) - 2)"
-    )
-    w = Window.partitionBy("table_name").orderBy("start_key")
-    return (
-        wide.select(
-            rid.cast("bigint").alias("region_id"),
-            tbl.alias("table_name"),
-            F.col("server"),
-            start.alias("start_key"),
-        )
-        .withColumn(
-            "end_key", F.coalesce(F.lead("start_key").over(w), F.lit(""))
-        )
-        .select("region_id", "table_name", "server", "start_key", "end_key")
+        " - length(substring_index(rowkey, ',', -1)) - 2) AS start_key",
+    ).selectExpr(
+        "region_id",
+        "table_name",
+        "server",
+        "start_key",
+        "coalesce(lead(start_key) OVER ("
+        "PARTITION BY table_name ORDER BY start_key), '') AS end_key",
     )
 
 
@@ -110,15 +109,14 @@ def kv_topology(kv: DataFrame) -> DataFrame:
     (meta/TechnicalMeta.java:142-146, write path :160-186).  Each
     qualifier is one (snapshot_ts, region, server) assignment; the
     epoch parse is F5/X7 applied at the source layer."""
-    cells = latest_cells(kv.filter(F.col("cf") == TECH_CF)).filter(
-        F.col("qualifier").startswith("server_")
+    cells = latest_cells(kv.where(f"cf = '{TECH_CF}'")).where(
+        "startswith(qualifier, 'server_')"
     )
-    return cells.select(
-        F.timestamp_millis(
-            F.split("qualifier", "_").getItem(1).cast("bigint")
-        ).alias("snapshot_ts"),
-        F.col("rowkey").cast("bigint").alias("region_id"),
-        F.col("value").alias("server"),
+    return cells.selectExpr(
+        "timestamp_millis(CAST(split(qualifier, '_')[1] AS BIGINT))"
+        " AS snapshot_ts",
+        "CAST(rowkey AS BIGINT) AS region_id",
+        "value AS server",
     )
 
 
@@ -126,17 +124,13 @@ def meta_regions_to_kv(meta_regions: DataFrame, ts: int = 0) -> DataFrame:
     """Encode ``meta_regions`` rows as hbase:meta-shaped cells (the
     inverse of :func:`kv_meta_regions`; end_key intentionally dropped —
     meta does not store it)."""
-    return meta_regions.select(
-        F.concat_ws(
-            ",",
-            F.col("table_name"),
-            F.col("start_key"),
-            F.col("region_id").cast("string"),
-        ).alias("rowkey"),
-        F.lit(META_CF).alias("cf"),
-        F.lit("server").alias("qualifier"),
-        F.lit(ts).cast("bigint").alias("ts"),
-        F.col("server").alias("value"),
+    return meta_regions.selectExpr(
+        "concat_ws(',', table_name, start_key, CAST(region_id AS STRING))"
+        " AS rowkey",
+        f"'{META_CF}' AS cf",
+        "'server' AS qualifier",
+        f"CAST({int(ts)} AS BIGINT) AS ts",
+        "server AS value",
     )
 
 
@@ -144,13 +138,13 @@ def topology_to_kv(topology: DataFrame) -> DataFrame:
     """Encode the ``topology`` history as technical-meta cells: one
     ``server_<epochMillis>`` qualifier per snapshot (the SC5 sink
     layout, meta/TechnicalMeta.java:160-186)."""
-    millis = (F.unix_timestamp("snapshot_ts") * 1000).cast("bigint")
-    return topology.select(
-        F.col("region_id").cast("string").alias("rowkey"),
-        F.lit(TECH_CF).alias("cf"),
-        F.concat(F.lit("server_"), millis.cast("string")).alias("qualifier"),
-        millis.alias("ts"),
-        F.col("server").alias("value"),
+    millis = "CAST(unix_timestamp(snapshot_ts) * 1000 AS BIGINT)"
+    return topology.selectExpr(
+        "CAST(region_id AS STRING) AS rowkey",
+        f"'{TECH_CF}' AS cf",
+        f"concat('server_', CAST({millis} AS STRING)) AS qualifier",
+        f"{millis} AS ts",
+        "server AS value",
     )
 
 
@@ -252,37 +246,36 @@ def kv_model_roundtrip(m: Model) -> DataFrame:
     rebuilt_meta = kv_meta_regions(meta_regions_to_kv(m.meta_regions))
     rebuilt_topo = kv_topology(topology_to_kv(m.topology))
     topo = rebuilt_topo.groupBy("region_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_topo"),
-        F.expr("max_by(server, snapshot_ts)").alias("last_server"),
-        F.unix_timestamp(F.max("snapshot_ts")).cast("bigint").alias("last_ts"),
+        F.expr("CAST(count(1) AS BIGINT) AS n_topo"),
+        F.expr("max_by(server, snapshot_ts) AS last_server"),
+        F.expr("CAST(unix_timestamp(max(snapshot_ts)) AS BIGINT) AS last_ts"),
     )
-    rebuilt = rebuilt_meta.join(topo, "region_id", "left").select(
+    # topo is one row per region — region-count-sized at any corpus
+    # scale (the same dimension grain as meta_regions itself), so the
+    # explicit broadcast keeps the 150k-row meta side unshuffled
+    # instead of leaving the strategy to size estimates.
+    rebuilt = rebuilt_meta.join(F.broadcast(topo), "region_id", "left").selectExpr(
         "region_id",
         "table_name",
         "server",
         "start_key",
         "end_key",
-        F.coalesce("n_topo", F.lit(0)).cast("bigint").alias("n_topo"),
+        "CAST(coalesce(n_topo, 0) AS BIGINT) AS n_topo",
         "last_server",
         "last_ts",
     )
-    digest = F.conv(
-        F.substring(
-            F.md5(F.expr(_ROW_RENDER.format(STR="STRING")).cast("binary")),
-            1,
-            10,
-        ),
-        16,
-        10,
-    ).cast("bigint")
+    render = _ROW_RENDER.format(STR="STRING")
     return rebuilt.groupBy("table_name").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_regions"),
-        F.count_distinct(F.col("server")).cast("bigint").alias("n_servers"),
-        F.sum(digest).cast("bigint").alias("row_digest"),
-        F.sum("n_topo").cast("bigint").alias("n_topo_total"),
-        F.max("last_ts").cast("bigint").alias("max_last_ts"),
-        F.min("start_key").alias("first_start_key"),
-        F.max("end_key").alias("last_end_key"),
+        F.expr("CAST(count(1) AS BIGINT) AS n_regions"),
+        F.expr("CAST(count(DISTINCT server) AS BIGINT) AS n_servers"),
+        F.expr(
+            f"CAST(sum(CAST(conv(substring(md5(CAST({render} AS BINARY)),"
+            " 1, 10), 16, 10) AS BIGINT)) AS BIGINT) AS row_digest"
+        ),
+        F.expr("CAST(sum(n_topo) AS BIGINT) AS n_topo_total"),
+        F.expr("CAST(max(last_ts) AS BIGINT) AS max_last_ts"),
+        F.expr("min(start_key) AS first_start_key"),
+        F.expr("max(end_key) AS last_end_key"),
     )
 
 
@@ -313,14 +306,12 @@ def kv_locks(kv: DataFrame) -> DataFrame:
     newest cell per qualifier.  One shuffle (the shared
     ``latest_cells`` LWW); output is (process, pid, resource,
     lock_seq) where lock_seq is the winning LOCKED_BY cell's ts."""
-    cells = latest_cells(kv.filter(F.col("cf") == LOCK_CF))
-    by = cells.filter(F.col("qualifier") == Q_LOCKED_BY).select(
-        F.col("rowkey").alias("process"),
-        F.col("value").alias("pid"),
-        F.col("ts").alias("lock_seq"),
+    cells = latest_cells(kv.where(f"cf = '{LOCK_CF}'"))
+    by = cells.where(f"qualifier = '{Q_LOCKED_BY}'").selectExpr(
+        "rowkey AS process", "value AS pid", "ts AS lock_seq"
     )
-    lk = cells.filter(F.col("qualifier") == Q_LOCK).select(
-        F.col("rowkey").alias("process"), F.col("value").alias("resource")
+    lk = cells.where(f"qualifier = '{Q_LOCK}'").selectExpr(
+        "rowkey AS process", "value AS resource"
     )
     return by.join(lk, "process", "left")
 
@@ -333,14 +324,14 @@ def kv_health_probes(kv: DataFrame) -> DataFrame:
     REGION_CHECK_TIME, value = the check-time rendering.  LWW per
     probe row, then the salt parse — (start_key, salt, check_time,
     probe_seq)."""
-    cells = latest_cells(kv.filter(F.col("cf") == TECH_CF)).filter(
-        F.col("qualifier") == Q_PROBE
+    cells = latest_cells(kv.where(f"cf = '{TECH_CF}'")).where(
+        f"qualifier = '{Q_PROBE}'"
     )
-    return cells.select(
-        F.substring_index("rowkey", "#", 1).alias("start_key"),
-        F.substring_index("rowkey", "#", -1).alias("salt"),
-        F.col("value").alias("check_time"),
-        F.col("ts").alias("probe_seq"),
+    return cells.selectExpr(
+        "substring_index(rowkey, '#', 1) AS start_key",
+        "substring_index(rowkey, '#', -1) AS salt",
+        "value AS check_time",
+        "ts AS probe_seq",
     )
 
 
@@ -349,20 +340,20 @@ def locks_to_kv(attempts: DataFrame) -> DataFrame:
     attempt puts LOCKED_BY = pid and LOCK = resource under the process
     rowkey (TableLock.java:70-82).  ``attempts`` columns: process,
     seq, pid, resource."""
-    base = attempts.select(
-        F.col("process").alias("rowkey"),
-        F.lit(LOCK_CF).alias("cf"),
-        F.col("seq").cast("bigint").alias("ts"),
+    base = attempts.selectExpr(
+        "process AS rowkey",
+        f"'{LOCK_CF}' AS cf",
+        "CAST(seq AS BIGINT) AS ts",
         "pid",
         "resource",
     )
-    return base.select(
-        "rowkey", "cf", F.lit(Q_LOCKED_BY).alias("qualifier"), "ts",
-        F.col("pid").alias("value"),
+    return base.selectExpr(
+        "rowkey", "cf", f"'{Q_LOCKED_BY}' AS qualifier", "ts",
+        "pid AS value",
     ).unionAll(
-        base.select(
-            "rowkey", "cf", F.lit(Q_LOCK).alias("qualifier"), "ts",
-            F.col("resource").alias("value"),
+        base.selectExpr(
+            "rowkey", "cf", f"'{Q_LOCK}' AS qualifier", "ts",
+            "resource AS value",
         )
     )
 
@@ -372,16 +363,14 @@ def probes_to_kv(meta_regions: DataFrame) -> DataFrame:
     + REGION_CHECK_TIME cell (HBaseHealthAnalyzeService.java:137-160;
     the salt is the md5-derived deterministic stand-in for the
     reference's 4 random bytes so the oracle can replay it)."""
-    rid = F.col("region_id").cast("string")
-    return meta_regions.select(
-        F.concat(
-            F.col("start_key"), F.lit("#"),
-            F.substring(F.md5(rid.cast("binary")), 1, 8),
-        ).alias("rowkey"),
-        F.lit(TECH_CF).alias("cf"),
-        F.lit(Q_PROBE).alias("qualifier"),
-        F.col("region_id").cast("bigint").alias("ts"),
-        (F.col("region_id") % 86400).cast("string").alias("value"),
+    return meta_regions.selectExpr(
+        "concat(start_key, '#',"
+        " substring(md5(CAST(CAST(region_id AS STRING) AS BINARY)), 1, 8))"
+        " AS rowkey",
+        f"'{TECH_CF}' AS cf",
+        f"'{Q_PROBE}' AS qualifier",
+        "CAST(region_id AS BIGINT) AS ts",
+        "CAST(region_id % 86400 AS STRING) AS value",
     )
 
 
@@ -459,68 +448,53 @@ def kv_admin_roundtrip(m: Model) -> DataFrame:
     probe/table re-association is an equi-join on the globally-unique
     start key; readouts collapse per key before leaving the executors.
     No driver values at all."""
-    ev = m.events.select(
-        F.concat(F.lit("proc_"), F.col("event_type")).alias("process"),
-        F.col("event_id").cast("bigint").alias("seq"),
-        F.col("user_id").cast("string").alias("pid"),
-        F.concat(
-            F.lit("res_"), (F.col("user_id") % 4).cast("string")
-        ).alias("resource"),
+    ev = m.events.selectExpr(
+        "concat('proc_', event_type) AS process",
+        "CAST(event_id AS BIGINT) AS seq",
+        "CAST(user_id AS STRING) AS pid",
+        "concat('res_', CAST(user_id % 4 AS STRING)) AS resource",
     )
     locks = kv_locks(locks_to_kv(ev))
     now = ev.agg(F.max("seq").alias("now_seq"))
     n_att = ev.groupBy("process").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+        F.expr("CAST(count(1) AS BIGINT) AS n_rows")
     )
-    lock_digest = F.conv(
-        F.substring(
-            F.md5(
-                F.expr(_LOCK_RENDER.format(ttl=LOCK_TTL_SEQ)).cast("binary")
-            ),
-            1,
-            10,
-        ),
-        16,
-        10,
-    ).cast("bigint")
+    lock_render = _LOCK_RENDER.format(ttl=LOCK_TTL_SEQ)
     lockrows = (
         locks.join(n_att, "process")
         .crossJoin(F.broadcast(now))
-        .select(
-            F.lit("lock").alias("kind"),
-            F.col("process").alias("key"),
+        .selectExpr(
+            "'lock' AS kind",
+            "process AS key",
             "n_rows",
-            lock_digest.alias("row_digest"),
-            F.col("lock_seq").cast("bigint").alias("max_seq"),
-            F.col("pid").alias("holder"),
+            f"CAST(conv(substring(md5(CAST({lock_render} AS BINARY)),"
+            " 1, 10), 16, 10) AS BIGINT) AS row_digest",
+            "CAST(lock_seq AS BIGINT) AS max_seq",
+            "pid AS holder",
             "resource",
         )
     )
     probes = kv_health_probes(probes_to_kv(m.meta_regions))
-    probe_digest = F.conv(
-        F.substring(
-            F.md5(F.expr(_PROBE_RENDER.format(STR="STRING")).cast("binary")),
-            1,
-            10,
-        ),
-        16,
-        10,
-    ).cast("bigint")
+    probe_render = _PROBE_RENDER.format(STR="STRING")
     proberows = (
         probes.join(
             m.meta_regions.select("start_key", "table_name"), "start_key"
         )
         .groupBy("table_name")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-            F.sum(probe_digest).cast("bigint").alias("row_digest"),
-            F.max("probe_seq").cast("bigint").alias("max_seq"),
-            F.min("salt").alias("holder"),
-            F.max("salt").alias("resource"),
+            F.expr("CAST(count(1) AS BIGINT) AS n_rows"),
+            F.expr(
+                f"CAST(sum(CAST(conv(substring(md5(CAST({probe_render} AS"
+                " BINARY)), 1, 10), 16, 10) AS BIGINT)) AS BIGINT)"
+                " AS row_digest"
+            ),
+            F.expr("CAST(max(probe_seq) AS BIGINT) AS max_seq"),
+            F.expr("min(salt) AS holder"),
+            F.expr("max(salt) AS resource"),
         )
-        .select(
-            F.lit("probe").alias("kind"),
-            F.col("table_name").alias("key"),
+        .selectExpr(
+            "'probe' AS kind",
+            "table_name AS key",
             "n_rows",
             "row_digest",
             "max_seq",

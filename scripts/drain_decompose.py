@@ -82,6 +82,11 @@ def main() -> None:
         .config("spark.cleaner.periodicGC.interval", "20s")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        # recentProgress is a ring buffer (default 100); a drain with
+        # more micro-batches would silently lose early batches and
+        # misattribute their time to startup_teardown_sec (round-10
+        # ADVICE) — raise the cap and assert below.
+        .config("spark.sql.streaming.numRecentProgressUpdates", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .getOrCreate()
     )
@@ -93,6 +98,11 @@ def main() -> None:
         QUERIES[name].fn(m).toPandas()
         wall = time.perf_counter() - t0
         prog = J.LAST_DRAIN_PROGRESS
+        assert len(prog) < 10000, (
+            f"{name}: {len(prog)} progress rows hit the ring-buffer cap; "
+            "phase attribution would be wrong — raise "
+            "spark.sql.streaming.numRecentProgressUpdates"
+        )
         dur = lambda p, k: float(p.get("durationMs", {}).get(k, 0))  # noqa: E731
         add_batch = sum(dur(p, "addBatch") for p in prog)
         planning = sum(dur(p, "queryPlanning") for p in prog)

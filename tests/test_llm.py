@@ -600,6 +600,27 @@ def test_g711_codec_roundtrip():
     wav = build_wav_g711(8000, sine, "mulaw")
     with pytest.raises(ValueError, match="torn data chunk"):
         parse_wav_g711(wav[:-10])
+    # a legal 16-byte PCM-style fmt chunk (no cbSize) parses — the
+    # module's builder writes 18 bytes, but readers must accept both
+    # layouts (round-10 ADVICE: fixed '<HHIIHHH' raised struct.error)
+    import struct as _st
+
+    fmt16 = _st.pack("<4sIHHIIHH", b"fmt ", 16, 7, 1, 8000, 8000, 1, 8)
+    codes = mulaw_encode(sine).tobytes()
+    fact = _st.pack("<4sII", b"fact", 4, len(sine))
+    data = _st.pack("<4sI", b"data", len(codes)) + codes
+    body = fmt16 + fact + data
+    wav16 = _st.pack("<4sI4s", b"RIFF", 4 + len(body), b"WAVE") + body
+    info16, got16 = parse_wav_g711(wav16)
+    assert info16["tag"] == 7 and info16["n_samples"] == len(sine)
+    assert np.array_equal(got16, mulaw_decode(mulaw_encode(sine)))
+    # and a torn fmt chunk raises the module's ValueError, not
+    # struct.error
+    fmt_torn = _st.pack("<4sI", b"fmt ", 8) + b"\x00" * 8
+    body_t = fmt_torn + fact + data
+    wav_t = _st.pack("<4sI4s", b"RIFF", 4 + len(body_t), b"WAVE") + body_t
+    with pytest.raises(ValueError, match="torn fmt chunk"):
+        parse_wav_g711(wav_t)
 
 
 def test_line_dedup_keep_first_python_port(spark):

@@ -123,3 +123,40 @@ def test_spread_if_undersplit_sizes_by_bytes(spark):
     )
     expect = max(slots, -(-400_000_000 * 8 // max_pb))
     assert n == expect > slots
+
+
+def test_autosize_shuffle_partitions_scales_with_bytes(spark, tmp_path):
+    """load_model sizes spark.sql.shuffle.partitions from fixture BYTES
+    (round-10 verdict task 4: the sf10 certify OOMed because the knob
+    was a pinned bench posture).  Rule: only ever RAISES, so a
+    fixture-scale session keeps its tuned value; a fixture big enough
+    to demand more partitions gets ceil(bytes*expansion / 64MB)."""
+    import os
+
+    from hbase_tools_spark import catalog as C
+
+    # fixture-scale: 17 MB * 6 / 64 MB < 4 -> the session's value stands
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    C._autosize_shuffle_partitions(spark, "/root/testdata/sf0.1")
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+
+    # large fixture (sparse files so the test costs no real disk):
+    # 10 GB * 6 / 64 MB = 960 partitions
+    big = tmp_path / "sfbig"
+    big.mkdir()
+    f = big / "lineitem.parquet"
+    with open(f, "wb") as fh:
+        fh.truncate(10 * 1024**3)
+    try:
+        C._autosize_shuffle_partitions(spark, str(big))
+        assert int(spark.conf.get("spark.sql.shuffle.partitions")) == 960
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    # kill switch restores the pinned-knob behavior
+    os.environ["SPARK_GRAFT_AUTOSHUFFLE"] = "off"
+    try:
+        C._autosize_shuffle_partitions(spark, str(big))
+        assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+    finally:
+        del os.environ["SPARK_GRAFT_AUTOSHUFFLE"]
