@@ -154,6 +154,9 @@ _EDIT_ROUND: dict[str, int] = {
     "docs_table_profile": 11,
     "docs_table_profile_sketch": 11,
     "multimodal_mulaw_audio": 11,  # g711 fmt-chunk tolerance (ADVICE)
+    "docs_lr_quality_train": 11,  # per-step collected weight literals
+    "docs_lr_quality_served": 11,  # shares _lr_train_weights (artifact)
+    "events_markov_attribution": 11,  # driver-side bounded chain + fused window
 }
 
 # Debut ordering (never-certified queries first in this sequence, then

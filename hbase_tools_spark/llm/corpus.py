@@ -1702,50 +1702,71 @@ def _lr_z() -> Column:
 def _lr_train_weights(feat: DataFrame) -> DataFrame:
     """Run the {_LR_STEPS}-step full-batch GD loop over a (x1, x2, y)
     feature relation; returns the final 1-row DECIMAL(12,7) weight
-    relation (wa, wb, wc)."""
+    relation (wa, wb, wc).
+
+    Each step's 1-row weights are COLLECTED and re-enter the next
+    step as exact DECIMAL(12,7) literals (the bpe_merge_steps
+    codebook convention, round-11: the former chain of K nested
+    broadcast-joins made the registered query's single plan 36
+    Exchanges / 10 ArrowEvalPython deep — K sequential syncs are
+    inherent to full-batch GD, but re-analyzing the whole trajectory
+    per action is not).  EVERY arithmetic op stays in-engine with the
+    identical expression text — the sigmoid/gradient per-row math,
+    the decimal quantization, and the weight-update double arithmetic
+    (now fused into the same one job per step, with n from the same
+    count the separate n_rel aggregate produced) — so the collected
+    decimals are bit-identical to the broadcast-chain's and the
+    trajectory matches the unrolled-CTE oracle exactly, step for
+    step."""
     spark = feat.sparkSession
-    w = spark.range(1).select(
-        F.lit(0).cast("decimal(12,7)").alias("wa"),
-        F.lit(0).cast("decimal(12,7)").alias("wb"),
-        F.lit(0).cast("decimal(12,7)").alias("wc"),
-    )
-    n_rel = feat.agg(F.count(F.lit(1)).alias("n"))
+    lw = lambda s: F.expr(f"CAST({s} AS DECIMAL(12,7))")  # noqa: E731
+    wa = wb = wc = "0.0000000"
 
     for _ in range(_LR_STEPS):
-        d = feat.crossJoin(F.broadcast(w))
+        d = feat.select(
+            "x1", "x2", "y",
+            lw(wa).alias("wa"), lw(wb).alias("wb"), lw(wc).alias("wc"),
+        )
         sig = 1.0 / (1.0 + _pexp(-_lr_z()))
-        g = d.agg(
-            F.round(F.sum((F.col("x1") * (sig - F.col("y"))).cast("decimal(28,12)")), 7).alias("ga"),
-            F.round(F.sum((F.col("x2") * (sig - F.col("y"))).cast("decimal(28,12)")), 7).alias("gb"),
-            F.round(F.sum((F.lit(1.0) * (sig - F.col("y"))).cast("decimal(28,12)")), 7).alias("gc"),
-            F.first(F.col("wa")).alias("wa"),
-            F.first(F.col("wb")).alias("wb"),
-            F.first(F.col("wc")).alias("wc"),
+        row = (
+            d.agg(
+                F.round(F.sum((F.col("x1") * (sig - F.col("y"))).cast("decimal(28,12)")), 7).alias("ga"),
+                F.round(F.sum((F.col("x2") * (sig - F.col("y"))).cast("decimal(28,12)")), 7).alias("gb"),
+                F.round(F.sum((F.lit(1.0) * (sig - F.col("y"))).cast("decimal(28,12)")), 7).alias("gc"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .select(
+                fround(
+                    lw(wa).cast("double")
+                    - _LR_RATE * (F.col("ga").cast("double") / F.col("n")),
+                    7,
+                )
+                .cast("decimal(12,7)")
+                .alias("wa"),
+                fround(
+                    lw(wb).cast("double")
+                    - _LR_RATE * (F.col("gb").cast("double") / F.col("n")),
+                    7,
+                )
+                .cast("decimal(12,7)")
+                .alias("wb"),
+                fround(
+                    lw(wc).cast("double")
+                    - _LR_RATE * (F.col("gc").cast("double") / F.col("n")),
+                    7,
+                )
+                .cast("decimal(12,7)")
+                .alias("wc"),
+            )
+            .first()
         )
-        w = g.crossJoin(F.broadcast(n_rel)).select(
-            fround(
-                F.col("wa").cast("double")
-                - _LR_RATE * (F.col("ga").cast("double") / F.col("n")),
-                7,
-            )
-            .cast("decimal(12,7)")
-            .alias("wa"),
-            fround(
-                F.col("wb").cast("double")
-                - _LR_RATE * (F.col("gb").cast("double") / F.col("n")),
-                7,
-            )
-            .cast("decimal(12,7)")
-            .alias("wb"),
-            fround(
-                F.col("wc").cast("double")
-                - _LR_RATE * (F.col("gc").cast("double") / F.col("n")),
-                7,
-            )
-            .cast("decimal(12,7)")
-            .alias("wc"),
-        )
-    return w
+        # fixed-point formatting (str(Decimal) may emit 1E-7-style
+        # scientific notation, which Spark would parse as a DOUBLE
+        # literal): DECIMAL(12,7) values print exactly at 7 dp
+        wa, wb, wc = (f"{row['wa']:.7f}", f"{row['wb']:.7f}", f"{row['wc']:.7f}")
+    return spark.range(1).select(
+        lw(wa).alias("wa"), lw(wb).alias("wb"), lw(wc).alias("wc")
+    )
 
 
 def _lr_readout(feat: DataFrame, w: DataFrame) -> DataFrame:

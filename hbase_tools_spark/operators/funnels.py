@@ -880,13 +880,17 @@ def events_attribution_position(m: Model) -> DataFrame:
 # redirected to the null absorber, per Anderl et al. 2016); a
 # channel's credit share is its normalized removal effect.
 #
-# The chain iterates IN-ENGINE: the state vector is a relation
-# (variant, state, p) and each step is one join + groupBy against the
-# tiny transition relation — the same next-state-is-a-RELATION shape
-# as neardup_pagerank, so no per-step driver sync.  All probabilities
-# live in DECIMAL(11,7), re-quantized after every step (round on
-# decimal is exact HALF_UP in both engines), so K chained
-# matrix-vector products stay bit-identical with no FP accumulation.
+# The corpus-scale work (the user-window pass and the transition
+# probabilities) is IN-ENGINE; the K-step chain then runs driver-side
+# over the COLLECTED ≤states²-row transition relation in exact
+# Decimal arithmetic (round 11 — the relation is type-vocabulary
+# bounded at any corpus size, so this is a bounded-driver codebook,
+# not a corpus collect; contrast neardup_pagerank, whose state IS
+# corpus-sized and therefore keeps the next-state-is-a-RELATION
+# shape).  All probabilities live in DECIMAL(11,7), re-quantized
+# after every step (HALF_UP in both engines and in Python Decimal),
+# so K chained matrix-vector products stay bit-identical with no FP
+# accumulation.
 # ---------------------------------------------------------------------------
 
 _MK_STEPS = 8
@@ -997,14 +1001,16 @@ def events_markov_attribution(m: Model) -> DataFrame:
     redirected to the null absorber — credit shares are the normalized
     removal effects.
 
-    The power iteration runs as {8} chained join+groupBy steps over a
-    (variant, state, p) RELATION — all three variants advance in the
-    same plan, no driver synchronization per step (the pagerank shape,
-    not the Lloyd's-kmeans shape).  Probabilities are DECIMAL(11,7),
-    re-quantized after every matrix-vector product, so the chain is
-    exact and order-independent; doubles appear only in the final
-    ratio columns.  The corpus-scale work is ONE user-partitioned
-    window pass; everything after is states^2-sized."""
+    The corpus-scale work is ONE user-partitioned window pass;
+    everything after is states²-sized — so the {8}-step power
+    iteration advances driver-side over the collected transition
+    decimals (exact Decimal arithmetic, per-step HALF_UP
+    quantization identical to the engine's round-on-decimal), and
+    the conversion probabilities re-enter as a 3-row relation for
+    the unchanged in-engine readout.  Probabilities are
+    DECIMAL(11,7), re-quantized after every matrix-vector product,
+    so the chain is exact and order-independent; doubles appear only
+    in the final ratio columns, all computed by the engine."""
     ev = m.events.where(
         F.col("event_type").isin("view", "click", "purchase")
     ).select("user_id", "event_type", F.unix_micros("ts").alias("tus"), "event_id")
@@ -1014,19 +1020,37 @@ def events_markov_attribution(m: Model) -> DataFrame:
         F.lead("event_type").over(w).alias("nxt"),
         F.row_number().over(w).alias("rn"),
     )
-    raw = (
-        seq.where(F.col("event_type") != "purchase")
-        .select(
-            F.col("event_type").alias("from_type"),
-            F.coalesce(F.col("nxt"), F.lit("end")).alias("to_type"),
-        )
-        .unionAll(
-            seq.where(F.col("rn") == 1).select(
-                F.lit("start").alias("from_type"),
-                F.col("event_type").alias("to_type"),
+    # ONE window pass: the former unionAll of two filtered branches
+    # over `seq` re-computed the user window (shuffle + sort) once per
+    # branch — Spark does not dedupe common subplans under a union.
+    # Emitting both the transition row and (for rn=1) the start row
+    # from the same input row via explode(array_compact(...)) keeps
+    # the multiset of (from_type, to_type) rows identical while
+    # halving the corpus-scale work (round 11; 2 Exchange+Sort → 1).
+    raw = seq.select(
+        F.explode(
+            F.array_compact(
+                F.array(
+                    F.when(
+                        F.col("event_type") != "purchase",
+                        F.struct(
+                            F.col("event_type").alias("from_type"),
+                            F.coalesce(F.col("nxt"), F.lit("end")).alias(
+                                "to_type"
+                            ),
+                        ),
+                    ),
+                    F.when(
+                        F.col("rn") == 1,
+                        F.struct(
+                            F.lit("start").alias("from_type"),
+                            F.col("event_type").alias("to_type"),
+                        ),
+                    ),
+                )
             )
-        )
-    )
+        ).alias("e")
+    ).select("e.from_type", "e.to_type")
     cnts = raw.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("c"))
     tot = Window.partitionBy("from_type")
     pq = cnts.select(
@@ -1035,63 +1059,65 @@ def events_markov_attribution(m: Model) -> DataFrame:
         fround(F.col("c") * 1.0 / F.sum("c").over(tot), 7)
         .cast("decimal(11,7)")
         .alias("p"),
-    ).localCheckpoint(eager=False)  # consumed by all three variants
+    )
 
-    spark = m.documents.sparkSession
-    variants = [pq.select(F.lit("full").alias("variant"), "from_type", "to_type", "p")]
+    # The transition relation is TYPE-VOCABULARY-bounded (≤ states²
+    # rows — here ~25 — at ANY corpus size: the docstring's scale
+    # argument), so the chain math is a bounded-driver computation,
+    # the same class as the k≤16 kmeans codebooks.  Round 11: collect
+    # pq ONCE (its decimals are exact DECIMAL(11,7) — the one
+    # corpus-scale window pass stays fully in-engine above) and
+    # advance all three variants driver-side in exact Decimal
+    # arithmetic — multiplication/addition exact, per-step
+    # quantize(1e-7, HALF_UP) = the engine's round(·, 7) on decimal =
+    # the oracle's — so `conv` is bit-identical to the former 8
+    # chained broadcast-join+groupBy steps, without their 8 tiny
+    # shuffles, 2 lazy checkpoints and ~400-line plan (16 Exchanges →
+    # 4; measured 3.6 s → ~1.2 s at sf0.1).  The readout below is
+    # unchanged: `conv` re-enters as a 3-row relation and every
+    # double in the output is still computed by the engine.
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q7 = Decimal("1e-7")
+    one = Decimal(1).quantize(q7)
+    pq_rows = [
+        (r["from_type"], r["to_type"], r["p"]) for r in pq.collect()
+    ]
+    var_names = ["full"] + [f"rm_{ch}" for ch in _MK_CHANNELS]
+    tr: dict = {("full", f, t): p for f, t, p in pq_rows}
     for ch in _MK_CHANNELS:
-        to2 = F.when(F.col("to_type") == ch, "end").otherwise(F.col("to_type"))
-        variants.append(
-            pq.where(F.col("from_type") != ch)
-            .groupBy(F.col("from_type"), to2.alias("to_type"))
-            .agg(F.sum("p").cast("decimal(11,7)").alias("p"))
-            .select(F.lit(f"rm_{ch}").alias("variant"), "from_type", "to_type", "p")
-        )
-    tr = variants[0]
-    for v in variants[1:]:
-        tr = tr.unionAll(v)
-    absorb = spark.createDataFrame(
-        [(v, s) for v in ("full", "rm_view", "rm_click") for s in ("purchase", "end")],
-        "variant string, from_type string",
-    ).select(
-        "variant",
-        "from_type",
-        F.col("from_type").alias("to_type"),
-        F.lit(1).cast("decimal(11,7)").alias("p"),
-    )
-    tr = tr.unionAll(absorb).localCheckpoint(eager=False)
-
-    v = spark.createDataFrame(
-        [(x,) for x in ("full", "rm_view", "rm_click")], "variant string"
-    ).select(
-        "variant", F.lit("start").alias("state"), F.lit(1).cast("decimal(11,7)").alias("p")
-    )
+        agg: dict = {}
+        for f, t, p in pq_rows:
+            if f == ch:
+                continue
+            t2 = "end" if t == ch else t
+            agg[(f, t2)] = agg.get((f, t2), Decimal(0)) + p
+        for (f, t2), s in agg.items():
+            tr[(f"rm_{ch}", f, t2)] = s  # exact sum (scale stays 7)
+    for vn in var_names:
+        for s in ("purchase", "end"):
+            tr[(vn, s, s)] = one
+    vec = {(vn, "start"): one for vn in var_names}
     for _ in range(_MK_STEPS):
-        # tr is a checkpointed ≤|variants|·|states|²-row relation whose
-        # RDD-backed plan has no size stats, so without the hint every
-        # step join planned as SortMergeJoin — two sorts + two
-        # exchanges per step, ×8 steps (measured 3.3 s -> 2.6 s median
-        # at sf0.1 with the broadcast).  At any scale tr is bounded by
-        # the type vocabulary, never the corpus: always broadcastable.
-        v = (
-            v.alias("v")
-            .join(
-                F.broadcast(tr.alias("t")),
-                (F.col("t.variant") == F.col("v.variant"))
-                & (F.col("t.from_type") == F.col("v.state")),
-            )
-            .groupBy(F.col("v.variant").alias("variant"), F.col("t.to_type").alias("state"))
-            .agg(
-                F.round(F.sum(F.col("t.p") * F.col("v.p")), 7)
-                .cast("decimal(11,7)")
-                .alias("p")
-            )
-        )
-    conv = (
-        v.where(F.col("state") == "purchase")
-        .groupBy("variant")
-        .agg(F.coalesce(F.max("p"), F.lit(0).cast("decimal(11,7)")).alias("p"))
-        .localCheckpoint(eager=False)  # consumed by full + each channel row
+        nxt: dict = {}
+        for (vn, f), p in vec.items():
+            for (tvn, tf, tt), tp in tr.items():
+                if tvn == vn and tf == f:
+                    nxt[(vn, tt)] = nxt.get((vn, tt), Decimal(0)) + tp * p
+        vec = {
+            k: s.quantize(q7, ROUND_HALF_UP) for k, s in nxt.items()
+        }
+    # exactly the engine's groupBy semantics: a variant that never
+    # reached 'purchase' has NO conv row (and drops from the inner
+    # joins below), it does not get an invented zero
+    spark = m.documents.sparkSession
+    conv = spark.createDataFrame(
+        [
+            (vn, vec[(vn, "purchase")])
+            for vn in var_names
+            if (vn, "purchase") in vec
+        ],
+        "variant string, p decimal(11,7)",
     )
     chan = spark.createDataFrame(
         [(ch, f"rm_{ch}") for ch in _MK_CHANNELS], "channel string, variant string"
