@@ -29,6 +29,40 @@ _MINHASHES = 16       # minhash functions
 _BANDS = 4            # LSH bands (4 rows each)
 _JACCARD_T = 0.5      # similarity threshold
 
+#: on-disk documents.parquet bytes above which a shingle-scale
+#: shuffle_hash hint is dropped (round 11 / r10 verdict task 4): the
+#: 100x fixture (58 MB docs parquet, ~100x uncompressed expansion into
+#: the exploded shingle relation) made the hinted jaccard self-join's
+#: per-task build map exceed the 8 g default heap's task share; at or
+#: below this threshold the hinted plan is measured faster and safe.
+_SHJ_DOCS_BYTES = 16 << 20
+
+
+def _corpus_shj(df: DataFrame, m: Model) -> DataFrame:
+    """Apply the ``shuffle_hash`` hint only while the fixture's
+    documents relation is small enough that a SHINGLE-SCALE build
+    side's per-task hash map stays within executor task memory;
+    beyond the threshold return the relation unhinted — the planner's
+    sort-merge join SPILLS where the forced SHJ build OOMs ("not
+    enough memory to build hash map" at the 100x fixture, 8 g default
+    heap; guide §3: hash-join only a side that fits).  The guard
+    reads only fixture file sizes (no Spark action)."""
+    import os
+
+    try:
+        path = os.path.join(m.sf_dir, "documents.parquet")
+        if os.path.isfile(path):
+            size = os.path.getsize(path)
+        else:
+            size = sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(path)
+                for f in fs
+            )
+    except OSError:
+        return df  # unknown size: take the spill-safe plan
+    return df.hint("shuffle_hash") if size <= _SHJ_DOCS_BYTES else df
+
 # Shared shingle CTE (DuckDB dialect); Spark side built with
 # sequence/transform below — both produce identical shingle strings.
 _SHINGLES_SQL = f"""
@@ -113,16 +147,29 @@ def ngram_jaccard_pairs(m: Model) -> DataFrame:
     does NOT fire across the two legs (verified on the executed plan),
     so without it the shingle pass runs twice."""
     posts = stage_persist(_shingles_with_size(m))
-    # shuffle-hash hint: the posting list is too big to broadcast
-    # cheaply (AQE would otherwise collect one whole side to the
-    # driver) and far too big for that at corpus scale; hash-join on
-    # the shuffled shingle key is both the local and the 100 TB plan.
-    a = posts.select(
-        F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "shingle"
-    ).hint("shuffle_hash")
-    b = posts.select(
-        F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), "shingle"
-    ).hint("shuffle_hash")
+    # shuffle-hash hint, SIZE-GUARDED (round 11 / r10 verdict task 4):
+    # the posting list is too big to broadcast, and at fixture scale a
+    # hashed self-join on the shuffled shingle key beats sort-merge —
+    # but BOTH sides here are the corpus-scale shingle relation, so a
+    # forced SHJ's per-task build map grows with corpus/partitions:
+    # measured at the 100x fixture, the hinted plan dies with
+    # "SparkOutOfMemoryError: not enough memory to build hash map" at
+    # the default 8 g heap, while the unhinted sort-merge fallback
+    # SPILLS and completes (guide §3 — pick SHJ only when a build side
+    # fits task memory).  _corpus_shj drops the hint once the corpus
+    # passes the threshold.
+    a = _corpus_shj(
+        posts.select(
+            F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "shingle"
+        ),
+        m,
+    )
+    b = _corpus_shj(
+        posts.select(
+            F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), "shingle"
+        ),
+        m,
+    )
     common = (
         a.join(b, "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))

@@ -53,12 +53,50 @@ def main() -> None:
     from hbase_tools_spark.functions.cache import release_stage_caches
 
     spark = get_spark("hbase-tools-spark-certify", cpus=args.cpus)
-    con = duckdb.connect()
-    for t in ["region", "nation", "customer", "supplier", "part",
-              "orders", "lineitem", "events", "documents", "embeddings"]:
-        path = f"{sf_dir}/{t}.parquet"
-        src = f"{path}/*.parquet" if os.path.isdir(path) else path
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
+
+    # One fresh DuckDB connection PER QUERY with symmetric spill
+    # treatment (bench.py's convention, round 11): at 100x the
+    # span/window oracles exceed DuckDB's default in-memory budget and
+    # die with "Failed to allocate block" unless the connection has a
+    # spill dir — and a heavy oracle can leave a shared connection's
+    # buffer state unable to run the NEXT heavy oracle (measured:
+    # docs_window_dedup's oracle passes on a fresh connection, fails
+    # on one that just spilled through docs_span_removed's).  The
+    # certificate must measure each oracle, not connection history.
+    import atexit
+    import shutil
+    import tempfile
+
+    try:
+        mem = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+    except (ValueError, OSError):
+        mem = 0
+    # 75% of RAM (not bench.py's tighter 50% cap): certification runs
+    # one engine at a time — the Spark job has already returned before
+    # its oracle executes, so only the idle 8 g JVM shares the box —
+    # and the sf10 span/window oracles need ~50-90 GB (they fail at a
+    # 48 GB cap, pass at DuckDB's own default on this 125 GiB host;
+    # the r10 34/34 certificate ran exactly that default).
+    duck_mem = os.environ.get(
+        "SPARK_GRAFT_DUCK_MEM",
+        f"{max(1, int(mem * 0.75 / 2**30))}GB" if mem else "48GB",
+    )
+    spill = tempfile.mkdtemp(prefix="duck_spill_certify_")
+    atexit.register(shutil.rmtree, spill, ignore_errors=True)
+
+    def fresh_con():
+        c = duckdb.connect()
+        try:
+            c.execute(f"SET memory_limit='{duck_mem}'")
+            c.execute(f"SET temp_directory='{spill}'")
+        except Exception:
+            pass  # older duckdb without the pragma
+        for t in ["region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events", "documents", "embeddings"]:
+            path = f"{sf_dir}/{t}.parquet"
+            src = f"{path}/*.parquet" if os.path.isdir(path) else path
+            c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
+        return c
 
     names = sorted(QUERIES)
     if args.only:
@@ -73,7 +111,7 @@ def main() -> None:
         names = requested
     m = load_model(spark, sf_dir)
     results: dict[str, dict] = {}
-    n_match = n_rows_only = n_err = 0
+    n_match = n_rows_only = n_err = n_oracle_oom = 0
     t_start = time.time()
     for name in names:
         q = QUERIES[name]
@@ -83,16 +121,36 @@ def main() -> None:
                 results[name] = {"rows": len(sdf), "rows_only": True}
                 n_rows_only += 1
             else:
-                ddf = con.sql(q.oracle).fetchdf()
-                ok = (
-                    sorted(sdf.columns) == sorted(ddf.columns)
-                    and len(sdf) == len(ddf)
-                    and normalize(sdf) == normalize(ddf)
-                )
-                results[name] = {"rows": len(sdf), "match": bool(ok)}
-                n_match += ok
-                if not ok:
-                    n_err += 1
+                con = fresh_con()
+                try:
+                    ddf = con.sql(q.oracle).fetchdf()
+                except duckdb.OutOfMemoryException as oexc:
+                    # The COMPARISON ENGINE ran out of memory, not the
+                    # engine under test (the Spark result above is
+                    # already computed): record it as the bench's
+                    # established duck_oracle_oom class, distinct from
+                    # an engine failure.  At sf10 the span/window
+                    # oracles need ~RAM-order memory (BENCH_SF10.json
+                    # documents the same class).
+                    ddf = None
+                    results[name] = {
+                        "rows": len(sdf),
+                        "duck_oracle_oom": True,
+                        "duck_err": str(oexc)[:200],
+                    }
+                    n_oracle_oom += 1
+                finally:
+                    con.close()
+                if ddf is not None:
+                    ok = (
+                        sorted(sdf.columns) == sorted(ddf.columns)
+                        and len(sdf) == len(ddf)
+                        and normalize(sdf) == normalize(ddf)
+                    )
+                    results[name] = {"rows": len(sdf), "match": bool(ok)}
+                    n_match += ok
+                    if not ok:
+                        n_err += 1
         except Exception as exc:  # keep certifying the rest
             results[name] = {"err": f"{type(exc).__name__}: {exc}"[:300]}
             n_err += 1
@@ -111,6 +169,7 @@ def main() -> None:
         "n_match": n_match,
         "n_rows_only": n_rows_only,
         "n_fail": n_err,
+        "n_duck_oracle_oom": n_oracle_oom,
         "wall_sec": round(time.time() - t_start, 1),
         "queries": results,
     }

@@ -232,3 +232,32 @@ def test_bm25_topk_is_take_ordered_not_global_sort(spark):
     assert "TakeOrderedAndProject" in plan
     read = plan.split("ReadSchema", 1)[1][:300]
     assert "lang" not in read and "n_chars" not in read
+
+
+def test_jaccard_shj_hint_is_size_guarded(spark, tmp_path):
+    """The jaccard self-join's shuffle_hash hint must apply at fixture
+    scale (both sides hashed — the measured-faster local plan) and
+    DROP above the documents-bytes threshold, where a forced SHJ
+    build map OOMs and the sort-merge fallback spills (measured at
+    the 100x fixture, 8 g default heap — round 11)."""
+    import os
+
+    from hbase_tools_spark.catalog import Model
+    from hbase_tools_spark.llm import dedup as D
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
+    m = Model(spark, sf_dir)
+    df = spark.range(1)
+    hinted = D._corpus_shj(df, m)
+    assert "UnresolvedHint shuffle_hash" in (
+        hinted._jdf.queryExecution().logical().toString()
+    ), "fixture-scale corpus lost the shuffle_hash hint"
+
+    big = tmp_path / "sfbig"
+    (big / "documents.parquet").mkdir(parents=True)
+    with open(big / "documents.parquet" / "part-0.parquet", "wb") as fh:
+        fh.truncate(D._SHJ_DOCS_BYTES + 1)
+    unhinted = D._corpus_shj(df, Model(spark, str(big)))
+    assert "UnresolvedHint" not in (
+        unhinted._jdf.queryExecution().logical().toString()
+    ), "over-threshold corpus kept the forced SHJ hint"
