@@ -449,12 +449,17 @@ def main() -> None:
         key=lambda n: -ratios[n],
     )
     # The stdout line must PARSE in the driver artifact — the driver's
-    # tail capture is ~2000 chars, and both the round-3 line (every
+    # tail capture is EXACTLY 2000 chars (len(tail) == 2000 in every
+    # BENCH_r9/r10/r11 artifact), and both the round-3 line (every
     # per-query dict, ~12 KB) and the round-4 line (118-entry spark
     # `queries` dict, ~3 KB) blew past it and recorded "parsed": null.
-    # stdout now carries ONLY scalar aggregates (<400 bytes); every
-    # per-query number (spark secs, duckdb secs, ratios, over-2x list)
-    # lives in BENCH_FULL.json next to this script.
+    # Round-12 (r11 verdict task 2 — PERF needs per-query data in the
+    # parsed line): the line carries the scalar aggregates PLUS a
+    # `queries` dict of per-query medians for as many queries as fit a
+    # 1900-byte total-line budget, filled in DESCENDING median order so
+    # the expensive queries (the ones perf attribution needs) are
+    # always present.  The FULL 190-query set (best-of, median, cold,
+    # duckdb, ratios) stays in BENCH_FULL.json next to this script.
     headline = {
         "metric": "total_wall",
         "value": total,
@@ -498,6 +503,21 @@ def main() -> None:
         # cold-start bound the warm median cannot show.
         "cold_total": round(sum(spark_cold.values()), 4),
     }
+    # Per-query medians, slowest first, truncated to keep the WHOLE
+    # line under the driver's 2000-char tail capture (see comment
+    # above).  n_queries_inline records the cut so a reader knows the
+    # dict is the top slice, not the full registry.
+    inline_q: dict[str, float] = {}
+    budget = 1900 - len(json.dumps(dict(headline, queries={},
+                                        n_queries_inline=190)))
+    for n, s in sorted(spark_med.items(), key=lambda kv: -kv[1]):
+        ent = len(json.dumps({n: round(s, 2)})) + 1
+        if budget - ent < 0:
+            break
+        inline_q[n] = round(s, 2)
+        budget -= ent
+    headline["queries"] = inline_q
+    headline["n_queries_inline"] = len(inline_q)
     out = dict(
         headline,
         queries={n: round(s, 3) for n, s in spark_secs.items()},

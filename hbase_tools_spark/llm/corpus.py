@@ -1223,6 +1223,7 @@ def bigram_pmi_top(m: Model) -> DataFrame:
 
 _CARD_SHORT_T = 8  # docs under this many tokens count as "short"
 
+from .dedup import _corpus_shj  # noqa: E402 — size-guarded SHJ hint
 from .pipeline import _REP_DISTINCT_MIN, _REP_TOP_MAX  # noqa: E402 — the
 # ONE pair of Gopher repetition thresholds (docs_repetition_ratio,
 # docs_quality_filter and this card must never drift apart)
@@ -1311,7 +1312,7 @@ def corpus_dataset_card(m: Model) -> DataFrame:
     )
     j = (
         meta.join(per_doc, "doc_id")
-        .join(dup.hint("shuffle_hash"), "h", "left")
+        .join(_corpus_shj(dup, m), "h", "left")
         .select(
             "source",
             "n_tokens",

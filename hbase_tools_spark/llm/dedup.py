@@ -63,6 +63,24 @@ def _corpus_shj(df: DataFrame, m: Model) -> DataFrame:
         return df  # unknown size: take the spill-safe plan
     return df.hint("shuffle_hash") if size <= _SHJ_DOCS_BYTES else df
 
+
+def _dir_shj(df: DataFrame, spark, path: str) -> DataFrame:
+    """``_corpus_shj`` for a build side read from a persisted artifact
+    directory (the novelty-ingest indexes): hint ``shuffle_hash`` only
+    while the directory's bytes stay under the same fixture-scale
+    threshold; above it fall back to the planner's sort-merge, which
+    SPILLS where a forced hash build OOMs.  Sizing goes through the
+    Hadoop FS because ingest indexes may live on hdfs/s3 paths a
+    driver-local stat cannot see (the _fs_exists lesson)."""
+    try:
+        jvm = spark.sparkContext._jvm
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        size = p.getFileSystem(conf).getContentSummary(p).getLength()
+    except Exception:
+        return df  # unknown size: take the spill-safe plan
+    return df.hint("shuffle_hash") if size <= _SHJ_DOCS_BYTES else df
+
 # Shared shingle CTE (DuckDB dialect); Spark side built with
 # sequence/transform below — both produce identical shingle strings.
 _SHINGLES_SQL = f"""
@@ -742,10 +760,16 @@ def neardup_clusters(m: Model) -> DataFrame:
     edges = pairs.selectExpr("doc_a AS u", "doc_b AS v").unionByName(
         pairs.selectExpr("doc_b AS u", "doc_a AS v")
     )
+    edges = edges.localCheckpoint(eager=True)  # reused every round
+    # labels derives from the CHECKPOINTED edges (round-12): built from
+    # the pre-checkpoint relation it carried the whole minhash-pairs
+    # lineage into every round's plan — measured 0.70 s of WARM driver
+    # analysis on round 1 alone (the connected_components twin already
+    # did this right).  Same rows either way (distinct u over identical
+    # edges).
     labels = edges.select(F.col("u").alias("doc_id")).distinct().withColumn(
         "label", F.col("doc_id")
     )
-    edges = edges.localCheckpoint(eager=True)  # reused every round
     for _ in range(_LP_STEPS):
         neigh = (
             edges.join(labels.withColumnRenamed("doc_id", "v"), "v")
@@ -1093,7 +1117,7 @@ def docs_window_dedup(m: Model) -> DataFrame:
     n_dup = F.col("n_windows") - F.coalesce(F.col("n_unique"), F.lit(0))
     frac = n_dup * 1.0 / F.col("n_windows")
     return (
-        per_doc.join(uniq.hint("shuffle_hash"), "doc_id", "left")
+        per_doc.join(_corpus_shj(uniq, m), "doc_id", "left")
         .select(
             "doc_id",
             F.col("n_windows").cast("bigint").alias("n_windows"),
@@ -1204,7 +1228,7 @@ def docs_line_dedup(m: Model) -> DataFrame:
     )
     n_dup = F.col("n_lines") - F.coalesce(F.col("n_unique"), F.lit(0))
     n_kept = F.coalesce(F.col("n_kept"), F.lit(0))
-    return per_doc.join(kept.hint("shuffle_hash"), "doc_id", "left").select(
+    return per_doc.join(_corpus_shj(kept, m), "doc_id", "left").select(
         "doc_id",
         F.col("n_lines").cast("bigint").alias("n_lines"),
         n_dup.cast("bigint").alias("n_dup_lines"),
@@ -1271,7 +1295,7 @@ def _dup_window_positions(m: Model):
         .where(F.col("c") >= 2)
         .select("shingle")
     )
-    d = p.join(wf.hint("shuffle_hash"), "shingle", "left_semi").select(
+    d = p.join(_corpus_shj(wf, m), "shingle", "left_semi").select(
         "doc_id", "pos"
     )
     return base, d
@@ -1728,7 +1752,7 @@ def docs_span_removed(m: Model) -> DataFrame:
     from ..functions.partitioning import spread_if_undersplit
 
     joined = spread_if_undersplit(
-        all_docs.join(dpos.hint("shuffle_hash"), "doc_id", "left"), "doc_id"
+        all_docs.join(_corpus_shj(dpos, m), "doc_id", "left"), "doc_id"
     )
     return (
         joined
@@ -1824,7 +1848,9 @@ def _novelty_batch_body(spark, index_dir, docs, batch_id, bc) -> dict:
         seen = spark.read.parquet(index_dir).select("shingle")
         # corpus-proportional on BOTH sides -> co-keyed join, never a
         # broadcast; novel windows are the anti-join survivors
-        novel = bc.join(seen.hint("shuffle_hash"), "shingle", "left_anti")
+        novel = bc.join(
+            _dir_shj(seen, spark, index_dir), "shingle", "left_anti"
+        )
     else:
         novel = bc
     agg = novel.agg(
@@ -1925,7 +1951,8 @@ def _novelty_bloom_body(spark, index_dir, batch_id, bc) -> dict:
     if have_index:
         seen = spark.read.parquet(index_dir).select("p")
         probe = pos.join(
-            seen.hint("shuffle_hash").withColumn("hit", F.lit(1)), "p", "left"
+            _dir_shj(seen, spark, index_dir).withColumn("hit", F.lit(1)),
+            "p", "left",
         )
     else:
         probe = pos.withColumn("hit", F.lit(None).cast("int"))
@@ -1940,7 +1967,9 @@ def _novelty_bloom_body(spark, index_dir, batch_id, bc) -> dict:
     ).collect()[0]
     new_pos = pos.select("p").distinct()
     if have_index:
-        new_pos = new_pos.join(seen.hint("shuffle_hash"), "p", "left_anti")
+        new_pos = new_pos.join(
+            _dir_shj(seen, spark, index_dir), "p", "left_anti"
+        )
     (
         new_pos.select("p", F.lit(batch_id).alias("first_batch"))
         .write.mode("append")

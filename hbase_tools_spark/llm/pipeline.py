@@ -840,7 +840,7 @@ def corpus_mixture_weights(m: Model) -> DataFrame:
 # embedding per document (vec_id == doc_id, TESTDATA.md), so the two
 # pair relations compose directly.
 
-from .dedup import _JACCARD_PAIRS_SQL, ngram_jaccard_pairs  # noqa: E402
+from .dedup import _JACCARD_PAIRS_SQL, _corpus_shj, ngram_jaccard_pairs  # noqa: E402
 from .similarity import _NEARDUP_PAIRS_SQL, embedding_neardup_pairs  # noqa: E402
 
 
@@ -874,7 +874,7 @@ def semantic_only_dup_pairs(m: Model) -> DataFrame:
     jp = ngram_jaccard_pairs(m).select(
         F.col("doc_a").alias("vec_a"), F.col("doc_b").alias("vec_b")
     )
-    return ep.join(jp.hint("shuffle_hash"), ["vec_a", "vec_b"], "left_anti")
+    return ep.join(_corpus_shj(jp, m), ["vec_a", "vec_b"], "left_anti")
 
 
 @query(
@@ -921,8 +921,8 @@ def semantic_dedup_survivors(m: Model) -> DataFrame:
     )
     d = m.documents.select("doc_id", "lang", "source")
     return (
-        d.join(dropped.hint("shuffle_hash"), "doc_id", "left_anti")
-        .join(heads.hint("shuffle_hash"), "doc_id", "left")
+        d.join(_corpus_shj(dropped, m), "doc_id", "left_anti")
+        .join(_corpus_shj(heads, m), "doc_id", "left")
         .select(
             "doc_id", "lang", "source",
             F.coalesce("kept_with_dups", F.lit(False)).alias(

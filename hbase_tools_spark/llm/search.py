@@ -147,16 +147,53 @@ def docs_bm25_topk(m: Model) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.expr("sum(dl) * 1.0e0 / count(*)").alias("avgdl"),
     )
+    # Round-12 (r11 verdict task 8 — the §1 one-job pattern WITHOUT the
+    # memo): the 3-row query-term dictionary and the 1-row statistics
+    # are collected in ONE fused job PER INVOCATION (the ad hoc
+    # fresh-leg contract keeps every leg build in the timed run; only
+    # the job count drops — it was two broadcast-build jobs plus a
+    # per-posting ArrowEvalPython ``pln`` stage).  idf folds in
+    # driver-side with math.log — the exact libm contract ``pln``
+    # wraps, same IEEE op sequence over the same (n_docs, df) ratio,
+    # so the doubles are bit-identical (the bm25_serving_handles
+    # convention, r11 §1) — and the scoring plan becomes one
+    # whole-stage-codegen span over the pruned postings: literal
+    # avgdl, CASE-on-word idf, isin filter keying on the dictionary's
+    # words (inner-join semantics preserved exactly).
+    import math
+
+    raw_rows, st_row = [], None
+    for r in (
+        qt.select(F.lit("d").alias("kind"), "word",
+                  F.col("df").alias("a"), F.lit(None).cast("double").alias("b"))
+        .unionAll(
+            st.select(F.lit("s").alias("kind"),
+                      F.lit(None).cast("string").alias("word"),
+                      F.col("n_docs").alias("a"), F.col("avgdl").alias("b"))
+        )
+        .collect()
+    ):  # one fused job
+        if r["kind"] == "d":
+            raw_rows.append((r["word"], int(r["a"])))
+        else:
+            st_row = (int(r["a"]), float(r["b"]) if r["b"] is not None else None)
+    n_docs, avgdl = st_row
+    dict_rows = [
+        (w, math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0))
+        for w, df in raw_rows
+    ]
+    idf_col = F.lit(None).cast("double")
+    for w, idf in dict_rows:
+        idf_col = F.when(F.col("word") == F.lit(w), F.lit(idf)).otherwise(idf_col)
     sc = (
-        wc.join(F.broadcast(qt), "word")
+        wc.where(F.col("word").isin([w for w, _ in dict_rows]))
         .join(d.select("doc_id", "dl"), "doc_id")
-        .crossJoin(F.broadcast(st))
         .select(
             "doc_id",
             F.col("c").cast("bigint").alias("tf"),
             "dl",
-            "avgdl",
-            pln(F.expr(_BM25_IDF_RATIO)).alias("idf"),
+            F.lit(avgdl).alias("avgdl"),
+            idf_col.alias("idf"),
         )
     )
     agg = sc.groupBy("doc_id").agg(
@@ -629,19 +666,29 @@ def _mlt_lex_build(m: Model) -> DataFrame:
             " / count(*)"
         ).alias("avgdl"),
     )
+    # idf at WORD grain on the broadcast side (probe-vocabulary rows,
+    # not per posting row — the hybrid_rrf_from_index convention, guide
+    # §4): the corpus-side posting pipeline stays whole-stage codegen,
+    # and the 1-row stats relation folds into the same broadcast build
+    # instead of a separate broadcast job.  Same pln libm doubles per
+    # word -> bit-identical scores.
+    dfr_idf = (
+        dfr.join(F.broadcast(qw.select("word").distinct()), "word")
+        .crossJoin(F.broadcast(st))
+        .select("word", pln(F.expr(_BM25_IDF_RATIO)).alias("idf"), "avgdl")
+    )
     terms = (
         wc.join(F.broadcast(qw), "word")
         .where(F.col("doc_id") != F.col("query_id"))
-        .join(F.broadcast(dfr.join(F.broadcast(qw.select("word").distinct()), "word")), "word")
+        .join(F.broadcast(dfr_idf), "word")
         .join(d, "doc_id")
-        .crossJoin(F.broadcast(st))
         .select(
             "query_id",
             "doc_id",
             F.col("c").cast("bigint").alias("tf"),
             "dl",
             "avgdl",
-            pln(F.expr(_BM25_IDF_RATIO)).alias("idf"),
+            "idf",
         )
     )
     scored = terms.groupBy("query_id", "doc_id").agg(

@@ -190,3 +190,77 @@ def test_word_embedding_stage_views_are_per_build(spark):
     # build A's plan still evaluates after build B replaced nothing
     assert a.count() == b.count() > 0
     release_stage_caches()
+
+
+def test_memo_keys_are_declared_index_state():
+    """Round-12 (r11 verdict item 5): every artifact-memo entry must be
+    QUERY-INDEPENDENT INDEX STATE (serving handles, trained artifacts,
+    probe constants) — never query-dependent results.  This test pins
+    the key set: adding a memo entry without classifying it here fails
+    the suite, forcing the invariant to be reviewed at the new site."""
+    import os
+    import re
+
+    import hbase_tools_spark
+
+    # key -> why it is index state, not a result
+    ALLOWED = {
+        # persisted/trained artifact directories (immutable once built)
+        "bm25_index_dir": "persisted inverted index",
+        "bm25_stream_index_dir": "stream-ingested inverted index",
+        "ivf_stream_index_dir": "stream-ingested IVF index",
+        "sig_stream_store_dir": "stream-ingested minhash signature store",
+        "ppl_lm_artifact_dir": "persisted ccnet LM artifact",
+        "lr_weights_dir": "persisted LR quality-model weights",
+        "topology_store": "persisted topology snapshot store",
+        # trained model/codebook state (pure fn of the fixture content)
+        "pq_trained_codebook": "PQ codebook (deterministic Lloyd)",
+        "ivfpq_residual_codebook": "IVFPQ residual codebook",
+        "label_centroid_rows": "IVF coarse centroids",
+        "contam_bloom_words": "contamination bloom bitmap",
+        # serving handles: pre-analyzed reads + tiny collected dims
+        "bm25_served_handles": "per-index BM25 serving state",
+        "bm25_stream_served_handles": "per-index BM25 serving state",
+        "ivf_stream_serving_handles": "IVF centroid/probe-cell handles",
+        "hybrid_index_reads": "pre-analyzed index read handles",
+        "hybrid_probe_legs": "probe term relation + buckets",
+        "hybrid_lex_stats": "probe vocabulary (word, df, idf) + stats",
+        "ppl_lm_read_handles": "LM relation read handles",
+        # checkpointed derived relations (index-shaped, query-free)
+        "ppl_lm_relations": "ccnet LM bigram/context relations",
+        "kn_lm_relations": "kneser-ney LM relations",
+        "mlt_lex_leg": "BM25 MLT leg (served-relation shape)",
+        "exact_topk_leg": "exact ANN ground-truth ranking",
+        "bpe_vocab_cost": "BPE-tokenized vocabulary costs",
+        "table_lifecycle_stages": "lifecycle stage dimension",
+        # probe/dimension constants (broadcast-once dims)
+        "ann_probe_vectors": "fixed probe vectors",
+        "km_seed_probe_vectors": "kmeans seed + probe vectors",
+        "pq_seed_probe_vectors": "PQ seed + probe vectors",
+        "contam_bench_set": "benchmark shingle set",
+        "bm25_served_terms": "corpus-derived query-term constant",
+        "bm25_stream_served_terms": "corpus-derived query-term constant",
+    }
+
+    pkg = os.path.dirname(hbase_tools_spark.__file__)
+    pat = re.compile(
+        r"(?:sf_cached|model_cached|checkpointed)\(\s*"
+        r"(?:[A-Za-z_][\w.]*\s*,)?\s*\"([a-z_0-9]+)\"",
+        re.S,
+    )
+    found = set()
+    for root, _, files in os.walk(pkg):
+        for f in files:
+            if not f.endswith(".py") or f == "memo.py":
+                continue
+            src = open(os.path.join(root, f)).read()
+            found |= set(pat.findall(src))
+    assert found, "memo-key extraction found nothing — regex rotted?"
+    undeclared = found - set(ALLOWED)
+    stale = set(ALLOWED) - found
+    assert not undeclared, (
+        f"memo keys not classified as index state: {sorted(undeclared)} — "
+        "if the new entry is query-independent index state, add it here "
+        "with its rationale; if it is a query result, do not memoize it"
+    )
+    assert not stale, f"allowlist entries no longer in code: {sorted(stale)}"

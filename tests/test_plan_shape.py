@@ -261,3 +261,46 @@ def test_jaccard_shj_hint_is_size_guarded(spark, tmp_path):
     assert "UnresolvedHint" not in (
         unhinted._jdf.queryExecution().logical().toString()
     ), "over-threshold corpus kept the forced SHJ hint"
+
+
+def test_dir_shj_hint_is_size_guarded(spark, tmp_path):
+    """Round-12: every forced shuffle_hash site is size-guarded (the
+    r11 verdict's residual-hint-sites item).  The index-directory
+    variant must hint below the threshold and fall back to the
+    spill-safe sort-merge above it — and no unguarded
+    ``hint("shuffle_hash")`` call may remain anywhere in the package
+    (the two sites inside the guard helpers are the allowed ones)."""
+    import os
+    import subprocess
+
+    from hbase_tools_spark.llm import dedup as D
+
+    df = spark.range(1)
+    small = tmp_path / "idx_small"
+    small.mkdir()
+    with open(small / "part-0.parquet", "wb") as fh:
+        fh.write(b"x" * 128)
+    hinted = D._dir_shj(df, spark, str(small))
+    assert "UnresolvedHint shuffle_hash" in (
+        hinted._jdf.queryExecution().logical().toString()
+    ), "small index dir lost the shuffle_hash hint"
+
+    big = tmp_path / "idx_big"
+    big.mkdir()
+    with open(big / "part-0.parquet", "wb") as fh:
+        fh.truncate(D._SHJ_DOCS_BYTES + 1)
+    unhinted = D._dir_shj(df, spark, str(big))
+    assert "UnresolvedHint" not in (
+        unhinted._jdf.queryExecution().logical().toString()
+    ), "over-threshold index dir kept the forced SHJ hint"
+
+    pkg = os.path.join(os.path.dirname(D.__file__), "..")
+    out = subprocess.run(
+        ["grep", "-rn", 'hint("shuffle_hash")', os.path.abspath(pkg)],
+        capture_output=True, text=True,
+    ).stdout
+    # the only allowed raw-hint lines are the two inside the guard
+    # helpers themselves (_corpus_shj / _dir_shj in dedup.py)
+    raw = [ln for ln in out.splitlines() if ln.strip()]
+    allowed = [ln for ln in raw if "def _" in ln or "return df.hint" in ln]
+    assert raw == allowed, f"unguarded shuffle_hash sites: {set(raw) - set(allowed)}"

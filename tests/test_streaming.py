@@ -689,6 +689,14 @@ class _FakeState:
         self.exists = True
 
 
+def _funnel_user_state(state, user):
+    """Extract one user's (vmin, clicks, purchases) from the bucketed
+    parallel-array state."""
+    users, vmins, clicks, purchases = state.get
+    i = list(users).index(user)
+    return vmins[i], list(clicks[i]), list(purchases[i])
+
+
 def test_funnel_state_bounded_for_heavy_user():
     """Round-4 verdict fix: per-user funnel state must stay O(1) under a
     heavy user's unbounded in-order stream — views collapse to one
@@ -702,10 +710,11 @@ def test_funnel_state_bounded_for_heavy_user():
 
     def feed(events):
         pdf = pd.DataFrame(
-            {"tus": [t for t, _ in events],
+            {"user_id": [7] * len(events),
+             "tus": [t for t, _ in events],
              "event_type": [e for _, e in events]}
         )
-        return list(_advance_funnel((7,), [pdf], state))
+        return list(_advance_funnel((0,), [pdf], state))
 
     # establish the chain: view@100, click@200, purchase@300
     feed([(100, "view"), (200, "click"), (300, "purchase")])
@@ -714,7 +723,7 @@ def test_funnel_state_bounded_for_heavy_user():
         base = 1000 + b * 100
         feed([(base + i, kind) for i, kind in
               zip(range(60), ["view", "click", "purchase"] * 20)])
-    vmin, clicks, purchases = state.get
+    vmin, clicks, purchases = _funnel_user_state(state, 7)
     assert vmin == 100
     assert clicks == [200], clicks          # only the winner survives
     assert purchases == [300], purchases
@@ -736,21 +745,61 @@ def test_funnel_prune_keeps_retroactive_candidates():
 
     def feed(events):
         pdf = pd.DataFrame(
-            {"tus": [t for t, _ in events],
+            {"user_id": [7] * len(events),
+             "tus": [t for t, _ in events],
              "event_type": [e for _, e in events]}
         )
-        return list(_advance_funnel((7,), [pdf], state))
+        return list(_advance_funnel((0,), [pdf], state))
 
     # view@100; click@50 precedes it (ineligible now), click@200 wins
     feed([(100, "view"), (50, "click"), (200, "click"), (60, "purchase"),
           (250, "purchase")])
-    vmin, clicks, purchases = state.get
+    _, clicks, purchases = _funnel_user_state(state, 7)
     assert set(clicks) == {50, 200}         # 50 kept: future t1 may drop
     assert set(purchases) == {60, 250}
     # late view@40: click@50 becomes the new t2, purchase@60 the new t3
     out = feed([(40, "view")])[0]
     assert (int(out["t1"][0]), int(out["t2"][0]), int(out["t3"][0])) == (
         40, 50, 60)
+
+
+def test_funnel_bucket_state_carries_untouched_users():
+    """Bucketed state (round-12 optimization — one Python group call
+    per user-hash bucket): a batch touching one user must carry every
+    OTHER user's state through unchanged, and per-user semantics must
+    be independent of bucket co-residents."""
+    import pandas as pd
+
+    from hbase_tools_spark.streaming.stateful import _advance_funnel
+
+    state = _FakeState()
+
+    def feed(rows):  # rows: (user, tus, event_type)
+        pdf = pd.DataFrame(
+            {"user_id": [u for u, _, _ in rows],
+             "tus": [t for _, t, _ in rows],
+             "event_type": [e for _, _, e in rows]}
+        )
+        return list(_advance_funnel((0,), [pdf], state))
+
+    # batch 1: two users share the bucket
+    out = feed([(1, 100, "view"), (2, 500, "click"), (1, 200, "click")])
+    snap = out[0]
+    by_user = {int(snap["user_id"][i]): i for i in range(len(snap))}
+    assert int(snap["stage_reached"][by_user[1]]) == 2
+    assert int(snap["stage_reached"][by_user[2]]) == 0
+    # batch 2 touches ONLY user 2 — user 1's state must survive, and
+    # only user 2 may emit a snapshot
+    out = feed([(2, 400, "view")])
+    snap = out[0]
+    assert list(snap["user_id"]) == [2]
+    assert int(snap["stage_reached"][0]) == 2  # view@400 unlocks click@500
+    assert _funnel_user_state(state, 1) == (100, [200], [])
+    # batch 3: user 1 resumes exactly where its state left off
+    out = feed([(1, 300, "purchase")])
+    snap = out[0]
+    assert (int(snap["stage_reached"][0]), int(snap["t1"][0]),
+            int(snap["t2"][0]), int(snap["t3"][0])) == (3, 100, 200, 300)
 
 
 def test_stream_attribution_multibatch(spark, tmp_path):
@@ -880,14 +929,15 @@ def test_funnel_viewless_user_state_dedups():
 
     def feed(events):
         pdf = pd.DataFrame(
-            {"tus": [t for t, _ in events],
+            {"user_id": [9] * len(events),
+             "tus": [t for t, _ in events],
              "event_type": [e for _, e in events]}
         )
-        return list(_advance_funnel((9,), [pdf], state))
+        return list(_advance_funnel((0,), [pdf], state))
 
     for _ in range(40):  # 40 batches of the same 5 click times, no view
         feed([(t, "click") for t in (10, 20, 30, 40, 50)])
-    vmin, clicks, purchases = state.get
+    vmin, clicks, purchases = _funnel_user_state(state, 9)
     assert vmin is None
     assert clicks == [10, 20, 30, 40, 50]   # distinct, sorted, bounded
     # a late view below them promotes the earliest click exactly
@@ -907,11 +957,12 @@ def test_attribution_late_purchase_is_organic():
 
     def feed(rows):
         pdf = pd.DataFrame(
-            {"tus": [t for t, _, _ in rows],
+            {"user_id": [3] * len(rows),
+             "tus": [t for t, _, _ in rows],
              "event_id": [e for _, e, _ in rows],
              "event_type": [k for _, _, k in rows]}
         )
-        return list(_advance_attribution((3,), [pdf], state))
+        return list(_advance_attribution((0,), [pdf], state))
 
     feed([(500, 1, "click")])
     out = feed([(100, 2, "purchase")])[0]
