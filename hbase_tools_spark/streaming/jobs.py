@@ -177,12 +177,8 @@ def auto_state_partitions(spark: SparkSession, source_path: str) -> int:
     adding real executors (local-cluster 2x8, 4x4) changes nothing.
     A production deployment sets this to cluster parallelism before
     the first run; this helper is the fixture-calibrated stand-in."""
-    jvm = spark.sparkContext._jvm
-    conf = spark.sparkContext._jsc.hadoopConfiguration()
-    p = jvm.org.apache.hadoop.fs.Path(source_path)
-    try:
-        size = p.getFileSystem(conf).getContentSummary(p).getLength()
-    except Exception:  # missing/remote-unreachable source: the old floor
+    size = source_size(spark, source_path)
+    if size == 0:  # missing/remote-unreachable source: the old floor
         return 2
     cores = spark.sparkContext.defaultParallelism
     return max(2, min(cores, int(size // _STATE_PART_BYTES)))
@@ -195,6 +191,12 @@ def events_state_partitions(m) -> int:
     )
 
 
+def events_source_bytes(m) -> int:
+    """``source_size`` of the model's events feed — the result-scale
+    hint the user-cardinality drains pass to ``run_to_table``."""
+    return source_size(m.spark, os.path.join(m.sf_dir, "events.parquet"))
+
+
 # Progress trail of the most recent drain (instrumentation only):
 # run_to_table copies the finished query's recentProgress here so the
 # floor-decomposition harness (scripts/drain_decompose.py, SCALE.md)
@@ -203,15 +205,40 @@ def events_state_partitions(m) -> int:
 LAST_DRAIN_PROGRESS: list[dict] = []
 
 
+#: Source-bytes threshold past which a drain's result is sunk to
+#: parquet via foreachBatch instead of the memory sink.  The memory
+#: sink holds the WHOLE result as driver-side JVM objects and serves
+#: it as a parallelized local collection — at the 100x events fixture
+#: the session drain's corpus-scale result OOM'd the default 8 g heap
+#: while (de)serializing those ParallelCollectionRDD partitions back
+#: to executors (measured: java heap OOM in ObjectInputStream under
+#: ParallelCollectionPartition.readObject).  A foreachBatch parquet
+#: sink writes the SAME rows executor-side (the "production
+#: deployments replace the memory sink with a table sink" posture in
+#: the module docstring), so result size never touches driver memory.
+#: Fixture-scale drains (events 2 MB at sf0.1) keep the memory sink —
+#: the bench posture is unchanged.
+_MEM_SINK_MAX_SOURCE_BYTES = 32 << 20
+
+
 def run_to_table(
     stream_df: DataFrame,
     name: str,
     output_mode: str,
     state_partitions: int = 2,
     extra_confs: dict[str, str] | None = None,
+    source_bytes: int = 0,
 ) -> DataFrame:
     """Drain a streaming DataFrame with AvailableNow into a memory sink
     and return the materialized result as a batch DataFrame.
+
+    ``source_bytes`` (callers with corpus-proportional RESULTS pass
+    their feed's size, see ``source_size``): past
+    ``_MEM_SINK_MAX_SOURCE_BYTES`` the drain sinks to parquet via
+    ``foreachBatch`` — identical rows (complete mode overwrites with
+    the batch's full result, append/update append exactly the rows the
+    memory sink would have appended), but written executor-side so the
+    result never lives on the driver heap.
 
     State-partition count is pinned low for these run-to-completion
     fixture drains (each state partition costs a state-store instance
@@ -247,12 +274,30 @@ def run_to_table(
     # run — reusing a committed checkpoint would make availableNow a
     # no-op and leave the memory sink empty.
     ckpt = tempfile.mkdtemp(prefix="hbase_tools_ckpt_", dir=_CKPT_BASE)
+    spill = source_bytes > _MEM_SINK_MAX_SOURCE_BYTES
+    out_dir = None
     try:
+        if spill:
+            import atexit
+
+            out_dir = tempfile.mkdtemp(prefix=f"hbase_tools_sink_{name}_")
+            atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
+            write_mode = "overwrite" if output_mode == "complete" else "append"
+
+            def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+                batch_df.write.mode(write_mode).parquet(out_dir)
+
+            writer = stream_df.writeStream.foreachBatch(_sink).outputMode(
+                output_mode
+            )
+        else:
+            writer = (
+                stream_df.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(output_mode)
+            )
         q = (
-            stream_df.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(output_mode)
-            .option("checkpointLocation", ckpt)
+            writer.option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )
@@ -269,7 +314,24 @@ def run_to_table(
         for k, v in prev_extra.items():
             spark.conf.unset(k) if v is None else spark.conf.set(k, v)
         shutil.rmtree(ckpt, ignore_errors=True)
+    if spill:
+        try:
+            return spark.read.parquet(out_dir)
+        except Exception:  # zero-batch drain wrote nothing
+            return spark.createDataFrame([], stream_df.schema)
     return spark.table(name)
+
+
+def source_size(spark: SparkSession, source_path: str) -> int:
+    """Bytes of a drain's source feed (Hadoop-FS content summary — the
+    same probe ``auto_state_partitions`` uses); 0 when unknowable."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(source_path)
+    try:
+        return int(p.getFileSystem(conf).getContentSummary(p).getLength())
+    except Exception:
+        return 0
 
 
 # ---------------------------------------------------------------------------
@@ -404,6 +466,9 @@ def stream_session_stats(m: Model) -> DataFrame:
     return run_to_table(
         agg, "stream_session_stats", "complete",
         state_partitions=max(4, events_state_partitions(m)),
+        # session output is corpus-scale (one row per session): past
+        # fixture scale the result must not live on the driver heap
+        source_bytes=events_source_bytes(m),
     )
 
 

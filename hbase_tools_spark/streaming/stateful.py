@@ -352,7 +352,12 @@ def stream_funnel_stage(m: Model) -> DataFrame:
     drain equals the batch funnel semantics, so the result is
     oracle-checkable.  Multi-batch/late-arrival behavior is pinned in
     tests/test_streaming.py."""
-    from .jobs import events_state_partitions, events_stream, run_to_table
+    from .jobs import (
+        events_source_bytes,
+        events_state_partitions,
+        events_stream,
+        run_to_table,
+    )
 
     ev = (
         events_stream(m.spark, m.sf_dir)
@@ -370,6 +375,9 @@ def stream_funnel_stage(m: Model) -> DataFrame:
         funnel_stages(ev, buckets=_BUCKETS_PER_PARTITION * parts),
         "stream_funnel_stage", "append",
         state_partitions=parts,
+        # per-user snapshots: corpus-scale result, keep it off-driver
+        # past fixture scale (see run_to_table)
+        source_bytes=events_source_bytes(m),
     )
 
 
@@ -565,7 +573,12 @@ def stream_attribution(m: Model) -> DataFrame:
     multi-batch behavior is pinned in tests/test_streaming.py.  State
     is O(1) per user by construction — the design target the funnel
     state needed pruning to reach."""
-    from .jobs import events_state_partitions, events_stream, run_to_table
+    from .jobs import (
+        events_source_bytes,
+        events_state_partitions,
+        events_stream,
+        run_to_table,
+    )
 
     ev = (
         events_stream(m.spark, m.sf_dir)
@@ -582,6 +595,7 @@ def stream_attribution(m: Model) -> DataFrame:
         attribution_stream(ev, buckets=_BUCKETS_PER_PARTITION * parts),
         "stream_attribution", "append",
         state_partitions=parts,
+        source_bytes=events_source_bytes(m),
     )
     return drained.groupBy("attributed_to").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_purchases")
