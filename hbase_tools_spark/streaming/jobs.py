@@ -322,16 +322,29 @@ def run_to_table(
     return spark.table(name)
 
 
+_SOURCE_SIZE_CACHE: dict[str, int] = {}  # path -> bytes; fixtures are
+# immutable for the life of the process (the _SCHEMA_CACHE /
+# functions.memo.sf_cached assumption) — the Hadoop-FS content-summary
+# probe costs several py4j round trips and every user-keyed drain made
+# two of them per build, five builds per bench query.
+
+
 def source_size(spark: SparkSession, source_path: str) -> int:
     """Bytes of a drain's source feed (Hadoop-FS content summary — the
-    same probe ``auto_state_partitions`` uses); 0 when unknowable."""
+    same probe ``auto_state_partitions`` uses); 0 when unknowable.
+    Memoized per path (see _SOURCE_SIZE_CACHE)."""
+    cached = _SOURCE_SIZE_CACHE.get(source_path)
+    if cached is not None:
+        return cached
     jvm = spark.sparkContext._jvm
     conf = spark.sparkContext._jsc.hadoopConfiguration()
     p = jvm.org.apache.hadoop.fs.Path(source_path)
     try:
-        return int(p.getFileSystem(conf).getContentSummary(p).getLength())
+        size = int(p.getFileSystem(conf).getContentSummary(p).getLength())
     except Exception:
-        return 0
+        size = 0
+    _SOURCE_SIZE_CACHE[source_path] = size
+    return size
 
 
 # ---------------------------------------------------------------------------
